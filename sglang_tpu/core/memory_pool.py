@@ -1,0 +1,138 @@
+"""Device KV cache pool.
+
+Equivalent role to the reference's ``mem_cache/memory_pool.py``
+(``ReqToTokenPool`` :242, ``MHATokenToKVPool`` :1291): owns the HBM-resident
+KV buffer and its geometry.  TPU-native differences:
+
+* One fused buffer ``[num_layers * num_slots, 2, kv_heads, head_dim]``
+  (K at index 0, V at index 1) — a single functional scatter per layer,
+  kept in-place by donation under jit.
+* ``req_to_token`` is not a device pool: page tables are assembled host-side
+  per step (small [B, P] int32 transfers) — the reference builds the same
+  CSR ``kv_indices`` on host for its triton backend
+  (``layers/attention/triton_backend.py:682``).
+* FP8 KV: buffer dtype float8_e4m3fn with a per-model scale (v1: scale 1.0;
+  per-layer scales land with the quant stack).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.utils import cdiv, get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass(frozen=True)
+class KVCacheGeometry:
+    num_layers: int
+    num_pages: int  # includes garbage page 0
+    page_size: int
+    num_kv_heads: int
+    head_dim: int
+    dtype: object
+
+    @property
+    def num_slots(self) -> int:
+        return self.num_pages * self.page_size
+
+    @property
+    def bytes_total(self) -> int:
+        itemsize = jnp.dtype(self.dtype).itemsize
+        return (
+            self.num_layers
+            * self.num_slots
+            * 2
+            * self.num_kv_heads
+            * self.head_dim
+            * itemsize
+        )
+
+
+def resolve_kv_dtype(kv_cache_dtype: str, model_dtype) -> object:
+    if kv_cache_dtype in ("auto", None):
+        return model_dtype
+    from sglang_tpu.configs.model_config import parse_dtype
+
+    return parse_dtype(kv_cache_dtype)
+
+
+def compute_num_pages(
+    config: ModelConfig,
+    page_size: int,
+    kv_dtype,
+    max_total_tokens: Optional[int],
+    hbm_budget_bytes: Optional[int],
+) -> int:
+    """Pool sizing: explicit token count, or fill the HBM budget."""
+    if max_total_tokens is not None:
+        return max(2, cdiv(max_total_tokens, page_size) + 1)
+    assert hbm_budget_bytes is not None
+    bytes_per_token = (
+        config.num_hidden_layers
+        * 2
+        * config.num_key_value_heads
+        * config.head_dim
+        * jnp.dtype(kv_dtype).itemsize
+    )
+    tokens = max(page_size * 2, hbm_budget_bytes // bytes_per_token)
+    return max(2, tokens // page_size + 1)
+
+
+class KVCachePool:
+    def __init__(
+        self,
+        config: ModelConfig,
+        page_size: int,
+        kv_cache_dtype: str = "auto",
+        max_total_tokens: Optional[int] = None,
+        hbm_budget_bytes: Optional[int] = None,
+        sharding=None,
+    ):
+        kv_dtype = resolve_kv_dtype(kv_cache_dtype, config.dtype)
+        num_pages = compute_num_pages(
+            config, page_size, kv_dtype, max_total_tokens, hbm_budget_bytes
+        )
+        self.geometry = KVCacheGeometry(
+            num_layers=config.num_hidden_layers,
+            num_pages=num_pages,
+            page_size=page_size,
+            num_kv_heads=config.num_key_value_heads,
+            head_dim=config.head_dim,
+            dtype=kv_dtype,
+        )
+        g = self.geometry
+        logger.info(
+            "KV pool: %d pages x %d tokens (%d layers, %d kv heads, %.2f GiB, %s)",
+            g.num_pages,
+            g.page_size,
+            g.num_layers,
+            g.num_kv_heads,
+            g.bytes_total / (1 << 30),
+            jnp.dtype(g.dtype).name,
+        )
+        shape = (g.num_layers * g.num_slots, 2, g.num_kv_heads, g.head_dim)
+        if sharding is not None:
+            self.kv_cache = jax.device_put(
+                jnp.zeros(shape, dtype=g.dtype), sharding
+            )
+        else:
+            self.kv_cache = jnp.zeros(shape, dtype=g.dtype)
+
+    @property
+    def num_slots(self) -> int:
+        return self.geometry.num_slots
+
+    @property
+    def page_size(self) -> int:
+        return self.geometry.page_size
+
+    @property
+    def usable_pages(self) -> int:
+        return self.geometry.num_pages - 1  # minus garbage page

@@ -1,0 +1,491 @@
+"""Continuous-batching scheduler.
+
+Equivalent role to the reference's ``managers/scheduler.py:299`` (event loops
+:1548/:1578, batch formation :2613/:2748, result processing :3464) plus the
+radix-cache integration of ``mem_cache/radix_cache.py:437/:488``
+(cache_finished_req / cache_unfinished_req).
+
+TPU-native notes:
+* One scheduler drives all chips of its replica through a single JAX process
+  (single-controller); there is no per-rank scheduler replication to keep in
+  lock-step (reference request_receiver.py:73 broadcasts to TP peers).
+* JAX async dispatch gives compute/host overlap: the forward for step N is
+  enqueued, and host-side bookkeeping for step N-1 runs while the TPU is busy
+  (reference's two-stream FutureMap overlap, overlap_utils.py:128).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from sglang_tpu.core.radix_cache import RadixCache
+from sglang_tpu.core.req import FinishReason, Req, ReqStatus
+from sglang_tpu.core.schedule_batch import HostBatch, bucket_plan
+from sglang_tpu.core.schedule_policy import (
+    NewTokenRatioTracker,
+    PrefillAdder,
+    SchedulePolicy,
+)
+from sglang_tpu.model_executor.forward_batch import ForwardMode
+from sglang_tpu.model_executor.model_runner import ModelRunner
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import cdiv, get_logger
+
+logger = get_logger(__name__)
+
+
+class Scheduler:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_runner: Optional[ModelRunner] = None,
+        output_callback: Optional[Callable[[List[dict]], None]] = None,
+    ):
+        self.server_args = server_args
+        self.runner = model_runner or ModelRunner(server_args)
+        self.page_size = self.runner.kv_pool.page_size
+        self.allocator = self.runner.page_allocator
+        self.radix = RadixCache(
+            page_size=self.page_size,
+            disable=server_args.disable_radix_cache,
+        )
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
+        self.ratio_tracker = NewTokenRatioTracker(
+            server_args.schedule_conservativeness
+        )
+        self.output_callback = output_callback or (lambda updates: None)
+
+        self.input_queue: "queue.Queue" = queue.Queue()
+        self.waiting: List[Req] = []
+        self.running: HostBatch = HostBatch(reqs=[], mode=ForwardMode.DECODE)
+        self.chunked_req: Optional[Req] = None
+        self.reqs_by_rid: Dict[str, Req] = {}
+        self._abort_rids: set = set()
+
+        self.eos_token_ids = set(self.runner.model_config.eos_token_ids)
+        self.max_context_len = self.runner.max_context_len
+        self.decode_bs_buckets = server_args.decode_bs_buckets or [
+            1, 2, 4, 8, 16, 32, 64, 128, 256,
+        ]
+        self.decode_bs_buckets = [
+            b for b in self.decode_bs_buckets if b <= max(server_args.max_running_requests, 1)
+        ] or [server_args.max_running_requests]
+
+        self._shutdown = threading.Event()
+        self.num_steps = 0
+        self.num_generated_tokens = 0
+        self.last_decode_tokens_per_s = 0.0
+
+    # ---------------------------------------------------------------- input
+    def add_request(self, req: Req):
+        self.input_queue.put(req)
+
+    def abort_request(self, rid: str):
+        self._abort_rids.add(rid)
+        self.input_queue.put(None)  # wake the loop
+
+    def _process_inputs(self, block: bool):
+        timeout = 0.5 if block else 0.0
+        try:
+            item = self.input_queue.get(timeout=timeout)
+        except queue.Empty:
+            return
+        while True:
+            if item is not None:
+                self._admit_new_request(item)
+            try:
+                item = self.input_queue.get_nowait()
+            except queue.Empty:
+                break
+        if self._abort_rids:
+            self._apply_aborts()
+
+    def _admit_new_request(self, req: Req):
+        if (
+            self.server_args.max_queued_requests is not None
+            and len(self.waiting) >= self.server_args.max_queued_requests
+        ):
+            req.abort()
+            self._emit_updates([req])
+            return
+        if len(req.origin_input_ids) >= self.max_context_len:
+            req.abort()
+            self._emit_updates([req])
+            return
+        self.reqs_by_rid[req.rid] = req
+        self.waiting.append(req)
+
+    def _apply_aborts(self):
+        rids = self._abort_rids
+        self._abort_rids = set()
+        for rid in rids:
+            req = self.reqs_by_rid.get(rid)
+            if req is None or req.finished:
+                continue
+            if req in self.waiting:
+                self.waiting.remove(req)
+                req.abort()
+            elif req in self.running.reqs:
+                req.abort()  # filtered after the current step
+                self._release_req_kv(req)
+                self.running.reqs.remove(req)
+                self.running.extend_lens = [1] * len(self.running.reqs)
+            elif req is self.chunked_req:
+                self.chunked_req = None
+                req.abort()
+                self._release_req_kv(req)
+            self._emit_updates([req])
+
+    # --------------------------------------------------------------- memory
+    def _total_free_tokens(self) -> int:
+        return (
+            self.allocator.num_free_tokens
+            + self.radix.evictable_size() * self.page_size
+        )
+
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        pages = self.allocator.alloc(n)
+        if pages is None:
+            need = n - self.allocator.num_free_pages
+            self.radix.evict(need, self.allocator.free)
+            pages = self.allocator.alloc(n)
+        return pages
+
+    def _ensure_req_pages(self, req: Req, total_tokens: int) -> bool:
+        need = cdiv(total_tokens, self.page_size) - len(req.pages)
+        if need <= 0:
+            return True
+        pages = self._alloc_pages(need)
+        if pages is None:
+            return False
+        req.pages.extend(pages)
+        return True
+
+    def _release_req_kv(self, req: Req):
+        """Free owned pages and unlock the radix prefix."""
+        owned = req.pages[req.prefix_pages_len :]
+        if owned:
+            self.allocator.free(owned)
+        req.pages = req.pages[: req.prefix_pages_len]
+        if req.last_node is not None:
+            self.radix.dec_lock_ref(req.last_node)
+            req.last_node = None
+        req.prefix_pages_len = 0
+        req.pages = []
+
+    # ------------------------------------------------------- radix caching
+    def _match_and_lock_prefix(self, req: Req):
+        """Prefix-match the request on arrival to the batch
+        (reference scheduler.py:1679 → radix_cache.py:355)."""
+        if self.radix.disable:
+            req.pages = []
+            req.prefix_pages_len = 0
+            req.cached_len = 0
+            req.last_node = None
+            return
+        # Never match the full sequence: at least one token must be computed.
+        m = self.radix.match_prefix(req.fill_ids[:-1])
+        req.pages = list(m.pages)
+        req.prefix_pages_len = len(m.pages)
+        req.cached_len = m.matched_tokens
+        req.last_node = m.node
+        self.radix.inc_lock_ref(m.node)
+        if req.cache_hit_tokens is None:
+            req.cache_hit_tokens = m.matched_tokens
+
+    def _cache_unfinished(self, req: Req):
+        """Share mid-stream KV via the radix tree and adopt tree pages
+        (reference cache_unfinished_req radix_cache.py:488)."""
+        if self.radix.disable:
+            return
+        aligned = req.cached_len // self.page_size * self.page_size
+        n_pages = aligned // self.page_size
+        if n_pages == 0:
+            return
+        self.radix.insert(req.fill_ids[:aligned], req.pages[:n_pages])
+        m = self.radix.match_prefix(req.fill_ids[:aligned])
+        assert m.matched_tokens >= aligned, (m.matched_tokens, aligned)
+        new_pages = m.pages[:n_pages]
+        # Free our pages that duplicate tree-owned pages.
+        dup = [
+            old
+            for old, new in zip(req.pages[:n_pages], new_pages)
+            if old != new and old not in new_pages
+        ]
+        # Only pages we own (beyond the previously shared prefix) may be freed.
+        owned_start = req.prefix_pages_len
+        dup_owned = [p for p in req.pages[owned_start:n_pages] if p in dup]
+        if dup_owned:
+            self.allocator.free(dup_owned)
+        req.pages[:n_pages] = new_pages
+        if req.last_node is not None:
+            self.radix.dec_lock_ref(req.last_node)
+        req.last_node = m.node
+        self.radix.inc_lock_ref(m.node)
+        req.prefix_pages_len = max(req.prefix_pages_len, n_pages)
+
+    def _cache_finished(self, req: Req):
+        """Insert the finished sequence into the radix tree
+        (reference cache_finished_req radix_cache.py:437)."""
+        if self.radix.disable:
+            if req.pages:
+                self.allocator.free(req.pages)
+                req.pages = []
+            return
+        aligned = req.cached_len // self.page_size * self.page_size
+        n_pages = aligned // self.page_size
+        tokens = req.fill_ids[:aligned]
+        matched = self.radix.insert(tokens, req.pages[:n_pages])
+        m_pages = matched // self.page_size
+        # Pages in [prefix_pages_len, m_pages) duplicate tree pages → free.
+        dup = req.pages[req.prefix_pages_len : m_pages]
+        if dup:
+            self.allocator.free(dup)
+        # Partial trailing page is dropped (not cacheable) → free.
+        tail = req.pages[n_pages:]
+        if tail:
+            self.allocator.free(tail)
+        if req.last_node is not None:
+            self.radix.dec_lock_ref(req.last_node)
+            req.last_node = None
+        req.pages = []
+        req.prefix_pages_len = 0
+
+    # ------------------------------------------------------ batch formation
+    def _get_prefill_batch(self) -> Optional[HostBatch]:
+        if not self.waiting and self.chunked_req is None:
+            return None
+        self.policy.calc_priority(self.waiting)
+        adder = PrefillAdder(
+            page_size=self.page_size,
+            free_tokens=self._total_free_tokens(),
+            running_reqs=self.running.reqs,
+            new_token_ratio=self.ratio_tracker.ratio,
+            max_prefill_tokens=self.server_args.max_prefill_tokens,
+            chunked_prefill_size=self.server_args.chunked_prefill_size,
+            max_batch_size=self.server_args.max_running_requests
+            - len(self.running.reqs),
+        )
+        # The in-flight chunked request continues first (reference :2748).
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            self.chunked_req = None
+            if not adder.add_one_req(req) and req not in adder.can_run:
+                # Budget exhausted before the chunk could continue: requeue.
+                self.waiting.insert(0, req)
+        taken = []
+        for req in list(self.waiting):
+            if adder.chunked_req is not None:
+                break
+            if req.last_node is None:
+                self._match_and_lock_prefix(req)
+            admitted_more = adder.add_one_req(req)
+            if req in adder.can_run:
+                taken.append(req)
+            else:
+                # Not admitted: roll back the radix lock.
+                if req.last_node is not None:
+                    self.radix.dec_lock_ref(req.last_node)
+                req.last_node = None
+                req.pages = []
+                req.prefix_pages_len = 0
+                req.cached_len = 0
+            if not admitted_more:
+                break
+        for req in taken:
+            self.waiting.remove(req)
+        if adder.chunked_req is not None:
+            self.chunked_req = adder.chunked_req
+
+        if not adder.can_run:
+            return None
+
+        # Allocate KV pages for the admitted chunks; on failure, bounce the
+        # request back to the waiting queue.
+        batch_reqs, batch_lens = [], []
+        for req, n_new in zip(adder.can_run, adder.extend_lens):
+            if self._ensure_req_pages(req, req.cached_len + n_new):
+                req.status = ReqStatus.RUNNING
+                batch_reqs.append(req)
+                batch_lens.append(n_new)
+            else:
+                self._release_req_kv(req)
+                req.cached_len = 0
+                req.status = ReqStatus.WAITING
+                if req is self.chunked_req:
+                    self.chunked_req = None
+                self.waiting.insert(0, req)
+        if not batch_reqs:
+            return None
+        return HostBatch(
+            reqs=batch_reqs, mode=ForwardMode.EXTEND, extend_lens=batch_lens
+        )
+
+    def _prepare_decode(self) -> Optional[HostBatch]:
+        if not self.running.reqs:
+            return None
+        # Allocate a page for each request crossing a page boundary; retract
+        # youngest-first under memory pressure (reference :2473).
+        while True:
+            need = sum(
+                1
+                for r in self.running.reqs
+                if cdiv(r.seq_len + 1, self.page_size) > len(r.pages)
+            )
+            free = self.allocator.num_free_pages + self.radix.evictable_size()
+            if need <= free:
+                break
+            self._retract_one()
+            if not self.running.reqs:
+                return None
+        for req in self.running.reqs:
+            ok = self._ensure_req_pages(req, req.seq_len + 1)
+            assert ok, "allocation failed after retraction budget check"
+        self.running.extend_lens = [1] * len(self.running.reqs)
+        return self.running
+
+    def _retract_one(self):
+        """Pop the youngest request back to the waiting queue."""
+        assert self.running.reqs
+        # youngest = latest arrival (reference retract_decode pops from the
+        # tail of the sorted running batch, schedule_batch.py:2473)
+        victim = max(self.running.reqs, key=lambda r: r.arrival_time)
+        self.running.reqs.remove(victim)
+        self._release_req_kv(victim)
+        victim.reset_for_retract()
+        # Keep generated tokens: the retracted request resumes by
+        # re-prefilling prompt+outputs (reference keeps output ids).
+        self.waiting.insert(0, victim)
+        self.ratio_tracker.on_retract()
+        logger.info("Retracted %s under memory pressure", victim.rid)
+
+    # ----------------------------------------------------------------- step
+    def step(self, block: bool = False) -> bool:
+        """One scheduler iteration. Returns True if a batch ran."""
+        self._process_inputs(block=block)
+        batch = self._get_prefill_batch()
+        is_prefill = batch is not None
+        if batch is None:
+            batch = self._prepare_decode()
+        if batch is None or batch.is_empty():
+            return False
+
+        t0 = time.monotonic()
+        B, L, P = bucket_plan(
+            batch,
+            self.page_size,
+            self.decode_bs_buckets,
+            self.runner.max_pages_per_req,
+        )
+        device_batch = batch.to_device_batch(self.page_size, B, L, P)
+        hidden = self.runner.forward(device_batch)
+        st = batch.make_sampling_tensors(B)
+        tokens_dev, logprobs_dev = self.runner.sample(hidden, st)
+        # Host sync point (overlap scheduling refines this later).
+        tokens = np.asarray(tokens_dev)
+        logprobs = np.asarray(logprobs_dev)
+
+        if is_prefill:
+            self._process_prefill_result(batch, tokens, logprobs)
+        else:
+            self._process_decode_result(batch, tokens, logprobs)
+
+        self.num_steps += 1
+        if not is_prefill:
+            dt = time.monotonic() - t0
+            self.last_decode_tokens_per_s = len(batch.reqs) / max(dt, 1e-6)
+        self.ratio_tracker.step()
+        return True
+
+    # ------------------------------------------------------------- results
+    def _process_prefill_result(self, batch: HostBatch, tokens, logprobs):
+        updates = []
+        for i, (req, n_new) in enumerate(zip(batch.reqs, batch.extend_lens)):
+            req.cached_len += n_new
+            if req.finished:  # aborted mid-flight
+                continue
+            if req is self.chunked_req:
+                # Mid-chunk: no sampled token; publish KV to the radix tree.
+                self._cache_unfinished(req)
+                continue
+            req.append_output_token(int(tokens[i]), float(logprobs[i]))
+            self.num_generated_tokens += 1
+            if req.check_finished(self.eos_token_ids, self.max_context_len):
+                self._cache_finished(req)
+                updates.append(req)
+            else:
+                self.running.reqs.append(req)
+                if req.stream:
+                    updates.append(req)
+        self.running.extend_lens = [1] * len(self.running.reqs)
+        if updates:
+            self._emit_updates(updates)
+
+    def _process_decode_result(self, batch: HostBatch, tokens, logprobs):
+        updates = []
+        for i, req in enumerate(batch.reqs):
+            req.cached_len += 1
+            req.append_output_token(int(tokens[i]), float(logprobs[i]))
+            self.num_generated_tokens += 1
+            if req.check_finished(self.eos_token_ids, self.max_context_len):
+                self._cache_finished(req)
+                updates.append(req)
+            elif req.stream and (
+                len(req.output_ids) % self.server_args.stream_interval == 0
+            ):
+                updates.append(req)
+        finished = batch.filter_finished()
+        if updates:
+            self._emit_updates(updates)
+
+    def _emit_updates(self, reqs: List[Req]):
+        updates = []
+        for req in reqs:
+            updates.append(
+                dict(
+                    rid=req.rid,
+                    output_ids=list(req.output_ids),
+                    finished=req.finished,
+                    finish_reason=req.finish_reason.value,
+                    matched_stop=req.matched_stop,
+                    prompt_tokens=len(req.origin_input_ids),
+                    completion_tokens=len(req.output_ids),
+                    cached_tokens=req.cache_hit_tokens or 0,
+                    output_logprobs=list(req.output_logprobs)
+                    if req.return_logprob
+                    else None,
+                )
+            )
+            if req.finished:
+                self.reqs_by_rid.pop(req.rid, None)
+        self.output_callback(updates)
+
+    # ------------------------------------------------------------ main loop
+    def event_loop(self):
+        """Blocking loop for a dedicated scheduler thread
+        (reference event_loop_normal scheduler.py:1548)."""
+        while not self._shutdown.is_set():
+            did_work = self.step(block=True)
+            if not did_work:
+                continue
+
+    def shutdown(self):
+        self._shutdown.set()
+        self.input_queue.put(None)
+
+    # ------------------------------------------------------------ metrics
+    def stats(self) -> dict:
+        return dict(
+            num_waiting=len(self.waiting),
+            num_running=len(self.running.reqs),
+            num_steps=self.num_steps,
+            num_generated_tokens=self.num_generated_tokens,
+            free_pages=self.allocator.num_free_pages,
+            radix_evictable_pages=self.radix.evictable_size(),
+            radix_protected_pages=self.radix.protected_size(),
+        )

@@ -1,0 +1,286 @@
+"""Engine: the in-process serving API.
+
+Equivalent role to the reference's ``entrypoints/engine.py:183`` (Engine) +
+``managers/tokenizer_manager.py`` (tokenize → schedule → demux streamed
+outputs back to per-request queues).
+
+TPU-native topology: one JAX process drives every chip of the replica
+(single controller), so the tokenizer frontend, scheduler, and detokenizer
+run as threads of one process — the scheduler thread owns the device; the
+ZMQ multi-process split of the reference (engine.py:763) only matters for
+multi-host, which coordinates via jax.distributed instead.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue
+import threading
+import time
+import uuid
+from typing import Any, AsyncIterator, Dict, Iterator, List, Optional, Union
+
+from sglang_tpu.core.req import Req
+from sglang_tpu.core.sampling_params import SamplingParams
+from sglang_tpu.core.scheduler import Scheduler
+from sglang_tpu.model_executor.model_runner import ModelRunner
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.tokenizer_utils import (
+    IncrementalDetokenizer,
+    StopStringChecker,
+    get_tokenizer,
+)
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class _ReqState:
+    def __init__(self, req: Req, tokenizer, sp: SamplingParams):
+        self.req = req
+        self.detok = (
+            IncrementalDetokenizer(
+                tokenizer, skip_special_tokens=sp.skip_special_tokens
+            )
+            if tokenizer is not None
+            else None
+        )
+        self.stop_checker = StopStringChecker(sp.stop_strs)
+        self.queue: "queue.Queue" = queue.Queue()
+        self.async_queue: Optional[asyncio.Queue] = None
+        self.loop: Optional[asyncio.AbstractEventLoop] = None
+        self.finished = False
+        self.text = ""
+
+    def push(self, item: dict):
+        if self.async_queue is not None and self.loop is not None:
+            self.loop.call_soon_threadsafe(self.async_queue.put_nowait, item)
+        else:
+            self.queue.put(item)
+
+
+class Engine:
+    def __init__(
+        self,
+        server_args: Optional[ServerArgs] = None,
+        model_runner: Optional[ModelRunner] = None,
+        tokenizer=None,
+        **kwargs,
+    ):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        self.server_args = server_args
+
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        elif server_args.tokenizer_path:
+            self.tokenizer = get_tokenizer(
+                server_args.tokenizer_path, server_args.trust_remote_code
+            )
+        else:
+            self.tokenizer = None
+
+        self.scheduler = Scheduler(
+            server_args,
+            model_runner=model_runner,
+            output_callback=self._on_scheduler_updates,
+        )
+        self._states: Dict[str, _ReqState] = {}
+        self._states_lock = threading.Lock()
+
+        self._sched_thread = threading.Thread(
+            target=self.scheduler.event_loop, name="scheduler", daemon=True
+        )
+        self._sched_thread.start()
+        logger.info("Engine ready (model=%s)", server_args.model_path)
+
+    # ----------------------------------------------------------- lifecycle
+    def shutdown(self):
+        self.scheduler.shutdown()
+        self._sched_thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # ------------------------------------------------------------- helpers
+    def _make_req(
+        self,
+        prompt: Optional[str],
+        input_ids: Optional[List[int]],
+        sampling_params: Union[None, dict, SamplingParams],
+        stream: bool,
+        rid: Optional[str],
+    ) -> _ReqState:
+        if isinstance(sampling_params, SamplingParams):
+            sp = sampling_params
+        else:
+            sp = SamplingParams.from_dict(sampling_params)
+        if input_ids is None:
+            assert prompt is not None, "need prompt or input_ids"
+            assert self.tokenizer is not None, "no tokenizer configured"
+            input_ids = self.tokenizer.encode(prompt)
+        if len(input_ids) == 0:
+            raise ValueError("input must contain at least one token")
+        rid = rid or uuid.uuid4().hex
+        req = Req(
+            rid=rid,
+            input_ids=input_ids,
+            sampling_params=sp,
+            stream=stream,
+            return_logprob=sp.return_logprob,
+        )
+        state = _ReqState(req, self.tokenizer, sp)
+        with self._states_lock:
+            self._states[rid] = state
+        return state
+
+    def _on_scheduler_updates(self, updates: List[dict]):
+        for upd in updates:
+            rid = upd["rid"]
+            with self._states_lock:
+                state = self._states.get(rid)
+            if state is None or state.finished:
+                continue
+            finished = upd["finished"]
+            if state.detok is not None:
+                if finished:
+                    state.detok.update(upd["output_ids"])
+                    state.detok.flush()
+                else:
+                    state.detok.update(upd["output_ids"])
+                state.text = state.detok.text
+                # stop-string check
+                hit = state.stop_checker.check(state.text)
+                if hit is not None:
+                    pos, matched = hit
+                    state.text = state.text[:pos]
+                    upd = dict(upd)
+                    upd["finished"] = True
+                    upd["finish_reason"] = "stop"
+                    upd["matched_stop"] = matched
+                    finished = True
+                    self.scheduler.abort_request(rid)
+            out = self._format_output(state, upd)
+            state.finished = finished
+            state.push(out)
+            if finished:
+                with self._states_lock:
+                    self._states.pop(rid, None)
+
+    def _format_output(self, state: _ReqState, upd: dict) -> dict:
+        finish_reason = None
+        if upd["finished"]:
+            finish_reason = {"type": upd["finish_reason"] or "abort"}
+            if upd.get("matched_stop") is not None:
+                finish_reason["matched"] = upd["matched_stop"]
+        meta = {
+            "id": upd["rid"],
+            "finish_reason": finish_reason,
+            "prompt_tokens": upd["prompt_tokens"],
+            "completion_tokens": upd["completion_tokens"],
+            "cached_tokens": upd["cached_tokens"],
+        }
+        if upd.get("output_logprobs") is not None:
+            meta["output_token_logprobs"] = [
+                (lp, tid, None)
+                for lp, tid in zip(upd["output_logprobs"], upd["output_ids"])
+            ]
+        return {
+            "text": state.text,
+            "output_ids": upd["output_ids"],
+            "meta_info": meta,
+            "finished": upd["finished"],
+        }
+
+    # ------------------------------------------------------------ sync API
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Union[None, dict, SamplingParams] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ):
+        """Synchronous generation (reference Engine.generate,
+        entrypoints/engine.py:247). Accepts a single prompt or a batch."""
+        # Batch mode
+        if isinstance(prompt, list) or (
+            input_ids is not None
+            and input_ids
+            and isinstance(input_ids[0], list)
+        ):
+            prompts = prompt if prompt is not None else [None] * len(input_ids)
+            ids_list = input_ids if input_ids is not None else [None] * len(prompts)
+            states = [
+                self._make_req(p, ids, sampling_params, False, None)
+                for p, ids in zip(prompts, ids_list)
+            ]
+            for s in states:
+                self.scheduler.add_request(s.req)
+            return [self._wait_final(s) for s in states]
+
+        state = self._make_req(prompt, input_ids, sampling_params, stream, rid)
+        self.scheduler.add_request(state.req)
+        if stream:
+            return self._stream_iter(state)
+        return self._wait_final(state)
+
+    def _wait_final(self, state: _ReqState) -> dict:
+        while True:
+            out = state.queue.get()
+            if out["finished"]:
+                return out
+
+    def _stream_iter(self, state: _ReqState) -> Iterator[dict]:
+        while True:
+            out = state.queue.get()
+            yield out
+            if out["finished"]:
+                return
+
+    # ----------------------------------------------------------- async API
+    async def async_generate(
+        self,
+        prompt: Optional[str] = None,
+        sampling_params: Union[None, dict, SamplingParams] = None,
+        input_ids: Optional[List[int]] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ):
+        state = self._make_req(prompt, input_ids, sampling_params, stream, rid)
+        state.loop = asyncio.get_running_loop()
+        state.async_queue = asyncio.Queue()
+        self.scheduler.add_request(state.req)
+        if stream:
+            return self._astream_iter(state)
+        while True:
+            out = await state.async_queue.get()
+            if out["finished"]:
+                return out
+
+    async def _astream_iter(self, state: _ReqState) -> AsyncIterator[dict]:
+        while True:
+            out = await state.async_queue.get()
+            yield out
+            if out["finished"]:
+                return
+
+    # --------------------------------------------------------------- admin
+    def abort_request(self, rid: str):
+        self.scheduler.abort_request(rid)
+
+    def flush_cache(self):
+        # v1: radix reset requires an idle scheduler; best-effort.
+        self.scheduler.radix.reset()
+        self.scheduler.allocator.clear()
+
+    def get_server_info(self) -> dict:
+        return {
+            "model_path": self.server_args.model_path,
+            "tokenizer_path": self.server_args.tokenizer_path,
+            "version": __import__("sglang_tpu").__version__,
+            **self.scheduler.stats(),
+        }

@@ -1,0 +1,332 @@
+"""Llama-family causal LM (Llama 2/3, Mistral, and the Qwen2/Qwen3 variants).
+
+Equivalent role to the reference's ``srt/models/llama.py`` (LlamaForCausalLM
+``models/llama.py:461``) / ``models/qwen2.py`` / ``models/qwen3.py`` — but
+TPU-idiomatic: a pure function over a params pytree, homogeneous decoder
+layers **stacked on a leading [L, ...] axis and executed with lax.scan**
+(fast XLA compiles, weight layout friendly to pipeline-stage splitting),
+paged-KV attention via :mod:`sglang_tpu.layers.attention`.
+
+Weight layout: projection matrices are stored ``[in_features, out_features]``
+(transposed from HF's ``[out, in]``) so forward matmuls hit the MXU without
+relayout.  ``lm_head``/``embed`` stay ``[vocab, hidden]``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.activation import act_and_mul
+from sglang_tpu.layers.attention import paged_attention
+from sglang_tpu.layers.norm import rms_norm
+from sglang_tpu.layers.rotary import compute_inv_freq
+from sglang_tpu.model_executor.forward_batch import DeviceBatch
+from sglang_tpu.parallel.mesh import AXIS_TP
+
+
+class LlamaForCausalLM:
+    """Also serves Mistral/Qwen2 (attention bias) and Qwen3 (qk-norm)."""
+
+    has_qkv_bias = False
+    has_qk_norm = False
+
+    def __init__(self, config: ModelConfig, mesh_ctx=None):
+        self.config = config
+        self.mesh_ctx = mesh_ctx
+        c = config
+        self.hq = c.num_attention_heads
+        self.hkv = c.num_key_value_heads
+        self.hd = c.head_dim
+        self.sm_scale = 1.0 / math.sqrt(c.head_dim)
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(
+                c.head_dim, c.rope_theta, c.rope_scaling, c.partial_rotary_factor
+            )
+        )
+        self.rot_dim = int(2 * self.inv_freq.shape[0])
+        if config.hf_config.get("attention_bias") or config.attention_bias:
+            self.has_qkv_bias = True
+        if config.qk_norm:
+            self.has_qk_norm = True
+
+    # ------------------------------------------------------------- params
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        L, H, I, V = (
+            c.num_hidden_layers,
+            c.hidden_size,
+            c.intermediate_size,
+            c.vocab_size,
+        )
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        layers = {
+            "input_ln": (L, H),
+            "q_proj": (L, H, hq * d),
+            "k_proj": (L, H, hkv * d),
+            "v_proj": (L, H, hkv * d),
+            "o_proj": (L, hq * d, H),
+            "post_ln": (L, H),
+            "gate_proj": (L, H, I),
+            "up_proj": (L, H, I),
+            "down_proj": (L, I, H),
+        }
+        if self.has_qkv_bias:
+            layers["q_bias"] = (L, hq * d)
+            layers["k_bias"] = (L, hkv * d)
+            layers["v_bias"] = (L, hkv * d)
+        if self.has_qk_norm:
+            layers["q_norm"] = (L, d)
+            layers["k_norm"] = (L, d)
+        shapes = {"embed": (V, H), "layers": layers, "final_ln": (H,)}
+        if not c.tie_word_embeddings:
+            shapes["lm_head"] = (V, H)
+        return shapes
+
+    def param_specs(self) -> Dict[str, Any]:
+        """PartitionSpecs matching param_shapes (tp sharding)."""
+        col = P(None, None, AXIS_TP)  # [L, in, out]: shard out features
+        row = P(None, AXIS_TP, None)  # [L, in, out]: shard in features
+        layers = {
+            "input_ln": P(None, None),
+            "q_proj": col,
+            "k_proj": col,
+            "v_proj": col,
+            "o_proj": row,
+            "post_ln": P(None, None),
+            "gate_proj": col,
+            "up_proj": col,
+            "down_proj": row,
+        }
+        if self.has_qkv_bias:
+            layers["q_bias"] = P(None, AXIS_TP)
+            layers["k_bias"] = P(None, AXIS_TP)
+            layers["v_bias"] = P(None, AXIS_TP)
+        if self.has_qk_norm:
+            layers["q_norm"] = P(None, None)
+            layers["k_norm"] = P(None, None)
+        specs = {
+            "embed": P(AXIS_TP, None),
+            "layers": layers,
+            "final_ln": P(None),
+        }
+        if not self.config.tie_word_embeddings:
+            specs["lm_head"] = P(AXIS_TP, None)
+        return specs
+
+    def init_dummy_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random weights (host numpy) for topology/perf tests.
+
+        Reference: ``model_loader/loader.py:1373`` (DummyModelLoader).
+        """
+        rng = np.random.default_rng(seed)
+        dtype = self.config.dtype
+
+        def make(shape):
+            scale = 1.0 / math.sqrt(shape[-1]) if len(shape) > 1 else 1.0
+            return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(
+                jnp.dtype(dtype)
+            )
+
+        def build(tree):
+            return {
+                k: (build(v) if isinstance(v, dict) else make(v))
+                for k, v in tree.items()
+            }
+
+        params = build(self.param_shapes())
+        # Norm weights init to 1.
+        for key in ("input_ln", "post_ln"):
+            params["layers"][key] = np.ones_like(params["layers"][key])
+        if self.has_qk_norm:
+            params["layers"]["q_norm"] = np.ones_like(params["layers"]["q_norm"])
+            params["layers"]["k_norm"] = np.ones_like(params["layers"]["k_norm"])
+        params["final_ln"] = np.ones_like(params["final_ln"])
+        return params
+
+    # ------------------------------------------------------- weight loading
+    def hf_weight_mapping(self):
+        """Map HF tensor names → (param path, layer index or None, transform).
+
+        transform: "t" = transpose 2D [out,in]→[in,out]; None = as-is.
+        """
+
+        def mapping(name: str):
+            if name in ("model.embed_tokens.weight", "embed_tokens.weight"):
+                return ("embed", None, None)
+            if name in ("model.norm.weight", "norm.weight"):
+                return ("final_ln", None, None)
+            if name == "lm_head.weight":
+                if self.config.tie_word_embeddings:
+                    return None
+                return ("lm_head", None, None)
+            parts = name.split(".")
+            if "layers" not in parts:
+                return None
+            li = int(parts[parts.index("layers") + 1])
+            tail = ".".join(parts[parts.index("layers") + 2 :])
+            table = {
+                "input_layernorm.weight": ("layers.input_ln", None),
+                "post_attention_layernorm.weight": ("layers.post_ln", None),
+                "self_attn.q_proj.weight": ("layers.q_proj", "t"),
+                "self_attn.k_proj.weight": ("layers.k_proj", "t"),
+                "self_attn.v_proj.weight": ("layers.v_proj", "t"),
+                "self_attn.o_proj.weight": ("layers.o_proj", "t"),
+                "self_attn.q_proj.bias": ("layers.q_bias", None),
+                "self_attn.k_proj.bias": ("layers.k_bias", None),
+                "self_attn.v_proj.bias": ("layers.v_bias", None),
+                "self_attn.q_norm.weight": ("layers.q_norm", None),
+                "self_attn.k_norm.weight": ("layers.k_norm", None),
+                "mlp.gate_proj.weight": ("layers.gate_proj", "t"),
+                "mlp.up_proj.weight": ("layers.up_proj", "t"),
+                "mlp.down_proj.weight": ("layers.down_proj", "t"),
+            }
+            if tail not in table:
+                return None
+            path, tf = table[tail]
+            return (path, li, tf)
+
+        return mapping
+
+    # ------------------------------------------------------------- forward
+    def _shard(self, x, *spec):
+        if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
+            return jax.lax.with_sharding_constraint(
+                x, self.mesh_ctx.sharding(*spec)
+            )
+        return x
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        kv_cache: jnp.ndarray,  # [L*S, 2, Hkv, D]
+        batch: DeviceBatch,
+        *,
+        num_slots: int,
+        page_size: int,
+        attn_backend: str = "xla",
+    ):
+        """Returns (last_hidden [B, H], kv_cache)."""
+        c = self.config
+        B, Lq = batch.input_ids.shape
+        hidden = params["embed"][batch.input_ids]  # [B, Lq, H]
+        hidden = self._shard(hidden, None, None, None)
+
+        # Rope angles once for all layers.
+        angles = (
+            batch.positions[..., None].astype(jnp.float32) * self.inv_freq
+        )  # [B, Lq, rot/2]
+        cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
+        sin = jnp.sin(angles)[..., None, :]
+
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        rot_half = self.rot_dim // 2
+
+        def rope(x):  # [B, Lq, h, d] half-split layout
+            xf = x.astype(jnp.float32)
+            x1, x2 = xf[..., :rot_half], xf[..., rot_half : 2 * rot_half]
+            o1 = x1 * cos - x2 * sin
+            o2 = x2 * cos + x1 * sin
+            if 2 * rot_half < d:
+                return jnp.concatenate(
+                    [o1, o2, xf[..., 2 * rot_half :]], axis=-1
+                ).astype(x.dtype)
+            return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+        def layer_fn(carry, xs):
+            h, kv, li = carry
+            w = xs
+            # --- attention block ---
+            normed = rms_norm(h, w["input_ln"], c.rms_norm_eps)
+            q = normed @ w["q_proj"]
+            k = normed @ w["k_proj"]
+            v = normed @ w["v_proj"]
+            if self.has_qkv_bias:
+                q = q + w["q_bias"]
+                k = k + w["k_bias"]
+                v = v + w["v_bias"]
+            q = q.reshape(B, Lq, hq, d)
+            k = k.reshape(B, Lq, hkv, d)
+            v = v.reshape(B, Lq, hkv, d)
+            if self.has_qk_norm:
+                q = rms_norm(q, w["q_norm"], c.rms_norm_eps)
+                k = rms_norm(k, w["k_norm"], c.rms_norm_eps)
+            q = self._shard(q, None, None, AXIS_TP, None)
+            k = self._shard(k, None, None, AXIS_TP, None)
+            v = self._shard(v, None, None, AXIS_TP, None)
+            q, k = rope(q), rope(k)
+            attn_out, kv = paged_attention(
+                q,
+                k,
+                v,
+                kv,
+                batch,
+                li,
+                num_slots=num_slots,
+                page_size=page_size,
+                sm_scale=self.sm_scale,
+                sliding_window=c.sliding_window,
+                backend=attn_backend,
+            )
+            attn_out = attn_out.reshape(B, Lq, hq * d)
+            h = h + attn_out @ w["o_proj"]
+            h = self._shard(h, None, None, None)
+            # --- mlp block ---
+            normed = rms_norm(h, w["post_ln"], c.rms_norm_eps)
+            gate = normed @ w["gate_proj"]
+            up = normed @ w["up_proj"]
+            inter = act_and_mul(c.hidden_act, gate, up)
+            inter = self._shard(inter, None, None, AXIS_TP)
+            h = h + inter @ w["down_proj"]
+            h = self._shard(h, None, None, None)
+            return (h, kv, li + 1), None
+
+        (hidden, kv_cache, _), _ = jax.lax.scan(
+            layer_fn,
+            (hidden, kv_cache, jnp.int32(0)),
+            params["layers"],
+        )
+
+        hidden = rms_norm(hidden, params["final_ln"], c.rms_norm_eps)
+        # Gather the last real token of each request (logits positions).
+        flat = hidden.reshape(B * Lq, -1)
+        last_hidden = flat[batch.logits_idx]  # [B, H]
+        return last_hidden, kv_cache
+
+    def compute_logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
+        """[B, H] → [B, V] float32 (reference: layers/logits_processor.py:326)."""
+        w = params["embed"] if self.config.tie_word_embeddings else params["lm_head"]
+        logits = jnp.einsum(
+            "bh,vh->bv", hidden, w, preferred_element_type=jnp.float32
+        )
+        if self.config.final_logit_softcap:
+            cap = self.config.final_logit_softcap
+            logits = cap * jnp.tanh(logits / cap)
+        return logits
+
+
+class MistralForCausalLM(LlamaForCausalLM):
+    pass
+
+
+class Qwen2ForCausalLM(LlamaForCausalLM):
+    has_qkv_bias = True
+
+
+class Qwen3ForCausalLM(LlamaForCausalLM):
+    has_qkv_bias = False
+    has_qk_norm = True
+
+
+EntryClass = [
+    LlamaForCausalLM,
+    MistralForCausalLM,
+    Qwen2ForCausalLM,
+    Qwen3ForCausalLM,
+]

@@ -1,0 +1,130 @@
+"""Device mesh + named-axis parallelism context.
+
+TPU-native replacement for the reference's ``distributed/parallel_state.py``
+(``GroupCoordinator`` per parallel dim, ``initialize_model_parallel``
+parallel_state.py:1979).  On TPU there are no process groups to manage:
+a single :class:`jax.sharding.Mesh` with named axes ``(dp, pp, tp)`` (and
+``ep`` folded over ``tp`` for MoE) expresses every parallel dimension, and
+XLA inserts the collectives.  This module owns mesh construction and the
+canonical :class:`~jax.sharding.PartitionSpec` vocabulary used by layers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+# Canonical axis names.
+AXIS_DP = "dp"  # data parallel (replica) — batch-sharded
+AXIS_PP = "pp"  # pipeline parallel — layer-sharded (stage loops)
+AXIS_TP = "tp"  # tensor parallel — head/feature-sharded; also EP axis for MoE
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    tp_size: int = 1
+    dp_size: int = 1
+    pp_size: int = 1
+    ep_size: int = 1  # experts sharded over the tp axis (ep_size must divide tp*dp)
+
+    @property
+    def world_size(self) -> int:
+        return self.tp_size * self.dp_size * self.pp_size
+
+
+class MeshContext:
+    """Holds the mesh and the canonical shardings for model/KV tensors."""
+
+    def __init__(
+        self,
+        parallel: ParallelConfig,
+        devices: Optional[Sequence[jax.Device]] = None,
+    ):
+        self.parallel = parallel
+        if devices is None:
+            devices = jax.devices()
+        n_needed = parallel.world_size
+        if len(devices) < n_needed:
+            raise ValueError(
+                f"Need {n_needed} devices for parallel config {parallel}, "
+                f"have {len(devices)}"
+            )
+        dev_array = np.asarray(devices[:n_needed]).reshape(
+            parallel.dp_size, parallel.pp_size, parallel.tp_size
+        )
+        self.mesh = Mesh(dev_array, (AXIS_DP, AXIS_PP, AXIS_TP))
+        logger.info(
+            "Mesh: dp=%d pp=%d tp=%d over %d devices (%s)",
+            parallel.dp_size,
+            parallel.pp_size,
+            parallel.tp_size,
+            n_needed,
+            devices[0].platform,
+        )
+
+    # ---------------------------------------------------------------- specs
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    @cached_property
+    def replicated(self) -> NamedSharding:
+        return self.sharding()
+
+    # Weight shardings (Megatron-style TP; reference layers/linear.py:291,1339)
+    @cached_property
+    def col_parallel(self) -> NamedSharding:
+        """[in, out] weight with out-features sharded (column parallel)."""
+        return self.sharding(None, AXIS_TP)
+
+    @cached_property
+    def row_parallel(self) -> NamedSharding:
+        """[in, out] weight with in-features sharded (row parallel)."""
+        return self.sharding(AXIS_TP, None)
+
+    @cached_property
+    def vocab_parallel(self) -> NamedSharding:
+        """[vocab, hidden] embedding sharded on vocab."""
+        return self.sharding(AXIS_TP, None)
+
+    # KV cache: [layers, slots, kv_heads, head_dim] sharded on kv-head axis.
+    @cached_property
+    def kv_cache_sharding(self) -> NamedSharding:
+        return self.sharding(None, None, AXIS_TP, None)
+
+    # Activations: tokens replicated across tp, hidden replicated (GSPMD
+    # decides intermediates); batch sharded over dp when dp>1.
+    @cached_property
+    def activation_sharding(self) -> NamedSharding:
+        return self.sharding()
+
+    @property
+    def tp_size(self) -> int:
+        return self.parallel.tp_size
+
+    @property
+    def is_single_device(self) -> bool:
+        return self.parallel.world_size == 1
+
+
+def build_mesh_context(
+    tp_size: int = 1,
+    dp_size: int = 1,
+    pp_size: int = 1,
+    ep_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> MeshContext:
+    return MeshContext(
+        ParallelConfig(
+            tp_size=tp_size, dp_size=dp_size, pp_size=pp_size, ep_size=ep_size
+        ),
+        devices=devices,
+    )

@@ -1,0 +1,176 @@
+"""Server configuration.
+
+Equivalent role to the reference's ``python/sglang/srt/server_args.py:366``
+(``ServerArgs`` annotated dataclass whose fields auto-map to CLI flags) —
+rebuilt for the TPU runtime.  Fields map 1:1 to ``--kebab-case`` CLI flags via
+:func:`ServerArgs.add_cli_args` / :func:`ServerArgs.from_cli_args`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import typing
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+
+@dataclass
+class ServerArgs:
+    # ---- model & tokenizer ----
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None  # defaults to model_path
+    trust_remote_code: bool = False
+    context_length: Optional[int] = None  # override model max context
+    dtype: str = "bfloat16"  # model compute/weight dtype
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | float8_e4m3 | float8_e5m2
+    quantization: Optional[str] = None  # fp8 | int8 | awq | gptq | None
+    load_format: str = "auto"  # auto | safetensors | dummy
+    random_seed: int = 0
+    served_model_name: Optional[str] = None
+    revision: Optional[str] = None
+
+    # ---- memory / KV cache ----
+    mem_fraction_static: float = 0.85  # HBM fraction for weights+KV
+    max_total_tokens: Optional[int] = None  # KV pool size in tokens (overrides)
+    page_size: int = 8  # tokens per KV page (radix granularity)
+    max_running_requests: int = 256
+    max_queued_requests: Optional[int] = None
+
+    # ---- scheduling ----
+    schedule_policy: str = "fcfs"  # fcfs | lpm | lof | random | dfs-weight
+    schedule_conservativeness: float = 1.0
+    chunked_prefill_size: int = 2048  # -1 disables chunked prefill
+    max_prefill_tokens: int = 8192
+    disable_radix_cache: bool = False
+    disable_overlap_schedule: bool = False
+    stream_interval: int = 1
+    # decode batch-size buckets for XLA compile cache (like CUDA-graph bs list)
+    decode_bs_buckets: Optional[List[int]] = None
+    prefill_len_buckets: Optional[List[int]] = None
+
+    # ---- parallelism ----
+    tp_size: int = 1
+    dp_size: int = 1
+    pp_size: int = 1
+    ep_size: int = 1
+    enable_expert_parallel: bool = False
+    dist_init_addr: Optional[str] = None
+    nnodes: int = 1
+    node_rank: int = 0
+
+    # ---- server / api ----
+    host: str = "127.0.0.1"
+    port: int = 30000
+    api_key: Optional[str] = None
+    chat_template: Optional[str] = None
+    enable_metrics: bool = False
+    log_level: str = "info"
+    log_requests: bool = False
+    show_time_cost: bool = False
+
+    # ---- sampling defaults / limits ----
+    max_new_tokens_default: int = 128
+
+    # ---- speculative decoding (wired in later rounds) ----
+    speculative_algorithm: Optional[str] = None
+    speculative_num_draft_tokens: int = 4
+
+    # ---- lora ----
+    enable_lora: bool = False
+    max_loras_per_batch: int = 8
+
+    # ---- constrained decoding ----
+    grammar_backend: str = "native"
+
+    # ---- misc ----
+    skip_server_warmup: bool = False
+    watchdog_timeout: float = 300.0
+    device: str = "auto"  # auto | tpu | cpu
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.chunked_prefill_size is not None and self.chunked_prefill_size > 0:
+            self.max_prefill_tokens = max(
+                self.max_prefill_tokens, self.chunked_prefill_size
+            )
+        self.check()
+
+    def check(self):
+        assert self.page_size >= 1, "page_size must be >= 1"
+        assert self.tp_size >= 1 and self.dp_size >= 1 and self.pp_size >= 1
+        if self.schedule_policy not in ("fcfs", "lpm", "lof", "random", "dfs-weight"):
+            raise ValueError(f"Unknown schedule policy {self.schedule_policy!r}")
+
+    # ------------------------------------------------------------------ CLI
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser):
+        for f in fields(ServerArgs):
+            name = "--" + f.name.replace("_", "-")
+            ftype = f.type
+            origin = typing.get_origin(ftype)
+            args_ = typing.get_args(ftype)
+            default = (
+                f.default
+                if f.default is not dataclasses.MISSING
+                else (f.default_factory() if f.default_factory is not dataclasses.MISSING else None)
+            )
+            if ftype in ("bool", bool):
+                parser.add_argument(
+                    name,
+                    action="store_true" if not default else "store_false",
+                    default=default,
+                )
+            elif origin is typing.Union and type(None) in args_:
+                inner = [a for a in args_ if a is not type(None)][0]
+                if typing.get_origin(inner) is list:
+                    parser.add_argument(name, type=json.loads, default=default)
+                else:
+                    parser.add_argument(name, type=inner, default=default)
+            elif ftype in ("int", int):
+                parser.add_argument(name, type=int, default=default)
+            elif ftype in ("float", float):
+                parser.add_argument(name, type=float, default=default)
+            else:
+                parser.add_argument(name, type=str, default=default)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        kwargs = {f.name: getattr(args, f.name) for f in fields(cls) if hasattr(args, f.name)}
+        return cls(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class PortArgs:
+    """ZMQ/IPC endpoint set for the multi-process topology.
+
+    Mirrors the reference's ``PortArgs`` (server_args.py:7197) — sockets for
+    tokenizer→scheduler, scheduler→detokenizer, detokenizer→tokenizer.
+    """
+
+    tokenizer_ipc: str = ""
+    scheduler_ipc: str = ""
+    detokenizer_ipc: str = ""
+    rpc_ipc: str = ""
+
+    @classmethod
+    def init_new(cls, server_args: ServerArgs) -> "PortArgs":
+        import tempfile
+        import uuid
+
+        base = tempfile.gettempdir()
+        sid = uuid.uuid4().hex[:8]
+        return cls(
+            tokenizer_ipc=f"ipc://{base}/sgl_tpu_tok_{sid}",
+            scheduler_ipc=f"ipc://{base}/sgl_tpu_sched_{sid}",
+            detokenizer_ipc=f"ipc://{base}/sgl_tpu_detok_{sid}",
+            rpc_ipc=f"ipc://{base}/sgl_tpu_rpc_{sid}",
+        )

@@ -1,0 +1,115 @@
+"""End-to-end engine tests with dummy weights + byte tokenizer.
+
+Mirrors the reference's kit style (python/sglang/test/kits/
+basic_decode_correctness_kit.py, cache_hit_kit.py): behavioral assertions
+against a live engine, hermetic (no model downloads).
+"""
+
+import pytest
+
+from sglang_tpu.core.sampling_params import SamplingParams
+
+
+def test_greedy_determinism(tiny_engine):
+    sp = {"temperature": 0.0, "max_new_tokens": 12, "ignore_eos": True}
+    out1 = tiny_engine.generate(prompt="hello world", sampling_params=sp)
+    out2 = tiny_engine.generate(prompt="hello world", sampling_params=sp)
+    assert out1["output_ids"] == out2["output_ids"]
+    assert len(out1["output_ids"]) == 12
+    assert out1["meta_info"]["completion_tokens"] == 12
+    assert out1["meta_info"]["finish_reason"]["type"] == "length"
+
+
+def test_radix_cache_hit_on_second_request(tiny_engine):
+    sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+    prompt = "the quick brown fox jumps over the lazy dog"
+    out1 = tiny_engine.generate(prompt=prompt, sampling_params=sp)
+    assert out1["meta_info"]["cached_tokens"] == 0
+    out2 = tiny_engine.generate(prompt=prompt, sampling_params=sp)
+    # page_size=4; prompt is 43 bytes → at least 40 cached tokens
+    assert out2["meta_info"]["cached_tokens"] >= 36
+    assert out1["output_ids"] == out2["output_ids"]  # cache must not change results
+
+
+def test_batch_generate(tiny_engine):
+    sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+    prompts = [f"prompt number {i}" for i in range(5)]
+    outs = tiny_engine.generate(prompt=prompts, sampling_params=sp)
+    assert len(outs) == 5
+    for o in outs:
+        assert len(o["output_ids"]) == 6
+    # batched results equal solo results (continuous batching correctness)
+    solo = tiny_engine.generate(prompt=prompts[3], sampling_params=sp)
+    assert solo["output_ids"] == outs[3]["output_ids"]
+
+
+def test_streaming(tiny_engine):
+    sp = {"temperature": 0.0, "max_new_tokens": 10, "ignore_eos": True}
+    chunks = list(
+        tiny_engine.generate(prompt="stream me", sampling_params=sp, stream=True)
+    )
+    assert chunks[-1]["finished"]
+    assert len(chunks[-1]["output_ids"]) == 10
+    # output_ids grow monotonically
+    lens = [len(c["output_ids"]) for c in chunks]
+    assert lens == sorted(lens)
+
+
+def test_stop_token(tiny_engine):
+    sp0 = {"temperature": 0.0, "max_new_tokens": 12, "ignore_eos": True}
+    base = tiny_engine.generate(prompt="abc", sampling_params=sp0)
+    stop_tok = base["output_ids"][4]
+    sp = {
+        "temperature": 0.0,
+        "max_new_tokens": 12,
+        "ignore_eos": True,
+        "stop_token_ids": [stop_tok],
+    }
+    out = tiny_engine.generate(prompt="abc", sampling_params=sp)
+    assert out["output_ids"][-1] == stop_tok
+    assert len(out["output_ids"]) <= 5 + 1
+    assert out["meta_info"]["finish_reason"]["type"] == "stop"
+
+
+def test_chunked_prefill_long_prompt(tiny_engine):
+    # chunked_prefill_size=64 → a 300-byte prompt takes 5 chunks
+    sp = {"temperature": 0.0, "max_new_tokens": 4, "ignore_eos": True}
+    long_prompt = "x" * 300
+    out = tiny_engine.generate(prompt=long_prompt, sampling_params=sp)
+    assert len(out["output_ids"]) == 4
+    assert out["meta_info"]["prompt_tokens"] == 300
+    # same result as the identical request again (which now hits the cache)
+    out2 = tiny_engine.generate(prompt=long_prompt, sampling_params=sp)
+    assert out2["output_ids"] == out["output_ids"]
+    assert out2["meta_info"]["cached_tokens"] > 200
+
+
+def test_concurrent_mixed_lengths(tiny_engine):
+    import threading
+
+    results = {}
+
+    def worker(i):
+        sp = {"temperature": 0.0, "max_new_tokens": 4 + i, "ignore_eos": True}
+        results[i] = tiny_engine.generate(
+            prompt=f"worker {i} " * (i + 1), sampling_params=sp
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        assert len(results[i]["output_ids"]) == 4 + i
+
+
+def test_abort(tiny_engine):
+    sp = {"temperature": 0.0, "max_new_tokens": 100000, "ignore_eos": True}
+    it = tiny_engine.generate(
+        prompt="never ending", sampling_params=sp, stream=True, rid="abort-me"
+    )
+    first = next(it)
+    tiny_engine.abort_request("abort-me")
+    chunks = list(it)
+    assert chunks[-1]["finished"]
