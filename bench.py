@@ -1,0 +1,97 @@
+"""Serving benchmark: offline decode throughput on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+Baseline context: the reference's CI floor is >3,800 output tok/s for
+Llama-3.1-8B on one H100 (test/registered/perf/test_bench_serving_1gpu_part1.py:41).
+Round-1 config here: Llama-3.2-1B geometry, BF16, dummy weights, 64
+concurrent requests on one TPU v5e chip, engine-level (includes scheduler
+host overhead, tokenization excluded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from __graft_entry__ import FLAGSHIP_HF, TINY_HF
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["flagship", "tiny"], default="flagship")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--gen-len", type=int, default=128)
+    ap.add_argument("--rounds", type=int, default=2)
+    args = ap.parse_args()
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+
+    hf = FLAGSHIP_HF if args.model == "flagship" else TINY_HF
+    total_tokens = args.batch * (args.prompt_len + args.gen_len + 64)
+    server_args = ServerArgs(
+        model_path=f"dummy://{args.model}",
+        tokenizer_path="test:byte",
+        load_format="dummy",
+        dtype="bfloat16",
+        page_size=8,
+        max_total_tokens=total_tokens,
+        max_prefill_tokens=args.batch * args.prompt_len,
+        chunked_prefill_size=args.batch * args.prompt_len,
+        max_running_requests=args.batch,
+        disable_radix_cache=True,  # unique prompts; measure raw decode
+    )
+    runner = ModelRunner(
+        server_args, model_config=ModelConfig.from_hf_dict(hf, dtype="bfloat16")
+    )
+    eng = Engine(server_args=server_args, model_runner=runner)
+
+    rng = np.random.RandomState(0)
+    sp = {
+        "temperature": 0.0,
+        "max_new_tokens": args.gen_len,
+        "ignore_eos": True,
+    }
+
+    def run_round():
+        prompts = [
+            rng.randint(0, 256, size=args.prompt_len).tolist()
+            for _ in range(args.batch)
+        ]
+        t0 = time.monotonic()
+        outs = eng.generate(input_ids=prompts, sampling_params=sp)
+        dt = time.monotonic() - t0
+        n_out = sum(len(o["output_ids"]) for o in outs)
+        return n_out, dt
+
+    # Warmup round compiles all shape buckets.
+    value = 0.0
+    for i in range(args.rounds):
+        n_out, dt = run_round()
+        value = n_out / dt
+        print(
+            f"# round {i}: {n_out} tokens in {dt:.2f}s -> {value:.1f} tok/s",
+            file=sys.stderr,
+        )
+    eng.shutdown()
+
+    result = {
+        "metric": f"offline_decode_throughput_{args.model}_bf16_bs{args.batch}_1chip",
+        "value": round(value, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(value / 3800.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

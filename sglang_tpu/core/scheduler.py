@@ -25,7 +25,11 @@ import numpy as np
 
 from sglang_tpu.core.radix_cache import RadixCache
 from sglang_tpu.core.req import FinishReason, Req, ReqStatus
-from sglang_tpu.core.schedule_batch import HostBatch, bucket_plan
+from sglang_tpu.core.schedule_batch import (
+    HostBatch,
+    decode_buckets,
+    extend_buckets,
+)
 from sglang_tpu.core.schedule_policy import (
     NewTokenRatioTracker,
     PrefillAdder,
@@ -326,28 +330,36 @@ class Scheduler:
             reqs=batch_reqs, mode=ForwardMode.EXTEND, extend_lens=batch_lens
         )
 
-    def _prepare_decode(self) -> Optional[HostBatch]:
+    def _prepare_decode(self) -> Optional[tuple]:
+        """Pick the fused-window size K and reserve pages; shrink the window
+        and then retract youngest-first under memory pressure
+        (reference retract_decode :2473)."""
         if not self.running.reqs:
             return None
-        # Allocate a page for each request crossing a page boundary; retract
-        # youngest-first under memory pressure (reference :2473).
+        headroom = min(
+            self.max_context_len - r.cached_len for r in self.running.reqs
+        )
+        K = 1
+        while K * 2 <= min(self.server_args.decode_window_size, headroom):
+            K *= 2
         while True:
             need = sum(
-                1
+                max(0, cdiv(r.cached_len + K, self.page_size) - len(r.pages))
                 for r in self.running.reqs
-                if cdiv(r.seq_len + 1, self.page_size) > len(r.pages)
             )
             free = self.allocator.num_free_pages + self.radix.evictable_size()
             if need <= free:
                 break
+            if K > 1:
+                K //= 2  # shrink the window before evicting work
+                continue
             self._retract_one()
             if not self.running.reqs:
                 return None
         for req in self.running.reqs:
-            ok = self._ensure_req_pages(req, req.seq_len + 1)
+            ok = self._ensure_req_pages(req, req.cached_len + K)
             assert ok, "allocation failed after retraction budget check"
-        self.running.extend_lens = [1] * len(self.running.reqs)
-        return self.running
+        return self.running, K
 
     def _retract_one(self):
         """Pop the youngest request back to the waiting queue."""
@@ -369,36 +381,38 @@ class Scheduler:
         """One scheduler iteration. Returns True if a batch ran."""
         self._process_inputs(block=block)
         batch = self._get_prefill_batch()
-        is_prefill = batch is not None
-        if batch is None:
-            batch = self._prepare_decode()
-        if batch is None or batch.is_empty():
-            return False
+        if batch is not None:
+            B, L, P = extend_buckets(
+                batch,
+                self.page_size,
+                self.decode_bs_buckets,
+                self.runner.max_pages_per_req,
+            )
+            packed, st_packed = batch.pack_extend(self.page_size, B, L, P)
+            tokens, logprobs = self.runner.extend_step(packed, st_packed, B, L, P)
+            self._process_prefill_result(batch, tokens, logprobs)
+            self.num_steps += 1
+            self.ratio_tracker.step()
+            return True
 
+        prepared = self._prepare_decode()
+        if prepared is None:
+            return False
+        batch, K = prepared
         t0 = time.monotonic()
-        B, L, P = bucket_plan(
+        B, P = decode_buckets(
             batch,
             self.page_size,
             self.decode_bs_buckets,
             self.runner.max_pages_per_req,
+            K,
         )
-        device_batch = batch.to_device_batch(self.page_size, B, L, P)
-        hidden = self.runner.forward(device_batch)
-        st = batch.make_sampling_tensors(B)
-        tokens_dev, logprobs_dev = self.runner.sample(hidden, st)
-        # Host sync point (overlap scheduling refines this later).
-        tokens = np.asarray(tokens_dev)
-        logprobs = np.asarray(logprobs_dev)
-
-        if is_prefill:
-            self._process_prefill_result(batch, tokens, logprobs)
-        else:
-            self._process_decode_result(batch, tokens, logprobs)
-
+        packed, st_packed = batch.pack_decode(self.page_size, B, P, K)
+        tokens, logprobs = self.runner.decode_window(packed, st_packed, B, P, K)
+        self._process_decode_window(batch, tokens, logprobs, K)
         self.num_steps += 1
-        if not is_prefill:
-            dt = time.monotonic() - t0
-            self.last_decode_tokens_per_s = len(batch.reqs) / max(dt, 1e-6)
+        dt = time.monotonic() - t0
+        self.last_decode_tokens_per_s = K * len(batch.reqs) / max(dt, 1e-6)
         self.ratio_tracker.step()
         return True
 
@@ -422,24 +436,27 @@ class Scheduler:
                 self.running.reqs.append(req)
                 if req.stream:
                     updates.append(req)
-        self.running.extend_lens = [1] * len(self.running.reqs)
         if updates:
             self._emit_updates(updates)
 
-    def _process_decode_result(self, batch: HostBatch, tokens, logprobs):
+    def _process_decode_window(self, batch: HostBatch, tokens, logprobs, K: int):
+        """Accept tokens per request until its stop condition; tokens sampled
+        after a request finished inside the window are discarded (their KV
+        went into the request's own pages, freed at finish)."""
         updates = []
         for i, req in enumerate(batch.reqs):
-            req.cached_len += 1
-            req.append_output_token(int(tokens[i]), float(logprobs[i]))
-            self.num_generated_tokens += 1
-            if req.check_finished(self.eos_token_ids, self.max_context_len):
-                self._cache_finished(req)
+            for k in range(K):
+                if req.finished:
+                    break
+                req.cached_len += 1
+                req.append_output_token(int(tokens[k, i]), float(logprobs[k, i]))
+                self.num_generated_tokens += 1
+                if req.check_finished(self.eos_token_ids, self.max_context_len):
+                    self._cache_finished(req)
+                    updates.append(req)
+            if not req.finished and req.stream:
                 updates.append(req)
-            elif req.stream and (
-                len(req.output_ids) % self.server_args.stream_interval == 0
-            ):
-                updates.append(req)
-        finished = batch.filter_finished()
+        batch.filter_finished()
         if updates:
             self._emit_updates(updates)
 
@@ -470,9 +487,12 @@ class Scheduler:
         """Blocking loop for a dedicated scheduler thread
         (reference event_loop_normal scheduler.py:1548)."""
         while not self._shutdown.is_set():
-            did_work = self.step(block=True)
-            if not did_work:
-                continue
+            # Only block on the input queue when there is no work in flight;
+            # otherwise poll it non-blocking between steps.
+            idle = not (
+                self.running.reqs or self.waiting or self.chunked_req
+            )
+            self.step(block=idle)
 
     def shutdown(self):
         self._shutdown.set()

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sglang_tpu.model_executor.forward_batch import DeviceBatch
 
@@ -53,8 +54,10 @@ def gather_kv(
 ):
     """Gather a dense [B, C, Hkv, D] K and V context (C = P * page_size)."""
     B, P = page_table.shape
-    ctx_slots = page_table[:, :, None] * page_size + jnp.arange(
-        page_size, dtype=jnp.int32
+    # NOTE: np.arange, not jnp.arange — eager device constants get baked
+    # into the jaxpr and force a device->host fetch at lowering time.
+    ctx_slots = page_table[:, :, None] * page_size + np.arange(
+        page_size, dtype=np.int32
     )
     ctx_slots = ctx_slots.reshape(B, P * page_size) + layer_idx * num_slots
     kv_ctx = kv_cache[ctx_slots]  # [B, C, 2, Hkv, D]
@@ -89,7 +92,7 @@ def attention_xla(
     if logit_cap is not None and logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
 
-    ctx_pos = jnp.arange(C, dtype=jnp.int32)  # position of each context slot
+    ctx_pos = np.arange(C, dtype=np.int32)  # position of each context slot
     valid = ctx_pos[None, :] < seq_lens[:, None]  # [B, C]
     causal = ctx_pos[None, None, :] <= positions[:, :, None]  # [B, Lq, C]
     mask = valid[:, None, :] & causal  # [B, Lq, C]

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e10
 
@@ -30,25 +31,24 @@ class SamplingTensors:
     min_p: jnp.ndarray  # [B] f32
 
 
-def make_sampling_tensors(reqs, B: int) -> SamplingTensors:
-    """Assemble from a list of host Req objects, padded to bucket B."""
-    import numpy as np
-
-    temp = np.zeros(B, np.float32)
-    top_p = np.ones(B, np.float32)
-    top_k = np.full(B, -1, np.int32)
-    min_p = np.zeros(B, np.float32)
+def pack_sampling_params(reqs, B: int) -> np.ndarray:
+    """Host-side: one [B, 4] f32 buffer (single transfer): temp/top_p/top_k/min_p."""
+    buf = np.zeros((B, 4), np.float32)
+    buf[:, 1] = 1.0  # top_p default
+    buf[:, 2] = -1.0  # top_k disabled
     for i, r in enumerate(reqs):
         sp = r.sampling_params
-        temp[i] = sp.temperature
-        top_p[i] = sp.top_p
-        top_k[i] = sp.top_k
-        min_p[i] = sp.min_p
+        buf[i] = (sp.temperature, sp.top_p, float(sp.top_k), sp.min_p)
+    return buf
+
+
+def unpack_sampling_params(packed: jnp.ndarray) -> SamplingTensors:
+    """In-jit: unpack the [B, 4] buffer."""
     return SamplingTensors(
-        temperature=jnp.asarray(temp),
-        top_p=jnp.asarray(top_p),
-        top_k=jnp.asarray(top_k),
-        min_p=jnp.asarray(min_p),
+        temperature=packed[:, 0],
+        top_p=packed[:, 1],
+        top_k=packed[:, 2].astype(jnp.int32),
+        min_p=packed[:, 3],
     )
 
 
@@ -66,7 +66,7 @@ def sample(
     # Sort descending once; all filters become rank-space masks.
     sorted_logits = -jnp.sort(-scaled, axis=-1)  # [B, V] desc
     sorted_idx = jnp.argsort(-scaled, axis=-1)  # [B, V]
-    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+    ranks = np.arange(V, dtype=np.int32)[None, :]  # np: avoid device const
 
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)

@@ -4,11 +4,16 @@ Equivalent role to the reference's ``model_executor/forward_batch_info.py``
 (``ForwardMode`` :78, ``ForwardBatch`` :333) — the tensors a model forward
 needs, with TPU-specific differences:
 
-* All shapes are **bucketed static** (B tokens-per-seq L, page-table width P)
-  so XLA's compile cache plays the role of CUDA-graph capture sizes.
-* EXTEND and DECODE share one layout: decode is EXTEND with L == 1.  Padding
-  writes land in the reserved garbage page 0 (reference: slot-0 absorb,
-  ``memory_pool.py:1450``).
+* All shapes are **bucketed static** (B requests, L tokens-per-seq, P
+  page-table width) so XLA's compile cache plays the role of CUDA-graph
+  capture sizes.  Padding writes land in the reserved garbage page 0
+  (reference: slot-0 absorb, ``memory_pool.py:1450``).
+* The host packs every int32 field into ONE flat buffer per step
+  (:func:`pack_batch` / :func:`unpack_batch`) — a single host→device
+  transfer; over a remote-tunnel device link, per-array transfer latency
+  would otherwise dominate the step.
+* Decode runs as a K-step fused loop inside one jit (tokens chain
+  device-side); only EXTEND materializes per-token fields on host.
 """
 
 from __future__ import annotations
@@ -18,12 +23,13 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ForwardMode(enum.IntEnum):
-    EXTEND = 1  # prefill / chunked-prefill (ragged new tokens)
-    DECODE = 2  # one token per running request
-    IDLE = 3  # no local work; participate in collectives (DP-attention sync)
+    EXTEND = 1  # prefill / chunked-prefill
+    DECODE = 2  # K-step fused decode
+    IDLE = 3  # no local work; participate in collectives (DP sync)
     TARGET_VERIFY = 4  # speculative: verify draft tree in one target forward
     DRAFT_EXTEND = 5  # speculative: refresh draft-model KV
 
@@ -41,19 +47,14 @@ class ForwardMode(enum.IntEnum):
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DeviceBatch:
-    """All arrays are padded to bucketed shapes.
-
-    Shapes: B = request bucket, L = per-request new-token bucket (1 for
-    decode), P = page-table width bucket, S = total KV slots.
-    """
+    """Unpacked on-device view (built inside jit from the packed buffer)."""
 
     input_ids: jnp.ndarray  # [B, L] int32; pad = 0
-    positions: jnp.ndarray  # [B, L] int32; absolute position of each new token
-    seq_lens: jnp.ndarray  # [B] int32; total context len incl. new tokens (0 = pad slot)
-    token_mask: jnp.ndarray  # [B, L] bool; True for real new tokens
+    positions: jnp.ndarray  # [B, L] int32 absolute positions of new tokens
+    seq_lens: jnp.ndarray  # [B] int32 total context len incl. new (0 = pad)
     page_table: jnp.ndarray  # [B, P] int32 page ids; pad = 0 (garbage page)
-    out_slots: jnp.ndarray  # [B, L] int32 flat KV slot for each new token; pad = 0
-    logits_idx: jnp.ndarray  # [B] int32 index into [B*L] of last real token; pad = 0
+    out_slots: jnp.ndarray  # [B, L] int32 flat KV slot per new token
+    logits_idx: jnp.ndarray  # [B] int32 index into [B*L] of last real token
 
     @property
     def batch_size(self) -> int:
@@ -64,14 +65,97 @@ class DeviceBatch:
         return self.input_ids.shape[1]
 
 
-def make_idle_batch(B: int, L: int, P: int) -> "DeviceBatch":
-    z2 = jnp.zeros((B, L), dtype=jnp.int32)
+# Packed extend layout (all int32):
+#   [B*L input_ids | B*L positions | B*L out_slots | B seq_lens |
+#    B logits_idx | B*P page_table]
+def extend_packed_size(B: int, L: int, P: int) -> int:
+    return 3 * B * L + 2 * B + B * P
+
+
+def pack_extend_batch(
+    input_ids: np.ndarray,  # [B, L]
+    positions: np.ndarray,  # [B, L]
+    out_slots: np.ndarray,  # [B, L]
+    seq_lens: np.ndarray,  # [B]
+    logits_idx: np.ndarray,  # [B]
+    page_table: np.ndarray,  # [B, P]
+) -> np.ndarray:
+    return np.concatenate(
+        [
+            input_ids.ravel(),
+            positions.ravel(),
+            out_slots.ravel(),
+            seq_lens,
+            logits_idx,
+            page_table.ravel(),
+        ]
+    ).astype(np.int32)
+
+
+def unpack_extend_batch(packed: jnp.ndarray, B: int, L: int, P: int) -> DeviceBatch:
+    o = 0
+    input_ids = packed[o : o + B * L].reshape(B, L); o += B * L
+    positions = packed[o : o + B * L].reshape(B, L); o += B * L
+    out_slots = packed[o : o + B * L].reshape(B, L); o += B * L
+    seq_lens = packed[o : o + B]; o += B
+    logits_idx = packed[o : o + B]; o += B
+    page_table = packed[o : o + B * P].reshape(B, P); o += B * P
     return DeviceBatch(
-        input_ids=z2,
-        positions=z2,
-        seq_lens=jnp.zeros((B,), dtype=jnp.int32),
-        token_mask=jnp.zeros((B, L), dtype=bool),
-        page_table=jnp.zeros((B, P), dtype=jnp.int32),
-        out_slots=z2,
-        logits_idx=jnp.zeros((B,), dtype=jnp.int32),
+        input_ids=input_ids,
+        positions=positions,
+        seq_lens=seq_lens,
+        page_table=page_table,
+        out_slots=out_slots,
+        logits_idx=logits_idx,
+    )
+
+
+# Packed decode layout (all int32):
+#   [B first_tokens | B seq_lens | B*P page_table]
+# positions/out_slots/logits_idx are derived on device each fused step.
+def decode_packed_size(B: int, P: int) -> int:
+    return 2 * B + B * P
+
+
+def pack_decode_batch(
+    first_tokens: np.ndarray,  # [B] input token for the first fused step
+    seq_lens: np.ndarray,  # [B] context length BEFORE the first new token
+    page_table: np.ndarray,  # [B, P] covering seq_lens + K new tokens
+) -> np.ndarray:
+    return np.concatenate(
+        [first_tokens, seq_lens, page_table.ravel()]
+    ).astype(np.int32)
+
+
+def unpack_decode_batch(packed: jnp.ndarray, B: int, P: int):
+    first_tokens = packed[:B]
+    seq_lens = packed[B : 2 * B]
+    page_table = packed[2 * B :].reshape(B, P)
+    return first_tokens, seq_lens, page_table
+
+
+def decode_step_batch(
+    tokens: jnp.ndarray,  # [B] input token ids for this step
+    seq_lens0: jnp.ndarray,  # [B] context len before this fused window
+    page_table: jnp.ndarray,  # [B, P]
+    k: jnp.ndarray,  # scalar: step index within the window
+    page_size: int,
+) -> DeviceBatch:
+    """Build the L=1 DeviceBatch for fused-decode step k, on device."""
+    B = tokens.shape[0]
+    pos = seq_lens0 + k  # [B] position of the new token
+    page_idx = pos // page_size
+    page = jnp.take_along_axis(page_table, page_idx[:, None], axis=1)[:, 0]
+    out_slots = page * page_size + pos % page_size
+    # Padded rows (seq_lens0 == 0) must stay harmless: position 0 / page 0.
+    is_pad = seq_lens0 == 0
+    pos = jnp.where(is_pad, 0, pos)
+    out_slots = jnp.where(is_pad, 0, out_slots)
+    return DeviceBatch(
+        input_ids=tokens[:, None],
+        positions=pos[:, None],
+        seq_lens=jnp.where(is_pad, 0, pos + 1),
+        page_table=page_table,
+        out_slots=out_slots[:, None],
+        logits_idx=np.arange(B, dtype=np.int32),
     )

@@ -3,16 +3,27 @@
 Equivalent role to the reference's ``model_executor/model_runner.py:349``
 (initialize :654, forward :3000, sample :3258) — with XLA's compile cache
 playing the role of CUDA-graph capture (``runner_backend/``): every
-(mode, B, L, P) shape bucket compiles once and replays from cache, so the
-scheduler pads batches to bucketed shapes exactly like CUDA-graph batch
-sizes.
+(mode, B, L, P, K) shape bucket compiles once and replays from cache.
+
+TPU-native step design (differs from the reference's per-token loop):
+
+* **Fused extend**: one jit = forward + logits + sample for a prefill chunk.
+* **Fused K-step decode**: one jit runs K decode iterations in a
+  ``lax.scan`` — sampled tokens feed the next iteration **on device**, so
+  the host pays one dispatch + one result fetch per K tokens instead of
+  per token.  This is the TPU answer to the reference's overlap scheduler
+  (``managers/overlap_utils.py:128``): instead of hiding per-step host
+  latency behind CUDA streams, the loop simply never leaves the device.
+* **Packed transfers**: the host sends ONE int32 buffer (batch metadata)
+  and ONE f32 buffer (sampling params) per step — device-link round trips,
+  not bytes, are the scarce resource.
 """
 
 from __future__ import annotations
 
 import functools
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +33,15 @@ from sglang_tpu.configs.model_config import ModelConfig
 from sglang_tpu.core.allocator import PageAllocator
 from sglang_tpu.core.memory_pool import KVCachePool
 from sglang_tpu.environ import envs
-from sglang_tpu.layers.sampler import SamplingTensors, sample
-from sglang_tpu.model_executor.forward_batch import DeviceBatch
+from sglang_tpu.layers.sampler import (
+    sample,
+    unpack_sampling_params,
+)
+from sglang_tpu.model_executor.forward_batch import (
+    decode_step_batch,
+    unpack_decode_batch,
+    unpack_extend_batch,
+)
 from sglang_tpu.models.registry import get_model_class
 from sglang_tpu.parallel.mesh import MeshContext, ParallelConfig
 from sglang_tpu.server_args import ServerArgs
@@ -118,7 +136,6 @@ class ModelRunner:
         self.page_allocator = PageAllocator(
             self.kv_pool.geometry.num_pages, self.kv_pool.page_size
         )
-        # Cap context by pool capacity.
         self.max_context_len = min(
             model_config.context_length,
             (self.kv_pool.geometry.num_pages - 1) * self.kv_pool.page_size,
@@ -129,20 +146,17 @@ class ModelRunner:
         self.attn_backend = self._pick_attn_backend(devices[0])
         logger.info("Attention backend: %s", self.attn_backend)
 
-        # ---- jitted step fns ----
-        self._rng = jax.random.PRNGKey(server_args.random_seed)
-
-        self._forward_jit = jax.jit(
-            functools.partial(
-                self._forward_impl,
-                num_slots=self.kv_pool.num_slots,
-                page_size=self.kv_pool.page_size,
-                attn_backend=self.attn_backend,
-            ),
-            donate_argnums=(1,),
+        # ---- jitted step fns (cached per shape bucket) ----
+        self._base_rng = jax.device_put(
+            jax.random.PRNGKey(server_args.random_seed), devices[0]
         )
-        self._sample_jit = jax.jit(self._sample_impl)
-        self._compiled_shapes = set()
+        self._step_counter = 0
+        self._extend_fns: Dict[Tuple[int, int, int], Callable] = {}
+        self._decode_fns: Dict[Tuple[int, int, int], Callable] = {}
+
+        # Absorb the one-time device->host transfer setup cost at startup
+        # (first fetch over a tunneled device link can take tens of seconds).
+        np.asarray(jnp.zeros((8,), jnp.float32) + 1)
 
     # ------------------------------------------------------------- backends
     def _pick_attn_backend(self, device) -> str:
@@ -158,46 +172,114 @@ class ModelRunner:
         return "xla"
 
     # ------------------------------------------------------------- impl fns
-    def _forward_impl(
-        self, params, kv_cache, batch: DeviceBatch, *, num_slots, page_size, attn_backend
-    ):
+    def _forward_batch(self, params, kv_cache, batch):
         return self.model.forward(
             params,
             kv_cache,
             batch,
-            num_slots=num_slots,
-            page_size=page_size,
-            attn_backend=attn_backend,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
         )
 
-    def _sample_impl(self, params, hidden, st: SamplingTensors, rng):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, L, P):
+        """Prefill chunk: forward + logits + sample, one program."""
+        batch = unpack_extend_batch(packed, B, L, P)
+        hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
         logits = self.model.compute_logits(params, hidden)
-        tokens, logprobs = sample(logits, st, rng)
-        return tokens, logprobs
+        st = unpack_sampling_params(st_packed)
+        tokens, logprobs = sample(logits, st, jax.random.fold_in(rng, step))
+        # Single fetched result: [2, B] f32 (token ids are exact in f32 for
+        # vocab < 2^24).
+        out = jnp.stack([tokens.astype(jnp.float32), logprobs])
+        return out, kv_cache
 
-    # ------------------------------------------------------------- stepping
-    def forward(self, batch: DeviceBatch):
-        """Run the model; returns last-token hidden states [B, H].
+    def _decode_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, P, K):
+        """K fused decode steps; tokens chain on device via lax.scan."""
+        first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
+        st = unpack_sampling_params(st_packed)
+        rng = jax.random.fold_in(rng, step)
 
-        The KV cache is donated and replaced (in-place on device).
-        """
-        key = (batch.input_ids.shape, batch.page_table.shape)
-        if key not in self._compiled_shapes:
-            self._compiled_shapes.add(key)
-            logger.info(
-                "compiling step: B=%d L=%d P=%d",
-                batch.input_ids.shape[0],
-                batch.input_ids.shape[1],
-                batch.page_table.shape[1],
+        def body(carry, k):
+            kv, tokens = carry
+            batch = decode_step_batch(
+                tokens, seq_lens0, page_table, k, self.kv_pool.page_size
             )
-        hidden, self.kv_cache = self._forward_jit(
-            self.params, self.kv_cache, batch
-        )
-        return hidden
+            hidden, kv = self._forward_batch(params, kv, batch)
+            logits = self.model.compute_logits(params, hidden)
+            new_tokens, logprobs = sample(
+                logits, st, jax.random.fold_in(rng, k)
+            )
+            return (kv, new_tokens), (new_tokens, logprobs)
 
-    def sample(self, hidden, st: SamplingTensors):
-        self._rng, sub = jax.random.split(self._rng)
-        return self._sample_jit(self.params, hidden, st, sub)
+        (kv_cache, _), (all_tokens, all_logprobs) = jax.lax.scan(
+            body,
+            (kv_cache, first_tokens),
+            np.arange(K, dtype=np.int32),
+        )
+        out = jnp.stack(
+            [all_tokens.astype(jnp.float32), all_logprobs]
+        )  # [2, K, B]
+        return out, kv_cache
+
+    # ------------------------------------------------------------ host API
+    def _get_extend_fn(self, B, L, P):
+        key = (B, L, P)
+        fn = self._extend_fns.get(key)
+        if fn is None:
+            logger.info("compiling extend: B=%d L=%d P=%d", B, L, P)
+            fn = jax.jit(
+                functools.partial(self._extend_impl, B=B, L=L, P=P),
+                donate_argnums=(1,),
+            )
+            self._extend_fns[key] = fn
+        return fn
+
+    def _get_decode_fn(self, B, P, K):
+        key = (B, P, K)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            logger.info("compiling decode: B=%d P=%d K=%d", B, P, K)
+            fn = jax.jit(
+                functools.partial(self._decode_impl, B=B, P=P, K=K),
+                donate_argnums=(1,),
+            )
+            self._decode_fns[key] = fn
+        return fn
+
+    def extend_step(
+        self, packed: np.ndarray, st_packed: np.ndarray, B: int, L: int, P: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32)."""
+        self._step_counter += 1
+        fn = self._get_extend_fn(B, L, P)
+        out, self.kv_cache = fn(
+            self.params,
+            self.kv_cache,
+            packed,
+            st_packed,
+            self._base_rng,
+            np.int32(self._step_counter),
+        )
+        out = np.asarray(out)
+        return out[0].astype(np.int64), out[1]
+
+    def decode_window(
+        self, packed: np.ndarray, st_packed: np.ndarray, B: int, P: int, K: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run K fused decode steps; returns (tokens [K, B], logprobs [K, B])."""
+        self._step_counter += 1
+        fn = self._get_decode_fn(B, P, K)
+        out, self.kv_cache = fn(
+            self.params,
+            self.kv_cache,
+            packed,
+            st_packed,
+            self._base_rng,
+            np.int32(self._step_counter),
+        )
+        out = np.asarray(out)
+        return out[0].astype(np.int64), out[1]
 
     # ------------------------------------------------------------- buckets
     def decode_bs_bucket(self, bs: int) -> int:

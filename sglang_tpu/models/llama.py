@@ -28,7 +28,7 @@ from sglang_tpu.layers.attention import paged_attention
 from sglang_tpu.layers.norm import rms_norm
 from sglang_tpu.layers.rotary import compute_inv_freq
 from sglang_tpu.model_executor.forward_batch import DeviceBatch
-from sglang_tpu.parallel.mesh import AXIS_TP
+from sglang_tpu.parallel.mesh import AXIS_DP, AXIS_TP
 
 
 class LlamaForCausalLM:
@@ -45,10 +45,10 @@ class LlamaForCausalLM:
         self.hkv = c.num_key_value_heads
         self.hd = c.head_dim
         self.sm_scale = 1.0 / math.sqrt(c.head_dim)
-        self.inv_freq = jnp.asarray(
-            compute_inv_freq(
-                c.head_dim, c.rope_theta, c.rope_scaling, c.partial_rotary_factor
-            )
+        # numpy, not jnp: trace-time constants must stay host-side (a
+        # jax.Array constant forces a device fetch when lowering).
+        self.inv_freq = compute_inv_freq(
+            c.head_dim, c.rope_theta, c.rope_scaling, c.partial_rotary_factor
         )
         self.rot_dim = int(2 * self.inv_freq.shape[0])
         if config.hf_config.get("attention_bias") or config.attention_bias:
@@ -127,12 +127,29 @@ class LlamaForCausalLM:
         """
         rng = np.random.default_rng(seed)
         dtype = self.config.dtype
+        # One random block tiled into every tensor: dummy weights are for
+        # topology/perf runs, and tiling is ~100x faster than per-element
+        # RNG on host (matters for 1B+ params on a small host CPU).
+        block = rng.standard_normal(1 << 20, dtype=np.float32)
+
+        def to_bf16_fast(arr_f32):
+            # numpy's cast to ml_dtypes.bfloat16 is scalarized and slow on a
+            # small host; round-to-even via integer ops is vectorized.
+            u = arr_f32.view(np.uint32)
+            rounded = (u + 0x7FFF + ((u >> 16) & 1)) >> 16
+            import ml_dtypes
+
+            return rounded.astype(np.uint16).view(ml_dtypes.bfloat16)
 
         def make(shape):
             scale = 1.0 / math.sqrt(shape[-1]) if len(shape) > 1 else 1.0
-            return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(
-                jnp.dtype(dtype)
-            )
+            n = int(np.prod(shape))
+            reps = -(-n // block.size)
+            flat = np.tile(block, reps)[:n] if reps > 1 else block[:n].copy()
+            flat = flat * np.float32(scale)
+            if jnp.dtype(dtype) == jnp.bfloat16:
+                return to_bf16_fast(flat).reshape(shape)
+            return flat.reshape(shape).astype(jnp.dtype(dtype))
 
         def build(tree):
             return {
@@ -216,7 +233,7 @@ class LlamaForCausalLM:
         c = self.config
         B, Lq = batch.input_ids.shape
         hidden = params["embed"][batch.input_ids]  # [B, Lq, H]
-        hidden = self._shard(hidden, None, None, None)
+        hidden = self._shard(hidden, AXIS_DP, None, None)
 
         # Rope angles once for all layers.
         angles = (
@@ -257,9 +274,9 @@ class LlamaForCausalLM:
             if self.has_qk_norm:
                 q = rms_norm(q, w["q_norm"], c.rms_norm_eps)
                 k = rms_norm(k, w["k_norm"], c.rms_norm_eps)
-            q = self._shard(q, None, None, AXIS_TP, None)
-            k = self._shard(k, None, None, AXIS_TP, None)
-            v = self._shard(v, None, None, AXIS_TP, None)
+            q = self._shard(q, AXIS_DP, None, AXIS_TP, None)
+            k = self._shard(k, AXIS_DP, None, AXIS_TP, None)
+            v = self._shard(v, AXIS_DP, None, AXIS_TP, None)
             q, k = rope(q), rope(k)
             attn_out, kv = paged_attention(
                 q,
@@ -276,20 +293,20 @@ class LlamaForCausalLM:
             )
             attn_out = attn_out.reshape(B, Lq, hq * d)
             h = h + attn_out @ w["o_proj"]
-            h = self._shard(h, None, None, None)
+            h = self._shard(h, AXIS_DP, None, None)
             # --- mlp block ---
             normed = rms_norm(h, w["post_ln"], c.rms_norm_eps)
             gate = normed @ w["gate_proj"]
             up = normed @ w["up_proj"]
             inter = act_and_mul(c.hidden_act, gate, up)
-            inter = self._shard(inter, None, None, AXIS_TP)
+            inter = self._shard(inter, AXIS_DP, None, AXIS_TP)
             h = h + inter @ w["down_proj"]
-            h = self._shard(h, None, None, None)
+            h = self._shard(h, AXIS_DP, None, None)
             return (h, kv, li + 1), None
 
         (hidden, kv_cache, _), _ = jax.lax.scan(
             layer_fn,
-            (hidden, kv_cache, jnp.int32(0)),
+            (hidden, kv_cache, np.int32(0)),
             params["layers"],
         )
 

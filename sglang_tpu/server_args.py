@@ -46,6 +46,10 @@ class ServerArgs:
     disable_radix_cache: bool = False
     disable_overlap_schedule: bool = False
     stream_interval: int = 1
+    # Fused decode window: K decode steps run inside one jitted device loop
+    # (tokens chain on device). Trades up to K-1 overshoot tokens per
+    # finishing request for a Kx cut in host<->device round trips.
+    decode_window_size: int = 8
     # decode batch-size buckets for XLA compile cache (like CUDA-graph bs list)
     decode_bs_buckets: Optional[List[int]] = None
     prefill_len_buckets: Optional[List[int]] = None
