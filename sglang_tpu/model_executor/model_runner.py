@@ -147,8 +147,13 @@ class ModelRunner:
         logger.info("Attention backend: %s", self.attn_backend)
 
         # ---- jitted step fns (cached per shape bucket) ----
+        rng_dst = (
+            devices[0]
+            if self.mesh_ctx.is_single_device
+            else self.mesh_ctx.replicated
+        )
         self._base_rng = jax.device_put(
-            jax.random.PRNGKey(server_args.random_seed), devices[0]
+            jax.random.PRNGKey(server_args.random_seed), rng_dst
         )
         self._step_counter = 0
         self._extend_fns: Dict[Tuple[int, int, int], Callable] = {}

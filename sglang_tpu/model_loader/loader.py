@@ -53,9 +53,50 @@ def _iter_paths(tree: Dict[str, Any], prefix=""):
 
 
 def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
-    """Random weights, device_put with the model's shardings."""
-    params = model.init_dummy_params(seed=seed)
-    return _place_params(model, params, mesh_ctx)
+    """Random weights generated ON DEVICE, sharded at creation.
+
+    Reference role: ``model_loader/loader.py:1373`` (DummyModelLoader).
+    TPU note: host→device over a tunneled link can be ~10 MiB/s, so
+    uploading GBs of dummy weights would take minutes; a jitted init
+    renders them directly in HBM in milliseconds.
+    """
+    import math
+    import zlib
+
+    shapes = model.param_shapes()
+    specs = model.param_specs()
+    dtype = model.config.dtype
+
+    def is_norm(path: str) -> bool:
+        leaf = path.split(".")[-1]
+        return "ln" in leaf or "norm" in leaf
+
+    def init(key):
+        def build(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                p = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    out[k] = build(v, p)
+                elif is_norm(p):
+                    out[k] = jnp.ones(v, dtype=dtype)
+                else:
+                    sub = jax.random.fold_in(key, zlib.crc32(p.encode()))
+                    scale = 1.0 / math.sqrt(v[-1]) if len(v) > 1 else 1.0
+                    out[k] = scale * jax.random.normal(sub, v, dtype=dtype)
+            return out
+
+        return build(shapes)
+
+    out_shardings = None
+    if mesh_ctx is not None:
+        out_shardings = jax.tree_util.tree_map(
+            lambda spec: mesh_ctx.sharding(*spec),
+            specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+        )
+    fn = jax.jit(init, out_shardings=out_shardings)
+    return fn(jax.random.PRNGKey(seed))
 
 
 def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):

@@ -120,53 +120,6 @@ class LlamaForCausalLM:
             specs["lm_head"] = P(AXIS_TP, None)
         return specs
 
-    def init_dummy_params(self, seed: int = 0) -> Dict[str, Any]:
-        """Random weights (host numpy) for topology/perf tests.
-
-        Reference: ``model_loader/loader.py:1373`` (DummyModelLoader).
-        """
-        rng = np.random.default_rng(seed)
-        dtype = self.config.dtype
-        # One random block tiled into every tensor: dummy weights are for
-        # topology/perf runs, and tiling is ~100x faster than per-element
-        # RNG on host (matters for 1B+ params on a small host CPU).
-        block = rng.standard_normal(1 << 20, dtype=np.float32)
-
-        def to_bf16_fast(arr_f32):
-            # numpy's cast to ml_dtypes.bfloat16 is scalarized and slow on a
-            # small host; round-to-even via integer ops is vectorized.
-            u = arr_f32.view(np.uint32)
-            rounded = (u + 0x7FFF + ((u >> 16) & 1)) >> 16
-            import ml_dtypes
-
-            return rounded.astype(np.uint16).view(ml_dtypes.bfloat16)
-
-        def make(shape):
-            scale = 1.0 / math.sqrt(shape[-1]) if len(shape) > 1 else 1.0
-            n = int(np.prod(shape))
-            reps = -(-n // block.size)
-            flat = np.tile(block, reps)[:n] if reps > 1 else block[:n].copy()
-            flat = flat * np.float32(scale)
-            if jnp.dtype(dtype) == jnp.bfloat16:
-                return to_bf16_fast(flat).reshape(shape)
-            return flat.reshape(shape).astype(jnp.dtype(dtype))
-
-        def build(tree):
-            return {
-                k: (build(v) if isinstance(v, dict) else make(v))
-                for k, v in tree.items()
-            }
-
-        params = build(self.param_shapes())
-        # Norm weights init to 1.
-        for key in ("input_ln", "post_ln"):
-            params["layers"][key] = np.ones_like(params["layers"][key])
-        if self.has_qk_norm:
-            params["layers"]["q_norm"] = np.ones_like(params["layers"]["q_norm"])
-            params["layers"]["k_norm"] = np.ones_like(params["layers"]["k_norm"])
-        params["final_ln"] = np.ones_like(params["final_ln"])
-        return params
-
     # ------------------------------------------------------- weight loading
     def hf_weight_mapping(self):
         """Map HF tensor names → (param path, layer index or None, transform).
