@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--gen-len", type=int, default=128)
-    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
 
     from sglang_tpu.configs.model_config import ModelConfig
@@ -43,7 +43,7 @@ def main():
         tokenizer_path="test:byte",
         load_format="dummy",
         dtype="bfloat16",
-        page_size=8,
+        page_size=32,
         max_total_tokens=total_tokens,
         max_prefill_tokens=args.batch * args.prompt_len,
         chunked_prefill_size=args.batch * args.prompt_len,

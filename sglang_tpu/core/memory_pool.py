@@ -4,9 +4,14 @@ Equivalent role to the reference's ``mem_cache/memory_pool.py``
 (``ReqToTokenPool`` :242, ``MHATokenToKVPool`` :1291): owns the HBM-resident
 KV buffer and its geometry.  TPU-native differences:
 
-* One fused buffer ``[num_layers * num_slots, 2, kv_heads, head_dim]``
-  (K at index 0, V at index 1) — a single functional scatter per layer,
-  kept in-place by donation under jit.
+* One fused buffer ``[num_layers * num_pages, page_size, 2,
+  kv_heads * head_dim]`` (K at index 0, V at index 1 of dim 2).  The head
+  and head_dim axes are FOLDED into one lane axis on purpose: with
+  head_dim 64 as a trailing dim, TPU tiled layouts pad the lane dim to
+  128 (2x memory waste) and every reshape to a kernel-friendly view
+  physically repacks the multi-GiB buffer.  The folded lane axis
+  (kv_heads*head_dim, a multiple of 128) is tight, DMA-sliceable by the
+  Pallas kernels, and TP-shardable (contiguous head blocks).
 * ``req_to_token`` is not a device pool: page tables are assembled host-side
   per step (small [B, P] int32 transfers) — the reference builds the same
   CSR ``kv_indices`` on host for its triton backend
@@ -117,7 +122,12 @@ class KVCachePool:
             g.bytes_total / (1 << 30),
             jnp.dtype(g.dtype).name,
         )
-        shape = (g.num_layers * g.num_slots, 2, g.num_kv_heads, g.head_dim)
+        shape = (
+            g.num_layers * g.num_pages,
+            g.page_size,
+            2,
+            g.num_kv_heads * g.head_dim,
+        )
         if sharding is not None:
             self.kv_cache = jax.device_put(
                 jnp.zeros(shape, dtype=g.dtype), sharding

@@ -2,10 +2,11 @@
 
 Equivalent role to the reference's ``layers/radix_attention.py:57`` +
 ``layers/attention/`` backend ABC (``base_attn_backend.py:18``).  The KV
-cache is a flat token-slot buffer ``[num_layers * num_slots, kv_heads,
-head_dim]`` (reference layout "NHD", ``memory_pool.py:1450``); the page
-table gives each request its slot list in token order, so context slot j
-holds the token at position j.
+cache is a paged buffer ``[num_layers * num_pages, page_size, 2,
+kv_heads * head_dim]`` (reference's paged "HND" layout,
+``memory_pool.py:1458``, folded for TPU lane alignment — see
+``core/memory_pool.py``); the page table gives each request its page list
+in token order, so context slot j holds the token at position j.
 
 Backends:
 * ``xla``    — gather pages into a dense [B, C, Hkv, D] context and run
@@ -26,7 +27,7 @@ from sglang_tpu.model_executor.forward_batch import DeviceBatch
 
 
 def write_kv(
-    kv_cache: jnp.ndarray,  # [L*S, 2, Hkv, D] fused K/V buffer
+    kv_cache: jnp.ndarray,  # [L*NP, ps, 2, Hkv*D] fused K/V buffer
     k_new: jnp.ndarray,  # [B, Lq, Hkv, D]
     v_new: jnp.ndarray,  # [B, Lq, Hkv, D]
     out_slots: jnp.ndarray,  # [B, Lq] flat slot ids (pad -> 0 garbage page)
@@ -34,34 +35,41 @@ def write_kv(
     num_slots: int,
 ) -> jnp.ndarray:
     """Scatter new K/V rows into the cache (in-place under donation)."""
-    flat_slots = out_slots.reshape(-1) + layer_idx * num_slots  # [B*Lq]
+    ps = kv_cache.shape[1]
+    num_pages = num_slots // ps
+    HD = kv_cache.shape[-1]
+    flat_slots = out_slots.reshape(-1)  # [B*Lq], layer-relative
+    page_rows = layer_idx * num_pages + flat_slots // ps
+    in_page = flat_slots % ps
     kv = jnp.stack(
-        [
-            k_new.reshape(-1, *k_new.shape[2:]),
-            v_new.reshape(-1, *v_new.shape[2:]),
-        ],
-        axis=1,
-    )  # [B*Lq, 2, Hkv, D]
-    return kv_cache.at[flat_slots].set(kv.astype(kv_cache.dtype), mode="drop")
+        [k_new.reshape(-1, HD), v_new.reshape(-1, HD)], axis=1
+    )  # [B*Lq, 2, HD]
+    return kv_cache.at[page_rows, in_page].set(
+        kv.astype(kv_cache.dtype), mode="drop"
+    )
 
 
 def gather_kv(
-    kv_cache: jnp.ndarray,  # [L*S, 2, Hkv, D]
+    kv_cache: jnp.ndarray,  # [L*NP, ps, 2, Hkv*D]
     page_table: jnp.ndarray,  # [B, P]
     layer_idx: jnp.ndarray,
     num_slots: int,
     page_size: int,
+    head_dim: int,
 ):
     """Gather a dense [B, C, Hkv, D] K and V context (C = P * page_size)."""
     B, P = page_table.shape
-    # NOTE: np.arange, not jnp.arange — eager device constants get baked
-    # into the jaxpr and force a device->host fetch at lowering time.
-    ctx_slots = page_table[:, :, None] * page_size + np.arange(
-        page_size, dtype=np.int32
+    ps = page_size
+    num_pages = num_slots // ps
+    HD = kv_cache.shape[-1]
+    rows = page_table + layer_idx * num_pages  # [B, P]
+    kv_ctx = kv_cache[rows]  # [B, P, ps, 2, HD]
+    kv_ctx = kv_ctx.reshape(B, P * ps, 2, HD)
+    # Unfold heads on the (small) gathered context only.
+    return (
+        kv_ctx[:, :, 0].reshape(B, P * ps, -1, head_dim),
+        kv_ctx[:, :, 1].reshape(B, P * ps, -1, head_dim),
     )
-    ctx_slots = ctx_slots.reshape(B, P * page_size) + layer_idx * num_slots
-    kv_ctx = kv_cache[ctx_slots]  # [B, C, 2, Hkv, D]
-    return kv_ctx[:, :, 0], kv_ctx[:, :, 1]
 
 
 def attention_xla(
@@ -130,18 +138,22 @@ def paged_attention(
     sliding_window: Optional[int] = None,
     backend: str = "xla",
 ):
-    """Write new K/V into the cache, then attend over the full context."""
-    kv_cache = write_kv(
-        kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots
-    )
-    if backend == "pallas":
-        from sglang_tpu.ops.paged_attention import paged_attention_pallas
+    """Write new K/V into the cache, then attend over the full context.
 
-        out = paged_attention_pallas(
+    The pallas decode path performs the KV write INSIDE the kernel (an XLA
+    scatter on the cache would flip its layout and force ~GiB transposes
+    around every Mosaic call — see ops/paged_attention.py).
+    """
+    if backend == "pallas" and q.shape[1] == 1:
+        from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
+
+        return fused_paged_decode_attention(
             q,
+            k_new,
+            v_new,
             kv_cache,
             batch.page_table,
-            batch.positions,
+            batch.out_slots,
             batch.seq_lens,
             layer_idx,
             num_slots=num_slots,
@@ -150,18 +162,21 @@ def paged_attention(
             logit_cap=logit_cap,
             sliding_window=sliding_window,
         )
-    else:
-        k_ctx, v_ctx = gather_kv(
-            kv_cache, batch.page_table, layer_idx, num_slots, page_size
-        )
-        out = attention_xla(
-            q,
-            k_ctx,
-            v_ctx,
-            batch.positions,
-            batch.seq_lens,
-            sm_scale,
-            logit_cap=logit_cap,
-            sliding_window=sliding_window,
-        )
+    kv_cache = write_kv(
+        kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots
+    )
+    k_ctx, v_ctx = gather_kv(
+        kv_cache, batch.page_table, layer_idx, num_slots, page_size,
+        q.shape[-1],
+    )
+    out = attention_xla(
+        q,
+        k_ctx,
+        v_ctx,
+        batch.positions,
+        batch.seq_lens,
+        sm_scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
     return out, kv_cache

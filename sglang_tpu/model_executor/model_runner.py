@@ -187,19 +187,21 @@ class ModelRunner:
             attn_backend=self.attn_backend,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, L, P):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, L, P, all_greedy=False):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
         logits = self.model.compute_logits(params, hidden)
         st = unpack_sampling_params(st_packed)
-        tokens, logprobs = sample(logits, st, jax.random.fold_in(rng, step))
+        tokens, logprobs = sample(
+            logits, st, jax.random.fold_in(rng, step), all_greedy=all_greedy
+        )
         # Single fetched result: [2, B] f32 (token ids are exact in f32 for
         # vocab < 2^24).
         out = jnp.stack([tokens.astype(jnp.float32), logprobs])
         return out, kv_cache
 
-    def _decode_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, P, K):
+    def _decode_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, P, K, all_greedy=False):
         """K fused decode steps; tokens chain on device via lax.scan."""
         first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
         st = unpack_sampling_params(st_packed)
@@ -213,7 +215,7 @@ class ModelRunner:
             hidden, kv = self._forward_batch(params, kv, batch)
             logits = self.model.compute_logits(params, hidden)
             new_tokens, logprobs = sample(
-                logits, st, jax.random.fold_in(rng, k)
+                logits, st, jax.random.fold_in(rng, k), all_greedy=all_greedy
             )
             return (kv, new_tokens), (new_tokens, logprobs)
 
@@ -228,25 +230,29 @@ class ModelRunner:
         return out, kv_cache
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P):
-        key = (B, L, P)
+    def _get_extend_fn(self, B, L, P, all_greedy):
+        key = (B, L, P, all_greedy)
         fn = self._extend_fns.get(key)
         if fn is None:
-            logger.info("compiling extend: B=%d L=%d P=%d", B, L, P)
+            logger.info("compiling extend: B=%d L=%d P=%d greedy=%s", B, L, P, all_greedy)
             fn = jax.jit(
-                functools.partial(self._extend_impl, B=B, L=L, P=P),
+                functools.partial(
+                    self._extend_impl, B=B, L=L, P=P, all_greedy=all_greedy
+                ),
                 donate_argnums=(1,),
             )
             self._extend_fns[key] = fn
         return fn
 
-    def _get_decode_fn(self, B, P, K):
-        key = (B, P, K)
+    def _get_decode_fn(self, B, P, K, all_greedy):
+        key = (B, P, K, all_greedy)
         fn = self._decode_fns.get(key)
         if fn is None:
-            logger.info("compiling decode: B=%d P=%d K=%d", B, P, K)
+            logger.info("compiling decode: B=%d P=%d K=%d greedy=%s", B, P, K, all_greedy)
             fn = jax.jit(
-                functools.partial(self._decode_impl, B=B, P=P, K=K),
+                functools.partial(
+                    self._decode_impl, B=B, P=P, K=K, all_greedy=all_greedy
+                ),
                 donate_argnums=(1,),
             )
             self._decode_fns[key] = fn
@@ -257,7 +263,8 @@ class ModelRunner:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32)."""
         self._step_counter += 1
-        fn = self._get_extend_fn(B, L, P)
+        # Static greedy hint: padded rows have temperature 0 by construction.
+        fn = self._get_extend_fn(B, L, P, bool((st_packed[:, 0] <= 0).all()))
         out, self.kv_cache = fn(
             self.params,
             self.kv_cache,
@@ -274,7 +281,7 @@ class ModelRunner:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run K fused decode steps; returns (tokens [K, B], logprobs [K, B])."""
         self._step_counter += 1
-        fn = self._get_decode_fn(B, P, K)
+        fn = self._get_decode_fn(B, P, K, bool((st_packed[:, 0] <= 0).all()))
         out, self.kv_cache = fn(
             self.params,
             self.kv_cache,

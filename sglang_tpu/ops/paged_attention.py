@@ -1,0 +1,358 @@
+"""Pallas fused KV-write + paged decode attention (GQA).
+
+Equivalent role to the reference's decode attention kernels + KV-cache
+write (``sgl-kernel/csrc/attention/``, flashinfer decode path,
+``memory_pool.py set_kv_buffer``) — built TPU-native:
+
+* **The KV write happens inside the kernel** (tiny HBM DMAs), NOT as an
+  XLA scatter.  An XLA scatter on the cache makes layout assignment pick
+  a slot-minor layout ``{0,3,2,1}`` for the 2+ GiB cache buffer and then
+  physically transpose it back to row-major for every Mosaic custom
+  call — ~6 ms per layer.  With the write fused here, the cache only
+  ever flows kernel→kernel through an input/output alias and never
+  changes layout.
+* KV stays in HBM; each group step DMAs ``pages_per_block`` pages for
+  ``rows_per_block`` requests into a double-buffered VMEM scratch while
+  the previous group is processed.  Batching rows multiplies DMAs in
+  flight — a single row's page chain is DMA-latency-bound.
+* Rows share one MXU matmul per group: queries are packed block-diagonal
+  over (row, kv-head) so cross-row and cross-head terms vanish under the
+  combined mask.
+* Online softmax (flash-style m/l running stats) in f32.
+
+Layout contract (see ``core/memory_pool.py``): the fused cache is
+``[L*NP, ps, 2, Hkv*D]`` — page p of layer l is row ``l*NP + p``, holding
+both K and V so one DMA fetches a page's K *and* V.  The head/head_dim
+axes are folded into one 128-aligned lane axis: Mosaic requires that for
+sliced HBM DMAs (D=64 alone is not aligned), and an unfolded trailing
+D=64 would be lane-padded to 128 by TPU tiled layouts (2x memory, and
+every reshape becomes a physical repack).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANE = 128
+
+
+def _decode_kernel(
+    # scalar prefetch
+    page_table_ref,  # [B, P] int32
+    seq_lens_ref,  # [B] int32 (incl. the new token)
+    out_slots_ref,  # [B] int32 layer-relative slot of the new token
+    layer_page0_ref,  # [1] int32: layer_idx * num_pages
+    # inputs
+    qb_ref,  # [RB, Hq, Hkv*D] VMEM — block-diagonal packed queries
+    kv_new_ref,  # [RB, 2, Hkv*D] VMEM — new K/V rows to write
+    kv_hbm_ref,  # [L*NP, ps, 2, Hkv*D] (ANY → HBM)
+    # outputs
+    o_ref,  # [RB, Hq, LANE] VMEM
+    kv_out_ref,  # aliased to kv_hbm_ref — written via DMA only
+    # scratch
+    kv_buf,  # [2, RB, PB, ps, 2, Hkv*D] VMEM
+    sems,  # DMA sems [2, RB, PB]
+    w_sems,  # write sems [RB]
+    *,
+    rows_per_block: int,
+    pages_per_block: int,
+    page_size: int,
+    hq: int,
+    hkv: int,
+    d: int,
+    logit_cap: Optional[float],
+    sliding_window: Optional[int],
+):
+    blk = pl.program_id(0)
+    RB, PB, ps = rows_per_block, pages_per_block, page_size
+    T = PB * ps  # context positions per group per row
+    G = hq // hkv
+    HD = hkv * d
+    layer_page0 = layer_page0_ref[0]
+
+    # Rows shorter than the block's longest row skip their group DMAs, so
+    # their buffer region would be uninitialized — and 0 * NaN = NaN in the
+    # shared p@V matmul.  Zero it once; live regions are overwritten by DMA.
+    @pl.when(blk == 0)
+    def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+
+    # ---- 1. write the new K/V rows (tiny DMAs into the aliased cache) ----
+    for r in range(RB):
+        b = blk * RB + r
+        slot = out_slots_ref[b]
+        page_row = layer_page0 + slot // ps
+        in_page = slot % ps
+        pltpu.make_async_copy(
+            kv_new_ref.at[r],  # [2, HD]
+            kv_out_ref.at[page_row, in_page],  # [2, HD]
+            w_sems.at[r],
+        ).start()
+    for r in range(RB):
+        pltpu.make_async_copy(
+            kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
+        ).wait()
+
+    # ---- 2. paged attention over [first_group, n_valid) page groups ----
+    seq_lens = [seq_lens_ref[blk * RB + r] for r in range(RB)]
+    n_valids = [pl.cdiv(s, T) for s in seq_lens]
+    n_valid = n_valids[0]
+    for nv in n_valids[1:]:
+        n_valid = jnp.maximum(n_valid, nv)
+    if sliding_window is not None and sliding_window > 0:
+        firsts = [
+            jnp.maximum(s - sliding_window, 0) // T for s in seq_lens
+        ]
+        first_group = firsts[0]
+        for fg in firsts[1:]:
+            first_group = jnp.minimum(first_group, fg)
+    else:
+        first_group = jnp.int32(0)
+
+    def start_group(g, slot_idx):
+        for r in range(RB):
+            b = blk * RB + r
+
+            @pl.when(g < n_valids[r])
+            def _():
+                for i in range(PB):  # static unroll → RB*PB DMAs in flight
+                    page = page_table_ref[b, g * PB + i] + layer_page0
+                    pltpu.make_async_copy(
+                        kv_out_ref.at[page],
+                        kv_buf.at[slot_idx, r, i],
+                        sems.at[slot_idx, r, i],
+                    ).start()
+
+    def wait_group(g, slot_idx):
+        for r in range(RB):
+            @pl.when(g < n_valids[r])
+            def _():
+                for i in range(PB):
+                    pltpu.make_async_copy(
+                        kv_out_ref.at[0],
+                        kv_buf.at[slot_idx, r, i],
+                        sems.at[slot_idx, r, i],
+                    ).wait()
+
+    @pl.when(first_group < n_valid)
+    def _():
+        start_group(first_group, first_group % 2)
+
+    qb = qb_ref[...].reshape(RB * hq, HD).astype(jnp.float32)
+
+    # Combined mask helpers: rows r*Hq..(r+1)*Hq attend only to column
+    # segment r*T..(r+1)*T (block diagonal), within seq_len / window.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, RB * T), 1)
+
+    def body(g, carry):
+        m_prev, l_prev, acc = carry
+        slot_idx = g % 2
+
+        @pl.when(g + 1 < n_valid)
+        def _():
+            start_group(g + 1, (g + 1) % 2)
+
+        wait_group(g, slot_idx)
+        kv = kv_buf[slot_idx]  # [RB, PB, ps, 2, HD]
+        k_flat = kv[:, :, :, 0].reshape(RB * T, HD)
+        v_flat = kv[:, :, :, 1].reshape(RB * T, HD)
+
+        # [RB*Hq, RB*T]; cross-row blocks are masked below.
+        scores = jax.lax.dot_general(
+            qb,
+            k_flat.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if logit_cap is not None and logit_cap > 0:
+            scores = logit_cap * jnp.tanh(scores / logit_cap)
+
+        # column validity per row segment
+        colmask = jnp.zeros((1, RB * T), jnp.bool_)
+        for r in range(RB):
+            pos = g * T + col - r * T  # position within row r's context
+            ok = jnp.logical_and(col >= r * T, col < (r + 1) * T)
+            ok = jnp.logical_and(ok, pos < seq_lens[r])
+            if sliding_window is not None and sliding_window > 0:
+                ok = jnp.logical_and(
+                    ok, pos > seq_lens[r] - 1 - sliding_window
+                )
+            colmask = jnp.logical_or(colmask, ok)
+        rowblk = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, RB * T), 0) // hq
+        colblk = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, RB * T), 1) // T
+        mask = jnp.logical_and(rowblk == colblk, colmask)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(mask, p, 0.0)  # fully-masked group → p 0, l 0
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        pv = jax.lax.dot_general(  # [RB*Hq, HD]
+            p,
+            v_flat.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    init = (
+        jnp.full((RB * hq, 1), NEG_INF, jnp.float32),
+        jnp.zeros((RB * hq, 1), jnp.float32),
+        jnp.zeros((RB * hq, HD), jnp.float32),
+    )
+    _, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
+
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows
+    out_all = acc / l  # [RB*Hq, HD]
+    # Select each query head's own kv segment: roll segment (h//G)*D down
+    # to lane 0, pick rows belonging to that kv head.
+    row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
+    out = jnp.zeros((RB * hq, LANE), jnp.float32)
+    for h in range(hkv):
+        rolled = pltpu.roll(out_all, shift=(HD - h * d) % HD, axis=1)[:, :LANE]
+        if HD < LANE:
+            pad = jnp.zeros((RB * hq, LANE - HD), jnp.float32)
+            rolled = jnp.concatenate([rolled, pad], axis=1)
+        out = jnp.where(((row % hq) // G) == h, rolled, out)
+    o_ref[...] = out.reshape(RB, hq, LANE).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_slots",
+        "page_size",
+        "sm_scale",
+        "logit_cap",
+        "sliding_window",
+        "pages_per_block",
+        "rows_per_block",
+        "interpret",
+    ),
+)
+def fused_paged_decode_attention(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_new: jnp.ndarray,  # [B, 1, Hkv, D]
+    v_new: jnp.ndarray,  # [B, 1, Hkv, D]
+    kv_cache: jnp.ndarray,  # [L*NP, ps, 2, Hkv*D] (canonical pool shape)
+    page_table: jnp.ndarray,  # [B, P] int32
+    out_slots: jnp.ndarray,  # [B, 1] int32 layer-relative slot of new token
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. the new token)
+    layer_idx: jnp.ndarray,  # scalar int32
+    *,
+    num_slots: int,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    pages_per_block: Optional[int] = None,
+    rows_per_block: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
+    B, Lq, Hq, D = q.shape
+    assert Lq == 1, "decode kernel handles Lq == 1"
+    Hkv = kv_cache.shape[-1] // D
+    G = Hq // Hkv
+    P = page_table.shape[1]
+    num_pages = num_slots // page_size
+    assert kv_cache.shape == (
+        kv_cache.shape[0], page_size, 2, Hkv * D,
+    ), kv_cache.shape
+
+    if pages_per_block is None:
+        # target ~64 context positions per DMA group per row (swept on v5e)
+        pages_per_block = max(1, min(P, max(1, 64 // page_size)))
+    PB = min(pages_per_block, P)
+    while P % PB != 0:  # P is a power-of-2 bucket; PB must divide it
+        PB -= 1
+    if rows_per_block is None:
+        rows_per_block = 8
+    RB = min(rows_per_block, B)
+    while B % RB != 0:  # B is a power-of-2 bucket
+        RB -= 1
+
+    layer_page0 = (layer_idx * num_pages).reshape(1).astype(jnp.int32)
+
+    # Block-diagonal packed queries: row h occupies lane segment (h//G)*D.
+    onehot = jnp.asarray(
+        np.eye(Hkv, dtype=np.float32)[np.arange(Hq) // G], q.dtype
+    )  # [Hq, Hkv]
+    qb = jnp.einsum("bhd,hk->bhkd", q.reshape(B, Hq, D) * sm_scale, onehot)
+    qb = qb.reshape(B, Hq, Hkv * D)
+
+    kv_new = jnp.stack(
+        [k_new.reshape(B, Hkv * D), v_new.reshape(B, Hkv * D)], axis=1
+    ).astype(kv_cache.dtype)  # [B, 2, HD]
+
+    kernel = functools.partial(
+        _decode_kernel,
+        rows_per_block=RB,
+        pages_per_block=PB,
+        page_size=page_size,
+        hq=Hq,
+        hkv=Hkv,
+        d=D,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B // RB,),
+        in_specs=[
+            pl.BlockSpec(
+                (RB, Hq, Hkv * D),
+                lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RB, 2, Hkv * D),
+                lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (RB, Hq, LANE), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, RB, PB, page_size, 2, Hkv * D), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, RB, PB)),
+            pltpu.SemaphoreType.DMA((RB,)),
+        ],
+    )
+    out, kv_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, LANE), q.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        ),
+        grid_spec=grid_spec,
+        # operand 6 (kv_cache; scalar-prefetch args count) aliases output 1.
+        input_output_aliases={6: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        out_slots.reshape(B).astype(jnp.int32),
+        layer_page0,
+        qb,
+        kv_new,
+        kv_cache,
+    )
+    return out[:, :, :D].reshape(B, 1, Hq, D), kv_out

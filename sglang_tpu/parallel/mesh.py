@@ -95,10 +95,11 @@ class MeshContext:
         """[vocab, hidden] embedding sharded on vocab."""
         return self.sharding(AXIS_TP, None)
 
-    # KV cache: [layers, slots, kv_heads, head_dim] sharded on kv-head axis.
+    # KV cache: [layers*pages, page_size, 2, kv_heads*head_dim] — the folded
+    # lane axis shards into contiguous per-head blocks across tp.
     @cached_property
     def kv_cache_sharding(self) -> NamedSharding:
-        return self.sharding(None, None, AXIS_TP, None)
+        return self.sharding(None, None, None, AXIS_TP)
 
     # Activations: tokens replicated across tp, hidden replicated (GSPMD
     # decides intermediates); batch sharded over dp when dp>1.

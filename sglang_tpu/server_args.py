@@ -34,7 +34,8 @@ class ServerArgs:
     # ---- memory / KV cache ----
     mem_fraction_static: float = 0.85  # HBM fraction for weights+KV
     max_total_tokens: Optional[int] = None  # KV pool size in tokens (overrides)
-    page_size: int = 8  # tokens per KV page (radix granularity)
+    page_size: int = 32  # tokens per KV page (radix granularity; larger
+    # pages = fewer/bigger DMAs in the decode attention kernel)
     max_running_requests: int = 256
     max_queued_requests: Optional[int] = None
 
@@ -49,7 +50,7 @@ class ServerArgs:
     # Fused decode window: K decode steps run inside one jitted device loop
     # (tokens chain on device). Trades up to K-1 overshoot tokens per
     # finishing request for a Kx cut in host<->device round trips.
-    decode_window_size: int = 8
+    decode_window_size: int = 16
     # decode batch-size buckets for XLA compile cache (like CUDA-graph bs list)
     decode_bs_buckets: Optional[List[int]] = None
     prefill_len_buckets: Optional[List[int]] = None

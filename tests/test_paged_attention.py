@@ -1,0 +1,141 @@
+"""Pallas fused KV-write + paged decode attention vs the XLA reference path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sglang_tpu.layers.attention import attention_xla, gather_kv, write_kv
+from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
+
+
+def _setup(B, P, ps, Hq, Hkv, D, L=3, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    num_pages = P * B + 8
+    num_slots = num_pages * ps
+    kv_cache = rng.randn(L * num_pages, ps, 2, Hkv * D).astype(np.float32)
+    # Unique random page assignment (page 0 reserved as garbage).
+    perm = rng.permutation(num_pages - 1)[: B * P] + 1
+    page_table = perm.reshape(B, P).astype(np.int32)
+    # seq_lens INCLUDE the new token being written this step.
+    seq_lens = rng.randint(1, P * ps + 1, size=(B,)).astype(np.int32)
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = seq_lens[b] - 1
+        out_slots[b, 0] = page_table[b, pos // ps] * ps + pos % ps
+    q = rng.randn(B, 1, Hq, D).astype(np.float32)
+    k_new = rng.randn(B, 1, Hkv, D).astype(np.float32)
+    v_new = rng.randn(B, 1, Hkv, D).astype(np.float32)
+    return dict(
+        q=jnp.asarray(q, dtype),
+        k_new=jnp.asarray(k_new, dtype),
+        v_new=jnp.asarray(v_new, dtype),
+        kv_cache=jnp.asarray(kv_cache, dtype),
+        page_table=jnp.asarray(page_table),
+        out_slots=jnp.asarray(out_slots),
+        seq_lens=jnp.asarray(seq_lens),
+        num_slots=num_slots,
+    )
+
+
+def _reference(s, ps, layer_idx, sm_scale, **attn_kw):
+    kv = write_kv(
+        s["kv_cache"], s["k_new"], s["v_new"], s["out_slots"], layer_idx,
+        s["num_slots"],
+    )
+    k_ctx, v_ctx = gather_kv(kv, s["page_table"], layer_idx, s["num_slots"], ps, s["q"].shape[-1])
+    positions = (s["seq_lens"] - 1)[:, None]
+    out = attention_xla(
+        s["q"], k_ctx, v_ctx, positions, s["seq_lens"], sm_scale, **attn_kw
+    )
+    return out, kv
+
+
+@pytest.mark.parametrize("Hq,Hkv", [(8, 8), (8, 2), (32, 8)])
+@pytest.mark.parametrize("ps,P", [(8, 4), (8, 16), (16, 8)])
+def test_decode_matches_xla(Hq, Hkv, ps, P):
+    B, D, L = 4, 64, 3
+    s = _setup(B, P, ps, Hq, Hkv, D, L)
+    layer_idx = jnp.int32(1)
+    sm_scale = D ** -0.5
+
+    out, kv_out = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        interpret=True,
+    )
+    ref, kv_ref = _reference(s, ps, layer_idx, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+    # The in-kernel write must produce the same cache as the XLA scatter.
+    np.testing.assert_allclose(
+        np.asarray(kv_out), np.asarray(kv_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("rows_per_block", [1, 2, 4])
+def test_decode_rows_per_block(rows_per_block):
+    B, P, ps, Hq, Hkv, D, L = 8, 8, 8, 16, 4, 64, 2
+    s = _setup(B, P, ps, Hq, Hkv, D, L, seed=3)
+    layer_idx = jnp.int32(0)
+    sm_scale = D ** -0.5
+    out, _ = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        rows_per_block=rows_per_block, interpret=True,
+    )
+    ref, _ = _reference(s, ps, layer_idx, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_decode_sliding_window():
+    B, P, ps, Hq, Hkv, D, L = 4, 16, 8, 8, 4, 64, 2
+    s = _setup(B, P, ps, Hq, Hkv, D, L)
+    # Force long contexts so the window actually truncates.
+    s["seq_lens"] = jnp.full((B,), P * ps, jnp.int32)
+    pt = np.asarray(s["page_table"])
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = P * ps - 1
+        out_slots[b, 0] = pt[b, pos // ps] * ps + pos % ps
+    s["out_slots"] = jnp.asarray(out_slots)
+    layer_idx = jnp.int32(0)
+    sm_scale = D ** -0.5
+    window = 24
+
+    out, _ = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        sliding_window=window, interpret=True,
+    )
+    ref, _ = _reference(s, ps, layer_idx, sm_scale, sliding_window=window)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_decode_logit_cap_and_padded_rows():
+    B, P, ps, Hq, Hkv, D, L = 4, 8, 8, 8, 8, 64, 2
+    s = _setup(B, P, ps, Hq, Hkv, D, L)
+    # Row 3 is padding (seq_len 0, writes to garbage slot 0) — no NaN.
+    s["seq_lens"] = s["seq_lens"].at[3].set(0)
+    s["out_slots"] = s["out_slots"].at[3, 0].set(0)
+    layer_idx = jnp.int32(1)
+    sm_scale = D ** -0.5
+
+    out, _ = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        logit_cap=30.0, interpret=True,
+    )
+    assert not np.isnan(np.asarray(out)).any()
+    ref, _ = _reference(s, ps, layer_idx, sm_scale, logit_cap=30.0)
+    np.testing.assert_allclose(
+        np.asarray(out)[:3], np.asarray(ref)[:3], rtol=2e-3, atol=2e-3
+    )
