@@ -14,7 +14,11 @@ from typing import List, Tuple
 import numpy as np
 
 from sglang_tpu.core.req import Req
-from sglang_tpu.layers.sampler import pack_sampling_params
+from sglang_tpu.layers.sampler import (
+    needs_penalties,
+    pack_penalty_table,
+    pack_sampling_params,
+)
 from sglang_tpu.model_executor.forward_batch import (
     ForwardMode,
     pack_decode_batch,
@@ -70,7 +74,7 @@ class HostBatch:
         packed = pack_extend_batch(
             input_ids, positions, out_slots, seq_lens, logits_idx, page_table
         )
-        return packed, pack_sampling_params(self.reqs, B)
+        return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
 
     # -------------------------------------------------------------- decode
     def pack_decode(
@@ -88,7 +92,12 @@ class HostBatch:
             assert n_pages <= len(req.pages), (n_pages, len(req.pages), req)
             page_table[i, :n_pages] = req.pages[:n_pages]
         packed = pack_decode_batch(first_tokens, seq_lens, page_table)
-        return packed, pack_sampling_params(self.reqs, B)
+        return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
+
+    def _pen_table(self, B: int):
+        if not needs_penalties(self.reqs):
+            return None
+        return pack_penalty_table(self.reqs, B)
 
     # ------------------------------------------------------------- mutation
     def filter_finished(self) -> List[Req]:

@@ -388,8 +388,10 @@ class Scheduler:
                 self.decode_bs_buckets,
                 self.runner.max_pages_per_req,
             )
-            packed, st_packed = batch.pack_extend(self.page_size, B, L, P)
-            tokens, logprobs = self.runner.extend_step(packed, st_packed, B, L, P)
+            packed, st_packed, pen = batch.pack_extend(self.page_size, B, L, P)
+            tokens, logprobs = self.runner.extend_step(
+                packed, st_packed, B, L, P, pen=pen
+            )
             self._process_prefill_result(batch, tokens, logprobs)
             self.num_steps += 1
             self.ratio_tracker.step()
@@ -407,8 +409,10 @@ class Scheduler:
             self.runner.max_pages_per_req,
             K,
         )
-        packed, st_packed = batch.pack_decode(self.page_size, B, P, K)
-        tokens, logprobs = self.runner.decode_window(packed, st_packed, B, P, K)
+        packed, st_packed, pen = batch.pack_decode(self.page_size, B, P, K)
+        tokens, logprobs = self.runner.decode_window(
+            packed, st_packed, B, P, K, pen=pen
+        )
         self._process_decode_window(batch, tokens, logprobs, K)
         self.num_steps += 1
         dt = time.monotonic() - t0

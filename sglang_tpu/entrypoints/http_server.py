@@ -1,0 +1,462 @@
+"""HTTP API server (aiohttp).
+
+Equivalent role to the reference's ``entrypoints/http_server.py`` (FastAPI,
+``launch_server`` :2479, ``generate_request`` :790) and
+``entrypoints/openai/serving_{completions,chat}.py`` — rebuilt on aiohttp
+(the image ships no fastapi/uvicorn).
+
+Routes:
+  GET  /health, /health_generate, /get_model_info, /get_server_info,
+       /v1/models, /metrics (with --enable-metrics)
+  POST /generate (native API, SSE streaming), /v1/completions,
+       /v1/chat/completions, /flush_cache, /abort_request
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Any, AsyncIterator, Dict, List, Optional
+
+from aiohttp import web
+
+from sglang_tpu.entrypoints.chat_template import apply_chat_template
+from sglang_tpu.entrypoints.engine import Engine
+from sglang_tpu.entrypoints.protocol import (
+    ChatCompletionChoice,
+    ChatCompletionChunk,
+    ChatCompletionChunkChoice,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatMessage,
+    CompletionChoice,
+    CompletionRequest,
+    CompletionResponse,
+    DeltaMessage,
+    ErrorResponse,
+    LogProbs,
+    ModelCard,
+    ModelList,
+    UsageInfo,
+)
+from sglang_tpu.server_args import ServerArgs
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def _error(msg: str, status: int = 400) -> web.Response:
+    body = ErrorResponse(message=msg, code=status).model_dump()
+    return web.json_response(body, status=status)
+
+
+def _usage(metas: List[dict]) -> UsageInfo:
+    pt = sum(m.get("prompt_tokens", 0) for m in metas)
+    ct = sum(m.get("completion_tokens", 0) for m in metas)
+    cached = sum(m.get("cached_tokens", 0) for m in metas)
+    return UsageInfo(
+        prompt_tokens=pt,
+        completion_tokens=ct,
+        total_tokens=pt + ct,
+        prompt_tokens_details={"cached_tokens": cached} if cached else None,
+    )
+
+
+def _finish_reason(meta: dict) -> Optional[str]:
+    fr = meta.get("finish_reason")
+    if fr is None:
+        return None
+    t = fr.get("type")
+    return {"eos": "stop", "stop": "stop", "length": "length", "abort": "abort"}.get(
+        t, t
+    )
+
+
+def _completion_logprobs(out: dict, tokenizer) -> LogProbs:
+    lps = out["meta_info"].get("output_token_logprobs") or []
+    lp = LogProbs()
+    for logprob, tid, _ in lps:
+        lp.token_logprobs.append(logprob)
+        lp.tokens.append(
+            tokenizer.convert_ids_to_tokens([tid])[0]
+            if tokenizer is not None
+            else str(tid)
+        )
+        lp.top_logprobs.append(None)
+    return lp
+
+
+class HttpServer:
+    def __init__(self, engine: Engine, server_args: ServerArgs):
+        self.engine = engine
+        self.server_args = server_args
+        self.tokenizer = engine.tokenizer
+        self.model_name = server_args.served_model_name or server_args.model_path
+        self.app = web.Application(middlewares=[self._auth_middleware])
+        self._add_routes()
+        self._start_time = time.time()
+
+    # ------------------------------------------------------------ middleware
+    @web.middleware
+    async def _auth_middleware(self, request: web.Request, handler):
+        api_key = self.server_args.api_key
+        if api_key and request.path.startswith("/v1"):
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {api_key}":
+                return _error("Invalid API key", 401)
+        try:
+            return await handler(request)
+        except web.HTTPException:
+            raise
+        except (ValueError, json.JSONDecodeError) as e:
+            return _error(str(e), 400)
+        except Exception as e:  # noqa: BLE001 — last-resort request guard
+            logger.exception("request failed")
+            return _error(f"internal error: {e}", 500)
+
+    def _add_routes(self):
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_model_info", self.get_model_info)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_get("/v1/models", self.list_models)
+        r.add_post("/generate", self.generate)
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        if self.server_args.enable_metrics:
+            r.add_get("/metrics", self.metrics)
+
+    # --------------------------------------------------------------- helpers
+    async def _collect(self, gen) -> dict:
+        final = None
+        async for out in gen:
+            final = out
+        return final
+
+    def _sse(self, request: web.Request) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            },
+        )
+        return resp
+
+    async def _write_sse(self, resp: web.StreamResponse, data: Any):
+        if isinstance(data, str):
+            payload = data
+        else:
+            payload = json.dumps(data, separators=(",", ":"))
+        await resp.write(f"data: {payload}\n\n".encode())
+
+    # ---------------------------------------------------------------- routes
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="ok")
+
+    async def health_generate(self, request: web.Request) -> web.Response:
+        out = await self.engine.async_generate(
+            input_ids=[1],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        ok = bool(out and out["meta_info"]["completion_tokens"] >= 1)
+        return web.Response(text="ok" if ok else "fail", status=200 if ok else 503)
+
+    async def get_model_info(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "model_path": self.server_args.model_path,
+                "tokenizer_path": self.server_args.tokenizer_path,
+                "served_model_name": self.model_name,
+                "is_generation": True,
+            }
+        )
+
+    async def get_server_info(self, request: web.Request) -> web.Response:
+        info = self.engine.get_server_info()
+        info["uptime"] = time.time() - self._start_time
+        info.update(self.server_args.to_dict())
+        return web.json_response(info)
+
+    async def list_models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            ModelList(data=[ModelCard(id=self.model_name)]).model_dump()
+        )
+
+    async def flush_cache(self, request: web.Request) -> web.Response:
+        self.engine.flush_cache()
+        return web.Response(text="Cache flushed.")
+
+    async def abort_request(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.abort_request(body.get("rid", ""))
+        return web.Response(text="ok")
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        from prometheus_client import generate_latest
+
+        return web.Response(
+            body=generate_latest(),
+            content_type="text/plain",
+        )
+
+    # ---------------------------------------------------------- /generate
+    async def generate(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        stream = bool(body.get("stream", False))
+        kwargs = dict(
+            prompt=body.get("text"),
+            input_ids=body.get("input_ids"),
+            sampling_params=body.get("sampling_params"),
+            rid=body.get("rid"),
+            stream=stream,
+        )
+        if not stream:
+            # batch or single
+            texts = kwargs["prompt"]
+            ids = kwargs["input_ids"]
+            is_batch = isinstance(texts, list) or (
+                ids is not None and ids and isinstance(ids[0], list)
+            )
+            if is_batch:
+                loop = asyncio.get_running_loop()
+                out = await loop.run_in_executor(
+                    None,
+                    lambda: self.engine.generate(
+                        prompt=texts,
+                        input_ids=ids,
+                        sampling_params=kwargs["sampling_params"],
+                    ),
+                )
+                return web.json_response(out)
+            out = await self.engine.async_generate(**kwargs)
+            return web.json_response(out)
+
+        gen = await self.engine.async_generate(**kwargs)
+        resp = self._sse(request)
+        await resp.prepare(request)
+        async for out in gen:
+            await self._write_sse(resp, out)
+        await self._write_sse(resp, "[DONE]")
+        await resp.write_eof()
+        return resp
+
+    # ------------------------------------------------------ /v1/completions
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        req = CompletionRequest(**await request.json())
+        sp = req.to_sampling_dict(self.server_args.max_new_tokens_default)
+        if req.logprobs is not None:
+            sp["return_logprob"] = True
+
+        # Normalize prompt(s) → list of (prompt_text | None, input_ids | None)
+        prompts: List[tuple] = []
+        p = req.prompt
+        if isinstance(p, str):
+            prompts = [(p, None)]
+        elif isinstance(p, list) and p and isinstance(p[0], int):
+            prompts = [(None, p)]
+        elif isinstance(p, list) and p and isinstance(p[0], str):
+            prompts = [(t, None) for t in p]
+        elif isinstance(p, list) and p and isinstance(p[0], list):
+            prompts = [(None, ids) for ids in p]
+        else:
+            return _error("prompt must be a string or a non-empty list")
+        if req.n > 1:
+            prompts = [pp for pp in prompts for _ in range(req.n)]
+
+        if req.stream:
+            if len(prompts) != 1:
+                return _error("streaming supports a single prompt with n=1")
+            gen = await self.engine.async_generate(
+                prompt=prompts[0][0], input_ids=prompts[0][1],
+                sampling_params=sp, stream=True,
+            )
+            resp = self._sse(request)
+            await resp.prepare(request)
+            cid = CompletionResponse().id
+            sent = 0
+            last_meta = {}
+            async for out in gen:
+                text = out["text"]
+                delta, sent = text[sent:], len(text)
+                last_meta = out["meta_info"]
+                chunk = CompletionResponse(
+                    id=cid,
+                    model=self.model_name,
+                    choices=[
+                        CompletionChoice(
+                            index=0,
+                            text=delta,
+                            finish_reason=_finish_reason(out["meta_info"]),
+                        )
+                    ],
+                )
+                await self._write_sse(resp, chunk.model_dump(exclude_none=True))
+            usage = _usage([last_meta])
+            await self._write_sse(
+                resp,
+                CompletionResponse(
+                    id=cid, model=self.model_name, choices=[], usage=usage
+                ).model_dump(exclude_none=True),
+            )
+            await self._write_sse(resp, "[DONE]")
+            await resp.write_eof()
+            return resp
+
+        outs = await asyncio.gather(
+            *[
+                self.engine.async_generate(
+                    prompt=pt, input_ids=ids, sampling_params=dict(sp)
+                )
+                for pt, ids in prompts
+            ]
+        )
+        choices = []
+        for i, out in enumerate(outs):
+            echo_text = ""
+            if req.echo and prompts[i][0] is not None:
+                echo_text = prompts[i][0]
+            choices.append(
+                CompletionChoice(
+                    index=i,
+                    text=echo_text + out["text"],
+                    finish_reason=_finish_reason(out["meta_info"]) or "length",
+                    matched_stop=out["meta_info"].get("finish_reason", {}).get("matched")
+                    if out["meta_info"].get("finish_reason")
+                    else None,
+                    logprobs=_completion_logprobs(out, self.tokenizer)
+                    if req.logprobs is not None
+                    else None,
+                )
+            )
+        resp_obj = CompletionResponse(
+            model=self.model_name,
+            choices=choices,
+            usage=_usage([o["meta_info"] for o in outs]),
+        )
+        return web.json_response(resp_obj.model_dump(exclude_none=True))
+
+    # ------------------------------------------------- /v1/chat/completions
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        req = ChatCompletionRequest(**await request.json())
+        if not req.messages:
+            return _error("messages must be non-empty")
+        sp = req.to_sampling_dict(self.server_args.max_new_tokens_default)
+        prompt = apply_chat_template(
+            self.tokenizer, req.messages, self.server_args.chat_template
+        )
+
+        if req.stream:
+            gen = await self.engine.async_generate(
+                prompt=prompt, sampling_params=sp, stream=True
+            )
+            resp = self._sse(request)
+            await resp.prepare(request)
+            cid = ChatCompletionResponse().id
+            first = ChatCompletionChunk(
+                id=cid,
+                model=self.model_name,
+                choices=[
+                    ChatCompletionChunkChoice(
+                        index=0, delta=DeltaMessage(role="assistant", content="")
+                    )
+                ],
+            )
+            await self._write_sse(resp, first.model_dump(exclude_none=True))
+            sent = 0
+            last_meta = {}
+            async for out in gen:
+                text = out["text"]
+                delta, sent = text[sent:], len(text)
+                last_meta = out["meta_info"]
+                fr = _finish_reason(out["meta_info"])
+                chunk = ChatCompletionChunk(
+                    id=cid,
+                    model=self.model_name,
+                    choices=[
+                        ChatCompletionChunkChoice(
+                            index=0,
+                            delta=DeltaMessage(content=delta),
+                            finish_reason=fr,
+                        )
+                    ],
+                )
+                await self._write_sse(resp, chunk.model_dump(exclude_none=True))
+            usage = _usage([last_meta])
+            await self._write_sse(
+                resp,
+                ChatCompletionChunk(
+                    id=cid, model=self.model_name, choices=[], usage=usage
+                ).model_dump(exclude_none=True),
+            )
+            await self._write_sse(resp, "[DONE]")
+            await resp.write_eof()
+            return resp
+
+        n = max(req.n, 1)
+        outs = await asyncio.gather(
+            *[
+                self.engine.async_generate(
+                    prompt=prompt, sampling_params=dict(sp)
+                )
+                for _ in range(n)
+            ]
+        )
+        choices = []
+        for i, out in enumerate(outs):
+            lp = None
+            if req.logprobs:
+                lps = out["meta_info"].get("output_token_logprobs") or []
+                lp = {
+                    "content": [
+                        {
+                            "token": self.tokenizer.convert_ids_to_tokens([tid])[0]
+                            if self.tokenizer is not None
+                            else str(tid),
+                            "logprob": logprob,
+                            "bytes": None,
+                            "top_logprobs": [],
+                        }
+                        for logprob, tid, _ in lps
+                    ]
+                }
+            choices.append(
+                ChatCompletionChoice(
+                    index=i,
+                    message=ChatMessage(role="assistant", content=out["text"]),
+                    finish_reason=_finish_reason(out["meta_info"]) or "length",
+                    logprobs=lp,
+                )
+            )
+        resp_obj = ChatCompletionResponse(
+            model=self.model_name,
+            choices=choices,
+            usage=_usage([o["meta_info"] for o in outs]),
+        )
+        return web.json_response(resp_obj.model_dump(exclude_none=True))
+
+
+def build_app(engine: Engine, server_args: ServerArgs) -> web.Application:
+    return HttpServer(engine, server_args).app
+
+
+def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
+    """Blocking server entry (reference http_server.py:2479)."""
+    if engine is None:
+        engine = Engine(server_args=server_args)
+    app = build_app(engine, server_args)
+    logger.info(
+        "HTTP server listening on http://%s:%d",
+        server_args.host,
+        server_args.port,
+    )
+    web.run_app(
+        app, host=server_args.host, port=server_args.port, print=None,
+        access_log=logger if server_args.log_requests else None,
+    )

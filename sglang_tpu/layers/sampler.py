@@ -35,27 +35,111 @@ class SamplingTensors:
     top_p: jnp.ndarray  # [B] f32
     top_k: jnp.ndarray  # [B] i32; -1 = disabled
     min_p: jnp.ndarray  # [B] f32
+    presence_penalty: jnp.ndarray  # [B] f32
+    frequency_penalty: jnp.ndarray  # [B] f32
+    repetition_penalty: jnp.ndarray  # [B] f32; 1 = disabled
+    min_new_remaining: jnp.ndarray  # [B] i32; >0 → suppress EOS
+
+
+ST_COLS = 8
 
 
 def pack_sampling_params(reqs, B: int) -> np.ndarray:
-    """Host-side: one [B, 4] f32 buffer (single transfer): temp/top_p/top_k/min_p."""
-    buf = np.zeros((B, 4), np.float32)
+    """Host-side: ONE [B, 8] f32 buffer (single transfer):
+    temp / top_p / top_k / min_p / presence / frequency / repetition /
+    min_new_remaining."""
+    buf = np.zeros((B, ST_COLS), np.float32)
     buf[:, 1] = 1.0  # top_p default
     buf[:, 2] = -1.0  # top_k disabled
+    buf[:, 6] = 1.0  # repetition disabled
     for i, r in enumerate(reqs):
         sp = r.sampling_params
-        buf[i] = (sp.temperature, sp.top_p, float(sp.top_k), sp.min_p)
+        buf[i, :4] = (sp.temperature, sp.top_p, float(sp.top_k), sp.min_p)
+        buf[i, 4] = sp.presence_penalty
+        buf[i, 5] = sp.frequency_penalty
+        buf[i, 6] = sp.repetition_penalty
+        buf[i, 7] = max(sp.min_new_tokens - len(r.output_ids), 0)
     return buf
 
 
 def unpack_sampling_params(packed: jnp.ndarray) -> SamplingTensors:
-    """In-jit: unpack the [B, 4] buffer."""
+    """In-jit: unpack the [B, 8] buffer."""
     return SamplingTensors(
         temperature=packed[:, 0],
         top_p=packed[:, 1],
         top_k=packed[:, 2].astype(jnp.int32),
         min_p=packed[:, 3],
+        presence_penalty=packed[:, 4],
+        frequency_penalty=packed[:, 5],
+        repetition_penalty=packed[:, 6],
+        min_new_remaining=packed[:, 7].astype(jnp.int32),
     )
+
+
+def needs_penalties(reqs) -> bool:
+    return any(
+        r.sampling_params.presence_penalty != 0.0
+        or r.sampling_params.frequency_penalty != 0.0
+        or r.sampling_params.repetition_penalty != 1.0
+        for r in reqs
+    )
+
+
+def pack_penalty_table(reqs, B: int, cap: int = 2048) -> np.ndarray:
+    """Host-side [B, W, 2] int32 (token_id, output_count) distinct-token
+    table; prompt tokens enter with count 0 (repetition penalty covers
+    prompt+output — HF semantics; presence/frequency cover output only —
+    OpenAI semantics).  Unused entries have token_id -1.
+    """
+    from collections import Counter
+
+    from sglang_tpu.utils import next_power_of_2
+
+    tables = []
+    w_max = 1
+    for r in reqs:
+        c = Counter(r.output_ids)
+        for t in r.origin_input_ids:
+            if t not in c:
+                c[t] = 0
+        items = list(c.items())[:cap]
+        tables.append(items)
+        w_max = max(w_max, len(items))
+    W = min(next_power_of_2(w_max), cap)
+    buf = np.full((B, W, 2), -1, np.int32)
+    buf[:, :, 1] = 0
+    for i, items in enumerate(tables):
+        for j, (tok, cnt) in enumerate(items[:W]):
+            buf[i, j] = (tok, cnt)
+    return buf
+
+
+def build_penalty_state(table: jnp.ndarray, V: int):
+    """In-jit: [B, W, 2] table → (counts [B, V] f32, appeared [B, V] f32).
+
+    counts = output-token occurrence counts; appeared = 1 where the token
+    occurs in prompt or output (repetition-penalty domain).
+    """
+    B, W, _ = table.shape
+    tok = table[:, :, 0]
+    cnt = table[:, :, 1].astype(jnp.float32)
+    valid = tok >= 0
+    tok = jnp.where(valid, tok, 0)
+    b_idx = jnp.broadcast_to(np.arange(B, dtype=np.int32)[:, None], (B, W))
+    counts = jnp.zeros((B, V), jnp.float32)
+    counts = counts.at[b_idx, tok].add(jnp.where(valid, cnt, 0.0))
+    appeared = jnp.zeros((B, V), jnp.float32)
+    appeared = appeared.at[b_idx, tok].max(jnp.where(valid, 1.0, 0.0))
+    return counts, appeared
+
+
+def update_penalty_state(counts, appeared, new_tokens: jnp.ndarray):
+    """In-jit decode-loop update after sampling ``new_tokens`` [B]."""
+    B = new_tokens.shape[0]
+    b_idx = np.arange(B, dtype=np.int32)
+    counts = counts.at[b_idx, new_tokens].add(1.0)
+    appeared = appeared.at[b_idx, new_tokens].max(1.0)
+    return counts, appeared
 
 
 TOP_CAP = 64  # truncated-sampling window; boundary beyond this is clipped
@@ -123,22 +207,29 @@ def sample(
 
 
 def apply_penalties(
-    logits: jnp.ndarray,  # [B, V]
-    output_counts: jnp.ndarray,  # [B, V] int32 counts of generated tokens
-    presence_penalty: jnp.ndarray,  # [B]
-    frequency_penalty: jnp.ndarray,  # [B]
-    repetition_penalty: jnp.ndarray,  # [B]
+    logits: jnp.ndarray,  # [B, V] f32
+    counts: jnp.ndarray,  # [B, V] f32 output-token counts
+    appeared: jnp.ndarray,  # [B, V] f32 1 where in prompt|output
+    st: SamplingTensors,
 ) -> jnp.ndarray:
     """OpenAI-style presence/frequency + HF repetition penalties
     (reference: ``sampling/penaltylib/``)."""
-    appeared = output_counts > 0
-    logits = logits - st_cast(frequency_penalty)[:, None] * output_counts
-    logits = logits - st_cast(presence_penalty)[:, None] * appeared
-    rp = repetition_penalty[:, None]
+    out_appeared = counts > 0
+    logits = logits - st.frequency_penalty[:, None] * counts
+    logits = logits - st.presence_penalty[:, None] * jnp.where(
+        out_appeared, 1.0, 0.0
+    )
+    rp = st.repetition_penalty[:, None]
     penalized = jnp.where(logits > 0, logits / rp, logits * rp)
-    logits = jnp.where(appeared, penalized, logits)
+    logits = jnp.where(appeared > 0, penalized, logits)
     return logits
 
 
-def st_cast(x):
-    return x.astype(jnp.float32)
+def suppress_eos(
+    logits: jnp.ndarray,  # [B, V] f32
+    min_new_remaining: jnp.ndarray,  # [B] i32
+    eos_mask: np.ndarray,  # [V] bool (host constant)
+) -> jnp.ndarray:
+    """min_new_tokens enforcement (reference penaltylib min-new-tokens)."""
+    active = (min_new_remaining > 0)[:, None]
+    return jnp.where(active & eos_mask[None, :], NEG_INF, logits)

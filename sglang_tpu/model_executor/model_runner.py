@@ -34,8 +34,12 @@ from sglang_tpu.core.allocator import PageAllocator
 from sglang_tpu.core.memory_pool import KVCachePool
 from sglang_tpu.environ import envs
 from sglang_tpu.layers.sampler import (
+    apply_penalties,
+    build_penalty_state,
     sample,
+    suppress_eos,
     unpack_sampling_params,
+    update_penalty_state,
 )
 from sglang_tpu.model_executor.forward_batch import (
     decode_step_batch,
@@ -156,8 +160,13 @@ class ModelRunner:
             jax.random.PRNGKey(server_args.random_seed), rng_dst
         )
         self._step_counter = 0
-        self._extend_fns: Dict[Tuple[int, int, int], Callable] = {}
-        self._decode_fns: Dict[Tuple[int, int, int], Callable] = {}
+        self._extend_fns: Dict[Tuple, Callable] = {}
+        self._decode_fns: Dict[Tuple, Callable] = {}
+        eos_mask = np.zeros((model_config.vocab_size,), bool)
+        for t in model_config.eos_token_ids:
+            if 0 <= t < model_config.vocab_size:
+                eos_mask[t] = True
+        self._eos_mask = eos_mask
 
         # Absorb the one-time device->host transfer setup cost at startup
         # (first fetch over a tunneled device link can take tens of seconds).
@@ -187,12 +196,16 @@ class ModelRunner:
             attn_backend=self.attn_backend,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, L, P, all_greedy=False):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, rng, step, *, B, L, P, all_greedy=False, use_pen=False):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
         logits = self.model.compute_logits(params, hidden)
         st = unpack_sampling_params(st_packed)
+        if use_pen:
+            counts, appeared = build_penalty_state(pen, logits.shape[-1])
+            logits = apply_penalties(logits, counts, appeared, st)
+        logits = suppress_eos(logits, st.min_new_remaining, self._eos_mask)
         tokens, logprobs = sample(
             logits, st, jax.random.fold_in(rng, step), all_greedy=all_greedy
         )
@@ -201,27 +214,39 @@ class ModelRunner:
         out = jnp.stack([tokens.astype(jnp.float32), logprobs])
         return out, kv_cache
 
-    def _decode_impl(self, params, kv_cache, packed, st_packed, rng, step, *, B, P, K, all_greedy=False):
+    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, rng, step, *, B, P, K, all_greedy=False, use_pen=False):
         """K fused decode steps; tokens chain on device via lax.scan."""
         first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
         st = unpack_sampling_params(st_packed)
         rng = jax.random.fold_in(rng, step)
+        pen_state = None
+        if use_pen:
+            V = self.model_config.vocab_size
+            pen_state = build_penalty_state(pen, V)
 
         def body(carry, k):
-            kv, tokens = carry
+            kv, tokens, pstate = carry
             batch = decode_step_batch(
                 tokens, seq_lens0, page_table, k, self.kv_pool.page_size
             )
             hidden, kv = self._forward_batch(params, kv, batch)
             logits = self.model.compute_logits(params, hidden)
+            if use_pen:
+                counts, appeared = pstate
+                logits = apply_penalties(logits, counts, appeared, st)
+            logits = suppress_eos(
+                logits, st.min_new_remaining - k, self._eos_mask
+            )
             new_tokens, logprobs = sample(
                 logits, st, jax.random.fold_in(rng, k), all_greedy=all_greedy
             )
-            return (kv, new_tokens), (new_tokens, logprobs)
+            if use_pen:
+                pstate = update_penalty_state(counts, appeared, new_tokens)
+            return (kv, new_tokens, pstate), (new_tokens, logprobs)
 
-        (kv_cache, _), (all_tokens, all_logprobs) = jax.lax.scan(
+        (kv_cache, _, _), (all_tokens, all_logprobs) = jax.lax.scan(
             body,
-            (kv_cache, first_tokens),
+            (kv_cache, first_tokens, pen_state),
             np.arange(K, dtype=np.int32),
         )
         out = jnp.stack(
@@ -230,28 +255,36 @@ class ModelRunner:
         return out, kv_cache
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy):
-        key = (B, L, P, all_greedy)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen):
+        key = (B, L, P, all_greedy, use_pen)
         fn = self._extend_fns.get(key)
         if fn is None:
-            logger.info("compiling extend: B=%d L=%d P=%d greedy=%s", B, L, P, all_greedy)
+            logger.info(
+                "compiling extend: B=%d L=%d P=%d greedy=%s pen=%s",
+                B, L, P, all_greedy, use_pen,
+            )
             fn = jax.jit(
                 functools.partial(
-                    self._extend_impl, B=B, L=L, P=P, all_greedy=all_greedy
+                    self._extend_impl,
+                    B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
                 ),
                 donate_argnums=(1,),
             )
             self._extend_fns[key] = fn
         return fn
 
-    def _get_decode_fn(self, B, P, K, all_greedy):
-        key = (B, P, K, all_greedy)
+    def _get_decode_fn(self, B, P, K, all_greedy, use_pen):
+        key = (B, P, K, all_greedy, use_pen)
         fn = self._decode_fns.get(key)
         if fn is None:
-            logger.info("compiling decode: B=%d P=%d K=%d greedy=%s", B, P, K, all_greedy)
+            logger.info(
+                "compiling decode: B=%d P=%d K=%d greedy=%s pen=%s",
+                B, P, K, all_greedy, use_pen,
+            )
             fn = jax.jit(
                 functools.partial(
-                    self._decode_impl, B=B, P=P, K=K, all_greedy=all_greedy
+                    self._decode_impl,
+                    B=B, P=P, K=K, all_greedy=all_greedy, use_pen=use_pen,
                 ),
                 donate_argnums=(1,),
             )
@@ -259,17 +292,26 @@ class ModelRunner:
         return fn
 
     def extend_step(
-        self, packed: np.ndarray, st_packed: np.ndarray, B: int, L: int, P: int
+        self,
+        packed: np.ndarray,
+        st_packed: np.ndarray,
+        B: int,
+        L: int,
+        P: int,
+        pen: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32)."""
         self._step_counter += 1
         # Static greedy hint: padded rows have temperature 0 by construction.
-        fn = self._get_extend_fn(B, L, P, bool((st_packed[:, 0] <= 0).all()))
+        fn = self._get_extend_fn(
+            B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None
+        )
         out, self.kv_cache = fn(
             self.params,
             self.kv_cache,
             packed,
             st_packed,
+            pen if pen is not None else np.zeros((B, 1, 2), np.int32),
             self._base_rng,
             np.int32(self._step_counter),
         )
@@ -277,16 +319,25 @@ class ModelRunner:
         return out[0].astype(np.int64), out[1]
 
     def decode_window(
-        self, packed: np.ndarray, st_packed: np.ndarray, B: int, P: int, K: int
+        self,
+        packed: np.ndarray,
+        st_packed: np.ndarray,
+        B: int,
+        P: int,
+        K: int,
+        pen: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run K fused decode steps; returns (tokens [K, B], logprobs [K, B])."""
         self._step_counter += 1
-        fn = self._get_decode_fn(B, P, K, bool((st_packed[:, 0] <= 0).all()))
+        fn = self._get_decode_fn(
+            B, P, K, bool((st_packed[:, 0] <= 0).all()), pen is not None
+        )
         out, self.kv_cache = fn(
             self.params,
             self.kv_cache,
             packed,
             st_packed,
+            pen if pen is not None else np.zeros((B, 1, 2), np.int32),
             self._base_rng,
             np.int32(self._step_counter),
         )

@@ -1,0 +1,240 @@
+"""HTTP API integration: native /generate + OpenAI completions/chat, SSE."""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import httpx
+import pytest
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.entrypoints.engine import Engine
+from sglang_tpu.entrypoints.http_server import build_app
+from sglang_tpu.model_executor.model_runner import ModelRunner
+from sglang_tpu.server_args import ServerArgs
+
+TINY_HF = {
+    "architectures": ["LlamaForCausalLM"],
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 8,
+    "num_key_value_heads": 8,
+    "head_dim": 16,
+    "vocab_size": 512,
+    "max_position_embeddings": 1024,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 257,
+    "model_type": "llama",
+}
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server():
+    from aiohttp import web
+
+    args = ServerArgs(
+        model_path="dummy://tiny",
+        tokenizer_path="test:byte",
+        load_format="dummy",
+        dtype="bfloat16",
+        page_size=8,
+        max_total_tokens=8192,
+        chunked_prefill_size=128,
+        host="127.0.0.1",
+        port=_free_port(),
+        served_model_name="tiny-test",
+    )
+    runner = ModelRunner(
+        args, model_config=ModelConfig.from_hf_dict(TINY_HF, dtype="bfloat16")
+    )
+    eng = Engine(server_args=args, model_runner=runner)
+    app = build_app(eng, args)
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    runner_ref = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def start():
+            r = web.AppRunner(app)
+            await r.setup()
+            site = web.TCPSite(r, args.host, args.port)
+            await site.start()
+            runner_ref["runner"] = r
+            started.set()
+
+        loop.run_until_complete(start())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(timeout=30)
+    base = f"http://{args.host}:{args.port}"
+    # wait until responsive
+    for _ in range(50):
+        try:
+            if httpx.get(base + "/health", timeout=2).status_code == 200:
+                break
+        except Exception:
+            time.sleep(0.2)
+    yield base
+    loop.call_soon_threadsafe(loop.stop)
+    eng.shutdown()
+
+
+def test_health_and_info(server):
+    assert httpx.get(server + "/health").text == "ok"
+    info = httpx.get(server + "/get_model_info").json()
+    assert info["served_model_name"] == "tiny-test"
+    models = httpx.get(server + "/v1/models").json()
+    assert models["data"][0]["id"] == "tiny-test"
+    sinfo = httpx.get(server + "/get_server_info").json()
+    assert "num_running" in sinfo
+
+
+def test_native_generate(server):
+    r = httpx.post(
+        server + "/generate",
+        json={
+            "text": "hello world",
+            "sampling_params": {
+                "temperature": 0,
+                "max_new_tokens": 8,
+                "ignore_eos": True,
+            },
+        },
+        timeout=120,
+    )
+    out = r.json()
+    assert len(out["output_ids"]) == 8
+    assert out["meta_info"]["completion_tokens"] == 8
+
+
+def test_native_generate_stream(server):
+    with httpx.stream(
+        "POST",
+        server + "/generate",
+        json={
+            "text": "hello",
+            "stream": True,
+            "sampling_params": {
+                "temperature": 0,
+                "max_new_tokens": 6,
+                "ignore_eos": True,
+            },
+        },
+        timeout=120,
+    ) as r:
+        events = []
+        for line in r.iter_lines():
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    final = json.loads(events[-2])
+    assert final["meta_info"]["completion_tokens"] == 6
+
+
+def test_openai_completions(server):
+    r = httpx.post(
+        server + "/v1/completions",
+        json={
+            "model": "tiny-test",
+            "prompt": "abc",
+            "max_tokens": 5,
+            "temperature": 0,
+            "ignore_eos": True,
+            "n": 2,
+        },
+        timeout=120,
+    )
+    out = r.json()
+    assert out["object"] == "text_completion"
+    assert len(out["choices"]) == 2
+    assert out["usage"]["completion_tokens"] == 10
+
+
+def test_openai_completions_token_ids_and_logprobs(server):
+    r = httpx.post(
+        server + "/v1/completions",
+        json={
+            "model": "tiny-test",
+            "prompt": [3, 4, 5, 6],
+            "max_tokens": 4,
+            "temperature": 0,
+            "ignore_eos": True,
+            "logprobs": 1,
+        },
+        timeout=120,
+    )
+    out = r.json()
+    lp = out["choices"][0]["logprobs"]
+    assert len(lp["token_logprobs"]) == 4
+    assert all(isinstance(x, float) for x in lp["token_logprobs"])
+
+
+def test_openai_chat(server):
+    r = httpx.post(
+        server + "/v1/chat/completions",
+        json={
+            "model": "tiny-test",
+            "messages": [
+                {"role": "system", "content": "be brief"},
+                {"role": "user", "content": "hi"},
+            ],
+            "max_tokens": 5,
+            "temperature": 0.7,
+            "top_p": 0.9,
+            "ignore_eos": True,
+        },
+        timeout=120,
+    )
+    out = r.json()
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert out["usage"]["completion_tokens"] == 5
+
+
+def test_openai_chat_stream(server):
+    with httpx.stream(
+        "POST",
+        server + "/v1/chat/completions",
+        json={
+            "model": "tiny-test",
+            "messages": [{"role": "user", "content": "count"}],
+            "max_tokens": 6,
+            "temperature": 0,
+            "ignore_eos": True,
+            "stream": True,
+        },
+        timeout=120,
+    ) as r:
+        events = []
+        for line in r.iter_lines():
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    first = json.loads(events[0])
+    assert first["choices"][0]["delta"]["role"] == "assistant"
+    usage_chunk = json.loads(events[-2])
+    assert usage_chunk["usage"]["completion_tokens"] == 6
+
+
+def test_abort_and_flush(server):
+    assert httpx.post(server + "/flush_cache").status_code == 200
+    assert (
+        httpx.post(server + "/abort_request", json={"rid": "nope"}).status_code
+        == 200
+    )

@@ -13,6 +13,10 @@ def make_st(B, temperature=1.0, top_p=1.0, top_k=-1, min_p=0.0):
         top_p=jnp.full((B,), top_p, jnp.float32),
         top_k=jnp.full((B,), top_k, jnp.int32),
         min_p=jnp.full((B,), min_p, jnp.float32),
+        presence_penalty=jnp.zeros((B,), jnp.float32),
+        frequency_penalty=jnp.zeros((B,), jnp.float32),
+        repetition_penalty=jnp.ones((B,), jnp.float32),
+        min_new_remaining=jnp.zeros((B,), jnp.int32),
     )
 
 
@@ -69,6 +73,10 @@ def test_mixed_greedy_and_sampling_batch():
         top_p=jnp.asarray([1.0, 1.0], jnp.float32),
         top_k=jnp.asarray([-1, -1], jnp.int32),
         min_p=jnp.asarray([0.0, 0.0], jnp.float32),
+        presence_penalty=jnp.zeros((2,), jnp.float32),
+        frequency_penalty=jnp.zeros((2,), jnp.float32),
+        repetition_penalty=jnp.ones((2,), jnp.float32),
+        min_new_remaining=jnp.zeros((2,), jnp.int32),
     )
     tokens, _ = sample(logits, st, rng)
     assert int(tokens[0]) == int(jnp.argmax(logits[0]))
