@@ -85,6 +85,18 @@ class Scheduler:
         self.num_generated_tokens = 0
         self.last_decode_tokens_per_s = 0.0
 
+        self.metrics = None
+        if server_args.enable_metrics:
+            from sglang_tpu.observability.metrics import get_metrics
+
+            self.metrics = get_metrics(server_args.served_model_name or "")
+        from sglang_tpu.utils.watchdog import Watchdog
+
+        self.watchdog = Watchdog(
+            timeout=server_args.watchdog_timeout, hard=True, name="scheduler"
+        )
+        self.watchdog.start()
+
     # ---------------------------------------------------------------- input
     def add_request(self, req: Req):
         self.input_queue.put(req)
@@ -374,11 +386,17 @@ class Scheduler:
         # re-prefilling prompt+outputs (reference keeps output ids).
         self.waiting.insert(0, victim)
         self.ratio_tracker.on_retract()
+        if self.metrics is not None:
+            self.metrics.num_retracted.inc()
         logger.info("Retracted %s under memory pressure", victim.rid)
 
     # ----------------------------------------------------------------- step
     def step(self, block: bool = False) -> bool:
         """One scheduler iteration. Returns True if a batch ran."""
+        self.watchdog.heartbeat()
+        self.watchdog.set_busy(
+            bool(self.running.reqs or self.waiting or self.chunked_req)
+        )
         self._process_inputs(block=block)
         batch = self._get_prefill_batch()
         if batch is not None:
@@ -484,6 +502,15 @@ class Scheduler:
             )
             if req.finished:
                 self.reqs_by_rid.pop(req.rid, None)
+                if self.metrics is not None:
+                    self.metrics.observe_finished(req)
+        if self.metrics is not None:
+            total = self.allocator.num_pages
+            self.metrics.set_queue_state(
+                len(self.running.reqs),
+                len(self.waiting),
+                1.0 - self.allocator.num_free_pages / max(total, 1),
+            )
         self.output_callback(updates)
 
     # ------------------------------------------------------------ main loop
@@ -500,6 +527,7 @@ class Scheduler:
 
     def shutdown(self):
         self._shutdown.set()
+        self.watchdog.stop()
         self.input_queue.put(None)
 
     # ------------------------------------------------------------ metrics

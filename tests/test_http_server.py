@@ -238,3 +238,41 @@ def test_abort_and_flush(server):
         httpx.post(server + "/abort_request", json={"rid": "nope"}).status_code
         == 200
     )
+
+
+def test_bench_serving_client(server):
+    """The load-gen client measures TTFT/ITL against the live test server."""
+    from sglang_tpu.bench_serving import main as bench_main
+
+    metrics = bench_main(
+        [
+            "--base-url", server,
+            "--num-prompts", "8",
+            "--concurrency", "4",
+            "--input-len", "16",
+            "--output-len", "8",
+        ]
+    )
+    assert metrics["completed"] == 8
+    assert metrics["failed"] == 0
+    assert metrics["output_token_throughput_tok_s"] > 0
+    assert metrics["mean_ttft_ms"] > 0
+
+
+def test_engine_metrics_observe():
+    from sglang_tpu.core.req import Req
+    from sglang_tpu.core.sampling_params import SamplingParams
+    from sglang_tpu.observability.metrics import get_metrics
+
+    m = get_metrics("tiny-test")
+    req = Req(rid="x", input_ids=[1, 2, 3], sampling_params=SamplingParams())
+    req.append_output_token(5)
+    req.append_output_token(6)
+    req._finish(__import__("sglang_tpu.core.req", fromlist=["FinishReason"]).FinishReason.EOS)
+    m.observe_finished(req)
+    m.set_queue_state(2, 1, 0.5)
+    from prometheus_client import generate_latest
+
+    text = generate_latest().decode()
+    assert "sglang_tpu_generation_tokens_total" in text
+    assert "sglang_tpu_time_to_first_token_seconds" in text
