@@ -81,6 +81,7 @@ class Scheduler:
         ] or [server_args.max_running_requests]
 
         self._shutdown = threading.Event()
+        self.dead = False
         self.num_steps = 0
         self.num_generated_tokens = 0
         self.last_decode_tokens_per_s = 0.0
@@ -523,7 +524,29 @@ class Scheduler:
             idle = not (
                 self.running.reqs or self.waiting or self.chunked_req
             )
-            self.step(block=idle)
+            try:
+                self.step(block=idle)
+            except Exception:
+                # A dead scheduler must not leave callers blocked forever:
+                # abort everything in flight, mark dead, and re-raise
+                # (reference: SubprocessWatchdog kills the tree on child
+                # crash, engine.py:895).
+                logger.exception(
+                    "Scheduler loop crashed; aborting in-flight requests"
+                )
+                self.dead = True
+                self._crash_abort_all()
+                raise
+
+    def _crash_abort_all(self):
+        reqs = [r for r in self.reqs_by_rid.values() if not r.finished]
+        for r in reqs:
+            r.abort()
+        if reqs:
+            self._emit_updates(reqs)
+        self.waiting.clear()
+        self.running.reqs.clear()
+        self.chunked_req = None
 
     def shutdown(self):
         self._shutdown.set()

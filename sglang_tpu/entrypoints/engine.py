@@ -124,6 +124,10 @@ class Engine:
             input_ids = self.tokenizer.encode(prompt)
         if len(input_ids) == 0:
             raise ValueError("input must contain at least one token")
+        if self.scheduler.dead:
+            raise RuntimeError(
+                "engine scheduler has crashed; see logs for the traceback"
+            )
         rid = rid or uuid.uuid4().hex
         req = Req(
             rid=rid,

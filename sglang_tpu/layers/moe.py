@@ -1,0 +1,92 @@
+"""Sparse Mixture-of-Experts block.
+
+Equivalent role to the reference's ``layers/moe/`` stack (``topk.py``
+softmax top-k gating, ``fused_moe_triton/layer.py:139`` FusedMoE,
+``moe_runner/``) — TPU-native:
+
+* Gating, sort-by-expert, and combine are plain XLA ops on static shapes
+  (T*topk tokens).
+* The grouped expert GEMM uses ``jax.lax.ragged_dot`` — XLA's native
+  ragged grouped matmul (the analogue of the reference's grouped-GEMM
+  kernels, ``sgl-kernel/csrc/moe/``) which tiles each expert's row-group
+  onto the MXU without materializing per-expert padding.
+* TP sharding: expert weights shard on the ffn dim over the ``tp`` axis
+  exactly like the dense MLP; XLA inserts the allreduce after w2.
+  Expert-parallel (experts sharded over devices with all_to_all dispatch)
+  lands with the multi-host work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.layers.activation import get_act_fn
+
+
+def moe_topk(
+    gate_logits: jnp.ndarray,  # [T, E] f32
+    top_k: int,
+    norm_topk_prob: bool = True,
+    gate_bias: Optional[jnp.ndarray] = None,  # [E] (deepseek-style e-score bias)
+):
+    """Softmax gating → (weights [T, k] f32, expert ids [T, k] i32).
+
+    Reference: ``layers/moe/topk.py`` (softmax top-k with optional
+    renormalization — Mixtral/Qwen semantics).
+    """
+    probs = jax.nn.softmax(gate_logits.astype(jnp.float32), axis=-1)
+    select = probs if gate_bias is None else probs + gate_bias
+    _, idx = jax.lax.top_k(select, top_k)  # E is small; exact top_k is cheap
+    w = jnp.take_along_axis(probs, idx, axis=-1)
+    if norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w, idx.astype(jnp.int32)
+
+
+def moe_block(
+    hidden: jnp.ndarray,  # [B, L, H]
+    gate_w: jnp.ndarray,  # [H, E]
+    w1: jnp.ndarray,  # [E, H, I]  (gate proj per expert)
+    w3: jnp.ndarray,  # [E, H, I]  (up proj per expert)
+    w2: jnp.ndarray,  # [E, I, H]  (down proj per expert)
+    *,
+    top_k: int,
+    norm_topk_prob: bool = True,
+    hidden_act: str = "silu",
+) -> jnp.ndarray:
+    """Token-choice sparse MoE forward (Mixtral/Qwen family)."""
+    B, L, H = hidden.shape
+    E = gate_w.shape[-1]
+    T = B * L
+    x = hidden.reshape(T, H)
+
+    gate_logits = jnp.einsum(
+        "th,he->te", x, gate_w, preferred_element_type=jnp.float32
+    )
+    weights, expert_idx = moe_topk(gate_logits, top_k, norm_topk_prob)
+
+    # Flatten (token, slot) pairs and sort by expert for the grouped GEMM.
+    flat_expert = expert_idx.reshape(T * top_k)  # [N]
+    flat_token = jnp.repeat(
+        jnp.arange(T, dtype=jnp.int32)[:, None], top_k, axis=1
+    ).reshape(T * top_k)
+    flat_w = weights.reshape(T * top_k)
+    order = jnp.argsort(flat_expert)  # stable; N = T*top_k is small
+    sorted_token = flat_token[order]
+    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
+
+    xs = x[sorted_token]  # [N, H]
+    h1 = jax.lax.ragged_dot(xs, w1, group_sizes)  # [N, I]
+    h3 = jax.lax.ragged_dot(xs, w3, group_sizes)
+    inter = get_act_fn(hidden_act)(h1) * h3
+    out_s = jax.lax.ragged_dot(
+        inter.astype(w2.dtype), w2, group_sizes
+    )  # [N, H]
+
+    out_s = out_s.astype(jnp.float32) * flat_w[order][:, None]
+    out = jnp.zeros((T, H), jnp.float32).at[sorted_token].add(out_s)
+    return out.reshape(B, L, H).astype(hidden.dtype)

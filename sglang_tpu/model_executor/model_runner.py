@@ -176,6 +176,19 @@ class ModelRunner:
     def _pick_attn_backend(self, device) -> str:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
             return "xla"
+        mc = self.model_config
+        # Mosaic sliced HBM DMA requires a 128-aligned lane dim (Hkv*D).
+        hd = (
+            mc.num_key_value_heads
+            // max(self.mesh_ctx.tp_size, 1)
+            * mc.head_dim
+        )
+        if hd % 128 != 0:
+            logger.info(
+                "Pallas attention disabled: kv_heads*head_dim per shard "
+                "= %d is not 128-aligned", hd,
+            )
+            return "xla"
         if device.platform == "tpu":
             try:
                 import sglang_tpu.ops.paged_attention  # noqa: F401

@@ -152,11 +152,26 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                 dest = _tree_get(host, path)
                 if layer_idx is None:
                     np.copyto(dest, tensor.astype(host_dtype, copy=False))
+                elif isinstance(layer_idx, tuple):  # (layer, expert) etc.
+                    sub = dest
+                    for ix in layer_idx[:-1]:
+                        sub = sub[ix]
+                    np.copyto(
+                        sub[layer_idx[-1]],
+                        tensor.astype(host_dtype, copy=False),
+                    )
                 else:
                     np.copyto(
                         dest[layer_idx], tensor.astype(host_dtype, copy=False)
                     )
-                seen.add((path, layer_idx))
+                seen.add(
+                    (
+                        path,
+                        layer_idx[0]
+                        if isinstance(layer_idx, tuple)
+                        else layer_idx,
+                    )
+                )
                 n_loaded += 1
     logger.info("Loaded %d tensors from %d safetensors files", n_loaded, len(files))
 

@@ -57,6 +57,13 @@ class LlamaForCausalLM:
             self.has_qk_norm = True
 
     # ------------------------------------------------------------- params
+    def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
+        return {
+            "gate_proj": (L, H, I),
+            "up_proj": (L, H, I),
+            "down_proj": (L, I, H),
+        }
+
     def param_shapes(self) -> Dict[str, Any]:
         c = self.config
         L, H, I, V = (
@@ -73,9 +80,7 @@ class LlamaForCausalLM:
             "v_proj": (L, H, hkv * d),
             "o_proj": (L, hq * d, H),
             "post_ln": (L, H),
-            "gate_proj": (L, H, I),
-            "up_proj": (L, H, I),
-            "down_proj": (L, I, H),
+            **self._mlp_shapes(L, H, I),
         }
         if self.has_qkv_bias:
             layers["q_bias"] = (L, hq * d)
@@ -89,6 +94,11 @@ class LlamaForCausalLM:
             shapes["lm_head"] = (V, H)
         return shapes
 
+    def _mlp_specs(self) -> Dict[str, Any]:
+        col = P(None, None, AXIS_TP)
+        row = P(None, AXIS_TP, None)
+        return {"gate_proj": col, "up_proj": col, "down_proj": row}
+
     def param_specs(self) -> Dict[str, Any]:
         """PartitionSpecs matching param_shapes (tp sharding)."""
         col = P(None, None, AXIS_TP)  # [L, in, out]: shard out features
@@ -100,9 +110,7 @@ class LlamaForCausalLM:
             "v_proj": col,
             "o_proj": row,
             "post_ln": P(None, None),
-            "gate_proj": col,
-            "up_proj": col,
-            "down_proj": row,
+            **self._mlp_specs(),
         }
         if self.has_qkv_bias:
             layers["q_bias"] = P(None, AXIS_TP)
@@ -249,11 +257,7 @@ class LlamaForCausalLM:
             h = self._shard(h, AXIS_DP, None, None)
             # --- mlp block ---
             normed = rms_norm(h, w["post_ln"], c.rms_norm_eps)
-            gate = normed @ w["gate_proj"]
-            up = normed @ w["up_proj"]
-            inter = act_and_mul(c.hidden_act, gate, up)
-            inter = self._shard(inter, AXIS_DP, None, AXIS_TP)
-            h = h + inter @ w["down_proj"]
+            h = h + self._mlp_forward(w, normed)
             h = self._shard(h, AXIS_DP, None, None)
             return (h, kv, li + 1), None
 
@@ -268,6 +272,14 @@ class LlamaForCausalLM:
         flat = hidden.reshape(B * Lq, -1)
         last_hidden = flat[batch.logits_idx]  # [B, H]
         return last_hidden, kv_cache
+
+    def _mlp_forward(self, w, normed: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        gate = normed @ w["gate_proj"]
+        up = normed @ w["up_proj"]
+        inter = act_and_mul(c.hidden_act, gate, up)
+        inter = self._shard(inter, AXIS_DP, None, AXIS_TP)
+        return inter @ w["down_proj"]
 
     def compute_logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
         """[B, H] → [B, V] float32 (reference: layers/logits_processor.py:326)."""

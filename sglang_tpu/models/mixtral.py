@@ -1,0 +1,108 @@
+"""Mixtral / Qwen-MoE sparse-expert causal LMs.
+
+Equivalent role to the reference's ``srt/models/mixtral.py`` and
+``srt/models/qwen3_moe.py`` — Llama-style attention (inherited) with the
+dense MLP swapped for a token-choice sparse MoE block
+(:mod:`sglang_tpu.layers.moe`).  Expert weights are stacked
+``[L, E, ...]`` so the layer scan and TP sharding work unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.layers.moe import moe_block
+from sglang_tpu.models.llama import LlamaForCausalLM
+from sglang_tpu.parallel.mesh import AXIS_TP
+
+_EXPERT_RE = re.compile(
+    r"(?:block_sparse_moe|mlp)\.experts\.(\d+)\.(w1|w2|w3|gate_proj|up_proj|down_proj)\.weight"
+)
+_GATE_RE = re.compile(r"(?:block_sparse_moe|mlp)\.gate\.weight")
+
+# HF expert tensor name → our stacked param leaf
+_EXPERT_LEAF = {
+    "w1": "moe_w1",  # mixtral: w1 = gate proj
+    "w3": "moe_w3",  # mixtral: w3 = up proj
+    "w2": "moe_w2",  # mixtral: w2 = down proj
+    "gate_proj": "moe_w1",  # qwen-moe naming
+    "up_proj": "moe_w3",
+    "down_proj": "moe_w2",
+}
+
+
+class MixtralForCausalLM(LlamaForCausalLM):
+    """Also serves Qwen2Moe/Qwen3Moe (qk-norm via config detection)."""
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx=mesh_ctx)
+        assert config.num_experts > 0, "MoE model requires num_experts"
+        self.num_experts = config.num_experts
+        self.top_k = config.num_experts_per_tok
+        self.moe_inter = config.moe_intermediate_size or config.intermediate_size
+
+    # ------------------------------------------------------------- params
+    def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
+        E, MI = self.num_experts, self.moe_inter
+        return {
+            "moe_gate": (L, H, E),
+            "moe_w1": (L, E, H, MI),
+            "moe_w3": (L, E, H, MI),
+            "moe_w2": (L, E, MI, H),
+        }
+
+    def _mlp_specs(self) -> Dict[str, Any]:
+        return {
+            "moe_gate": P(None, None, None),
+            "moe_w1": P(None, None, None, AXIS_TP),
+            "moe_w3": P(None, None, None, AXIS_TP),
+            "moe_w2": P(None, None, AXIS_TP, None),
+        }
+
+    # ------------------------------------------------------------- forward
+    def _mlp_forward(self, w, normed: jnp.ndarray) -> jnp.ndarray:
+        return moe_block(
+            normed,
+            w["moe_gate"],
+            w["moe_w1"],
+            w["moe_w3"],
+            w["moe_w2"],
+            top_k=self.top_k,
+            norm_topk_prob=self.config.norm_topk_prob,
+            hidden_act=self.config.hidden_act,
+        )
+
+    # ------------------------------------------------------- weight loading
+    def hf_weight_mapping(self):
+        base = super().hf_weight_mapping()
+
+        def mapping(name: str):
+            parts = name.split(".")
+            if "layers" in parts:
+                li = int(parts[parts.index("layers") + 1])
+                tail = ".".join(parts[parts.index("layers") + 2 :])
+                m = _EXPERT_RE.fullmatch(tail)
+                if m:
+                    expert, leaf = int(m.group(1)), _EXPERT_LEAF[m.group(2)]
+                    return (f"layers.{leaf}", (li, expert), "t")
+                if _GATE_RE.fullmatch(tail):
+                    return ("layers.moe_gate", li, "t")
+            return base(name)
+
+        return mapping
+
+
+class Qwen2MoeForCausalLM(MixtralForCausalLM):
+    has_qkv_bias = True
+
+
+class Qwen3MoeForCausalLM(MixtralForCausalLM):
+    has_qkv_bias = False
+    has_qk_norm = True
+
+
+EntryClass = [MixtralForCausalLM, Qwen2MoeForCausalLM, Qwen3MoeForCausalLM]

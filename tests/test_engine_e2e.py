@@ -113,3 +113,40 @@ def test_abort(tiny_engine):
     tiny_engine.abort_request("abort-me")
     chunks = list(it)
     assert chunks[-1]["finished"]
+
+
+def test_scheduler_crash_does_not_hang(tiny_engine):
+    """A crashed scheduler loop must abort in-flight requests, not hang
+    callers (regression: a jit compile error left generate() blocked)."""
+    import pytest
+
+    eng = tiny_engine
+    # Sanity: engine works.
+    out = eng.generate(
+        input_ids=[1, 2, 3],
+        sampling_params={"temperature": 0.0, "max_new_tokens": 2, "ignore_eos": True},
+    )
+    assert len(out["output_ids"]) == 2
+
+    # Inject a fault into the runner: next window raises.
+    real = eng.scheduler.runner.decode_window
+
+    def boom(*a, **k):
+        raise RuntimeError("injected fault")
+
+    eng.scheduler.runner.decode_window = boom
+    eng.scheduler.runner.extend_step = boom
+    try:
+        out = eng.generate(
+            input_ids=[7, 8, 9],
+            sampling_params={
+                "temperature": 0.0, "max_new_tokens": 4, "ignore_eos": True,
+            },
+        )
+        # Request must come back aborted (not hang).
+        assert out["meta_info"]["finish_reason"]["type"] == "abort"
+        # Scheduler is now dead: new submissions raise.
+        with pytest.raises(RuntimeError):
+            eng.generate(input_ids=[1], sampling_params={"max_new_tokens": 1})
+    finally:
+        eng.scheduler.runner.decode_window = real
