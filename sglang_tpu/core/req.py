@@ -77,6 +77,9 @@ class Req:
         self.finish_time: Optional[float] = None
         self.retract_count = 0
 
+        # constrained decoding state (constrained/token_fsm.GrammarState)
+        self.grammar = None
+
         # streaming bookkeeping (tokens already sent to detokenizer)
         self.sent_output_len = 0
 

@@ -353,8 +353,13 @@ class Scheduler:
             self.max_context_len - r.cached_len for r in self.running.reqs
         )
         K = 1
-        while K * 2 <= min(self.server_args.decode_window_size, headroom):
-            K *= 2
+        # Grammar masks depend on the host FSM state after every token →
+        # grammar batches decode one step per dispatch (the reference
+        # likewise disables overlap for grammar batches, scheduler.py:1665).
+        has_grammar = any(r.grammar is not None for r in self.running.reqs)
+        if not has_grammar:
+            while K * 2 <= min(self.server_args.decode_window_size, headroom):
+                K *= 2
         while True:
             need = sum(
                 max(0, cdiv(r.cached_len + K, self.page_size) - len(r.pages))
@@ -408,8 +413,9 @@ class Scheduler:
                 self.runner.max_pages_per_req,
             )
             packed, st_packed, pen = batch.pack_extend(self.page_size, B, L, P)
+            vmask = self._grammar_masks(batch, B)
             tokens, logprobs = self.runner.extend_step(
-                packed, st_packed, B, L, P, pen=pen
+                packed, st_packed, B, L, P, pen=pen, vmask=vmask
             )
             self._process_prefill_result(batch, tokens, logprobs)
             self.num_steps += 1
@@ -429,8 +435,9 @@ class Scheduler:
             K,
         )
         packed, st_packed, pen = batch.pack_decode(self.page_size, B, P, K)
+        vmask = self._grammar_masks(batch, B)
         tokens, logprobs = self.runner.decode_window(
-            packed, st_packed, B, P, K, pen=pen
+            packed, st_packed, B, P, K, pen=pen, vmask=vmask
         )
         self._process_decode_window(batch, tokens, logprobs, K)
         self.num_steps += 1
@@ -438,6 +445,24 @@ class Scheduler:
         self.last_decode_tokens_per_s = K * len(batch.reqs) / max(dt, 1e-6)
         self.ratio_tracker.step()
         return True
+
+    def _grammar_masks(self, batch: HostBatch, B: int):
+        """Packed vocab bitmask for grammar-constrained rows, or None."""
+        if not any(r.grammar is not None for r in batch.reqs):
+            return None
+        from sglang_tpu.constrained.token_fsm import pack_vocab_masks
+
+        masks = []
+        for r in batch.reqs:
+            # Chunked-prefill middle chunks don't sample; mask only matters
+            # on the chunk that produces a token (harmless otherwise).
+            if r.grammar is not None and not r.grammar.is_terminated:
+                masks.append(r.grammar.fill_vocab_mask())
+            else:
+                masks.append(None)
+        return pack_vocab_masks(
+            masks, B, self.runner.model_config.vocab_size
+        )
 
     # ------------------------------------------------------------- results
     def _process_prefill_result(self, batch: HostBatch, tokens, logprobs):
@@ -452,6 +477,7 @@ class Scheduler:
                 continue
             req.append_output_token(int(tokens[i]), float(logprobs[i]))
             self.num_generated_tokens += 1
+            self._grammar_accept(req, int(tokens[i]))
             if req.check_finished(self.eos_token_ids, self.max_context_len):
                 self._cache_finished(req)
                 updates.append(req)
@@ -474,6 +500,7 @@ class Scheduler:
                 req.cached_len += 1
                 req.append_output_token(int(tokens[k, i]), float(logprobs[k, i]))
                 self.num_generated_tokens += 1
+                self._grammar_accept(req, int(tokens[k, i]))
                 if req.check_finished(self.eos_token_ids, self.max_context_len):
                     self._cache_finished(req)
                     updates.append(req)
@@ -482,6 +509,18 @@ class Scheduler:
         batch.filter_finished()
         if updates:
             self._emit_updates(updates)
+
+    def _grammar_accept(self, req: Req, token: int):
+        if req.grammar is None or req.finished:
+            return
+        req.grammar.accept_token(token)
+        if req.grammar.is_terminated:
+            # Grammar complete → stop regardless of EOS (the FSM allows EOS
+            # only in accept states, so this is the natural end).
+            from sglang_tpu.core.req import FinishReason
+
+            req._finish(FinishReason.EOS)
+            req.matched_stop = None
 
     def _emit_updates(self, reqs: List[Req]):
         updates = []

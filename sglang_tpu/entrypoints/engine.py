@@ -80,6 +80,11 @@ class Engine:
         else:
             self.tokenizer = None
 
+        from sglang_tpu.constrained import GrammarManager
+
+        self.grammar_manager = (
+            GrammarManager(self.tokenizer) if self.tokenizer is not None else None
+        )
         self.scheduler = Scheduler(
             server_args,
             model_runner=model_runner,
@@ -136,6 +141,10 @@ class Engine:
             stream=stream,
             return_logprob=sp.return_logprob,
         )
+        if sp.regex or sp.json_schema or sp.ebnf:
+            if self.grammar_manager is None:
+                raise ValueError("constrained decoding requires a tokenizer")
+            req.grammar = self.grammar_manager.create_state(sp)
         state = _ReqState(req, self.tokenizer, sp)
         with self._states_lock:
             self._states[rid] = state

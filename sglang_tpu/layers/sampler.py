@@ -225,6 +225,19 @@ def apply_penalties(
     return logits
 
 
+def apply_vocab_mask(
+    logits: jnp.ndarray,  # [B, V] f32
+    packed: jnp.ndarray,  # [B, ceil(V/32)] uint32, LSB-first bit per token
+) -> jnp.ndarray:
+    """Grammar bitmask apply (reference: apply_token_bitmask_inplace_cuda,
+    sgl-kernel/csrc/grammar/) — XLA select over unpacked bits."""
+    B, V = logits.shape
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)  # [B, W, 32]
+    mask = bits.reshape(B, -1)[:, :V].astype(bool)
+    return jnp.where(mask, logits, NEG_INF)
+
+
 def suppress_eos(
     logits: jnp.ndarray,  # [B, V] f32
     min_new_remaining: jnp.ndarray,  # [B] i32

@@ -35,6 +35,7 @@ from sglang_tpu.core.memory_pool import KVCachePool
 from sglang_tpu.environ import envs
 from sglang_tpu.layers.sampler import (
     apply_penalties,
+    apply_vocab_mask,
     build_penalty_state,
     sample,
     suppress_eos,
@@ -209,7 +210,7 @@ class ModelRunner:
             attn_backend=self.attn_backend,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, rng, step, *, B, L, P, all_greedy=False, use_pen=False):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
@@ -218,6 +219,8 @@ class ModelRunner:
         if use_pen:
             counts, appeared = build_penalty_state(pen, logits.shape[-1])
             logits = apply_penalties(logits, counts, appeared, st)
+        if use_mask:
+            logits = apply_vocab_mask(logits, vmask)
         logits = suppress_eos(logits, st.min_new_remaining, self._eos_mask)
         tokens, logprobs = sample(
             logits, st, jax.random.fold_in(rng, step), all_greedy=all_greedy
@@ -227,7 +230,7 @@ class ModelRunner:
         out = jnp.stack([tokens.astype(jnp.float32), logprobs])
         return out, kv_cache
 
-    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, rng, step, *, B, P, K, all_greedy=False, use_pen=False):
+    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False):
         """K fused decode steps; tokens chain on device via lax.scan."""
         first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
         st = unpack_sampling_params(st_packed)
@@ -247,6 +250,10 @@ class ModelRunner:
             if use_pen:
                 counts, appeared = pstate
                 logits = apply_penalties(logits, counts, appeared, st)
+            if use_mask:
+                # Grammar batches run K=1 windows (the mask depends on the
+                # host-side FSM state after every token).
+                logits = apply_vocab_mask(logits, vmask)
             logits = suppress_eos(
                 logits, st.min_new_remaining - k, self._eos_mask
             )
@@ -268,36 +275,38 @@ class ModelRunner:
         return out, kv_cache
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen):
-        key = (B, L, P, all_greedy, use_pen)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask):
+        key = (B, L, P, all_greedy, use_pen, use_mask)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
-                "compiling extend: B=%d L=%d P=%d greedy=%s pen=%s",
-                B, L, P, all_greedy, use_pen,
+                "compiling extend: B=%d L=%d P=%d greedy=%s pen=%s mask=%s",
+                B, L, P, all_greedy, use_pen, use_mask,
             )
             fn = jax.jit(
                 functools.partial(
                     self._extend_impl,
                     B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
+                    use_mask=use_mask,
                 ),
                 donate_argnums=(1,),
             )
             self._extend_fns[key] = fn
         return fn
 
-    def _get_decode_fn(self, B, P, K, all_greedy, use_pen):
-        key = (B, P, K, all_greedy, use_pen)
+    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask):
+        key = (B, P, K, all_greedy, use_pen, use_mask)
         fn = self._decode_fns.get(key)
         if fn is None:
             logger.info(
-                "compiling decode: B=%d P=%d K=%d greedy=%s pen=%s",
-                B, P, K, all_greedy, use_pen,
+                "compiling decode: B=%d P=%d K=%d greedy=%s pen=%s mask=%s",
+                B, P, K, all_greedy, use_pen, use_mask,
             )
             fn = jax.jit(
                 functools.partial(
                     self._decode_impl,
                     B=B, P=P, K=K, all_greedy=all_greedy, use_pen=use_pen,
+                    use_mask=use_mask,
                 ),
                 donate_argnums=(1,),
             )
@@ -312,12 +321,14 @@ class ModelRunner:
         L: int,
         P: int,
         pen: Optional[np.ndarray] = None,
+        vmask: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32)."""
         self._step_counter += 1
         # Static greedy hint: padded rows have temperature 0 by construction.
         fn = self._get_extend_fn(
-            B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None
+            B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
+            vmask is not None,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -325,6 +336,7 @@ class ModelRunner:
             packed,
             st_packed,
             pen if pen is not None else np.zeros((B, 1, 2), np.int32),
+            vmask if vmask is not None else np.zeros((B, 1), np.uint32),
             self._base_rng,
             np.int32(self._step_counter),
         )
@@ -339,11 +351,13 @@ class ModelRunner:
         P: int,
         K: int,
         pen: Optional[np.ndarray] = None,
+        vmask: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run K fused decode steps; returns (tokens [K, B], logprobs [K, B])."""
         self._step_counter += 1
         fn = self._get_decode_fn(
-            B, P, K, bool((st_packed[:, 0] <= 0).all()), pen is not None
+            B, P, K, bool((st_packed[:, 0] <= 0).all()), pen is not None,
+            vmask is not None,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -351,6 +365,7 @@ class ModelRunner:
             packed,
             st_packed,
             pen if pen is not None else np.zeros((B, 1, 2), np.int32),
+            vmask if vmask is not None else np.zeros((B, 1), np.uint32),
             self._base_rng,
             np.int32(self._step_counter),
         )

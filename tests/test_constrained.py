@@ -1,0 +1,217 @@
+"""Constrained decoding: regex→DFA engine, JSON-schema compiler, token FSM,
+and engine-level structured output."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sglang_tpu.constrained.json_schema import build_regex_from_schema
+from sglang_tpu.constrained.regex_engine import compile_regex
+from sglang_tpu.constrained.token_fsm import (
+    GrammarState,
+    TokenVocab,
+    compile_regex_fsm,
+    pack_vocab_masks,
+)
+from sglang_tpu.tokenizer_utils import get_tokenizer
+
+
+# ----------------------------------------------------------------- regex DFA
+@pytest.mark.parametrize(
+    "pattern,accept,reject",
+    [
+        (r"abc", ["abc"], ["ab", "abcd", "abd"]),
+        (r"a+b*", ["a", "aab", "abbbb"], ["", "b", "ba"]),
+        (r"(foo|bar)+", ["foo", "barfoo"], ["fo", "ba", "foobaz"]),
+        (r"[a-c]{2,3}", ["ab", "abc", "ccc"], ["a", "abcd", "ad"]),
+        (r"-?(0|[1-9][0-9]*)", ["0", "-7", "123"], ["00", "-", "01"]),
+        (r"a.c", ["abc", "axc"], ["ac", "a\nc"]),
+        (r"\d{3}-\d{4}", ["555-1234"], ["5551234", "55-1234"]),
+        (r"(?:yes|no)?", ["", "yes", "no"], ["y", "yesno"]),
+        (r"[^0-9]+", ["abc!", "x y"], ["a1", ""]),
+        (r"héllo", ["héllo"], ["hello"]),  # utf-8 multibyte literal
+    ],
+)
+def test_regex_dfa(pattern, accept, reject):
+    dfa = compile_regex(pattern)
+    for s in accept:
+        assert dfa.matches(s.encode()), (pattern, s)
+    for s in reject:
+        assert not dfa.matches(s.encode()), (pattern, s)
+
+
+# ---------------------------------------------------------------- JSON schema
+@pytest.mark.parametrize(
+    "schema,good,bad",
+    [
+        (
+            {"type": "object", "properties": {"a": {"type": "integer"}},
+             "required": ["a"]},
+            ['{"a":5}', '{"a": -12}', '{ "a" : 0 }'],
+            ['{"a":"x"}', '{}', '{"a":01}'],
+        ),
+        (
+            {"type": "object",
+             "properties": {"name": {"type": "string"},
+                            "ok": {"type": "boolean"}},
+             "required": ["name", "ok"]},
+            ['{"name":"bob","ok":true}', '{"name":"", "ok":false}'],
+            ['{"name":"bob"}', '{"ok":true,"name":"bob"}'],
+        ),
+        (
+            {"type": "array", "items": {"type": "integer"}, "minItems": 1},
+            ["[1]", "[1, 2,3]"],
+            ["[]", '["a"]'],
+        ),
+        (
+            {"enum": ["red", "green", 7]},
+            ['"red"', '"green"', "7"],
+            ['"blue"', "8"],
+        ),
+        (
+            {"anyOf": [{"type": "integer"}, {"type": "null"}]},
+            ["42", "null"],
+            ['"42"', "nul"],
+        ),
+        (
+            {"type": "number"},
+            ["1.5", "-0.25", "2e10", "0"],
+            ["--1", "1.", ".5"],
+        ),
+    ],
+)
+def test_json_schema_regex(schema, good, bad):
+    pattern = build_regex_from_schema(schema)
+    dfa = compile_regex(pattern)
+    for s in good:
+        assert dfa.matches(s.encode()), (pattern[:80], s)
+    for s in bad:
+        assert not dfa.matches(s.encode()), (pattern[:80], s)
+
+
+def test_json_schema_refs():
+    schema = {
+        "type": "object",
+        "properties": {"color": {"$ref": "#/$defs/color"}},
+        "required": ["color"],
+        "$defs": {"color": {"enum": ["r", "g", "b"]}},
+    }
+    dfa = compile_regex(build_regex_from_schema(schema))
+    assert dfa.matches(b'{"color":"g"}')
+    assert not dfa.matches(b'{"color":"x"}')
+
+
+# ----------------------------------------------------------------- token FSM
+def test_token_fsm_masks_and_walk():
+    tok = get_tokenizer("test:byte")
+    fsm = compile_regex_fsm(r"(ab|cd)+", tok)
+    st = GrammarState(fsm)
+    mask = st.fill_vocab_mask()
+    # only 'a' (97) and 'c' (99) may start
+    allowed = set(np.nonzero(mask)[0].tolist())
+    assert allowed == {ord("a"), ord("c")}
+    assert st.accept_token(ord("a"))
+    allowed = set(np.nonzero(st.fill_vocab_mask())[0].tolist())
+    assert allowed == {ord("b")}
+    assert st.accept_token(ord("b"))
+    # accept state: 'a', 'c', or EOS
+    allowed = set(np.nonzero(st.fill_vocab_mask())[0].tolist())
+    assert allowed == {ord("a"), ord("c"), tok.eos_token_id}
+    assert st.accept_token(tok.eos_token_id)
+    assert st.is_terminated
+
+
+def test_pack_vocab_masks_bit_layout():
+    V = 70
+    m = np.zeros(V, bool)
+    m[0] = m[33] = m[69] = True
+    packed = pack_vocab_masks([m, None], B=2, V=V)
+    assert packed.shape == (2, 3)
+    assert packed[0, 0] == 1  # bit 0
+    assert packed[0, 1] == (1 << 1)  # token 33 → word 1 bit 1
+    assert packed[0, 2] == (1 << 5)  # token 69 → word 2 bit 5
+    assert (packed[1] == 0xFFFFFFFF).all()  # None row allows all
+
+
+def test_apply_vocab_mask_device():
+    import jax.numpy as jnp
+
+    from sglang_tpu.layers.sampler import apply_vocab_mask
+
+    V = 70
+    m = np.zeros(V, bool)
+    m[3] = m[64] = True
+    packed = pack_vocab_masks([m], B=1, V=V)
+    logits = jnp.zeros((1, V))
+    out = np.asarray(apply_vocab_mask(logits, jnp.asarray(packed)))
+    assert out[0, 3] == 0.0 and out[0, 64] == 0.0
+    assert (out[0, [0, 1, 2, 4, 63, 65, 69]] < -1e9).all()
+
+
+# ------------------------------------------------------------ engine-level
+def test_engine_regex_constrained(tiny_engine):
+    out = tiny_engine.generate(
+        prompt="ignored",
+        sampling_params={
+            "temperature": 1.0,
+            "top_k": 50,
+            "max_new_tokens": 24,
+            "regex": r"(ab|cd){3}",
+        },
+    )
+    assert out["text"] in {
+        a + b + c
+        for a in ("ab", "cd")
+        for b in ("ab", "cd")
+        for c in ("ab", "cd")
+    }
+    assert out["meta_info"]["finish_reason"]["type"] == "stop"
+
+
+def test_engine_json_schema_constrained(tiny_engine):
+    schema = {
+        "type": "object",
+        "properties": {"n": {"type": "integer"}, "ok": {"type": "boolean"}},
+        "required": ["n", "ok"],
+    }
+    out = tiny_engine.generate(
+        prompt="gimme json",
+        sampling_params={
+            "temperature": 1.0,
+            "top_k": 30,
+            "max_new_tokens": 64,
+            "json_schema": json.dumps(schema),
+        },
+    )
+    obj = json.loads(out["text"])
+    assert isinstance(obj["n"], int) and isinstance(obj["ok"], bool)
+
+
+def test_engine_mixed_grammar_batch(tiny_engine):
+    """Grammar + free requests in one batch must not cross-contaminate."""
+    import threading
+
+    results = {}
+
+    def run(name, sp):
+        results[name] = tiny_engine.generate(prompt="x", sampling_params=sp)
+
+    ts = [
+        threading.Thread(
+            target=run,
+            args=("re", {"temperature": 1.0, "max_new_tokens": 16,
+                          "regex": r"[0-9]{4}"}),
+        ),
+        threading.Thread(
+            target=run,
+            args=("free", {"temperature": 0.0, "max_new_tokens": 8,
+                            "ignore_eos": True}),
+        ),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    assert results["re"]["text"].isdigit() and len(results["re"]["text"]) == 4
+    assert len(results["free"]["output_ids"]) == 8

@@ -276,3 +276,29 @@ def test_engine_metrics_observe():
     text = generate_latest().decode()
     assert "sglang_tpu_generation_tokens_total" in text
     assert "sglang_tpu_time_to_first_token_seconds" in text
+
+
+def test_openai_chat_response_format_json_schema(server):
+    schema = {
+        "type": "object",
+        "properties": {"x": {"type": "integer"}},
+        "required": ["x"],
+    }
+    r = httpx.post(
+        server + "/v1/chat/completions",
+        json={
+            "model": "tiny-test",
+            "messages": [{"role": "user", "content": "json please"}],
+            "max_tokens": 40,
+            "temperature": 1.0,
+            "top_k": 30,
+            "response_format": {
+                "type": "json_schema",
+                "json_schema": {"name": "t", "schema": schema},
+            },
+        },
+        timeout=180,
+    )
+    content = r.json()["choices"][0]["message"]["content"]
+    obj = json.loads(content)
+    assert isinstance(obj["x"], int)
