@@ -125,7 +125,12 @@ class ModelConfig:
             rms_norm_eps=text.get("rms_norm_eps", text.get("layer_norm_eps", 1e-5)),
             rope_theta=text.get("rope_theta", 10000.0),
             rope_scaling=text.get("rope_scaling"),
-            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            # HF configs omit fields equal to the class default — which is
+            # True for the Gemma family.
+            tie_word_embeddings=hf.get(
+                "tie_word_embeddings",
+                str(hf.get("model_type", "")).startswith("gemma"),
+            ),
             attention_bias=text.get(
                 "attention_bias", text.get("qkv_bias", False)
             ),

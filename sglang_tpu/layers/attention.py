@@ -104,11 +104,11 @@ def attention_xla(
     valid = ctx_pos[None, :] < seq_lens[:, None]  # [B, C]
     causal = ctx_pos[None, None, :] <= positions[:, :, None]  # [B, Lq, C]
     mask = valid[:, None, :] & causal  # [B, Lq, C]
-    if sliding_window is not None and sliding_window > 0:
-        in_window = ctx_pos[None, None, :] > (
-            positions[:, :, None] - sliding_window
-        )
-        mask = mask & in_window
+    if sliding_window is not None:
+        # traced scalar; <= 0 disables the window
+        win = jnp.asarray(sliding_window, jnp.int32)
+        in_window = ctx_pos[None, None, :] > (positions[:, :, None] - win)
+        mask = mask & (in_window | (win <= 0))
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)

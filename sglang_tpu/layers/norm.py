@@ -12,21 +12,17 @@ import jax.lax
 import jax.numpy as jnp
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """RMSNorm in f32 accumulation, output in x.dtype."""
+def rms_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float, offset: float = 0.0
+) -> jnp.ndarray:
+    """RMSNorm in f32 accumulation, output in x.dtype.
+
+    ``offset`` shifts the scale weight: out = normed * (offset + w)
+    (Gemma stores weights as w-1, so it passes offset=1).
+    """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
-    out = xf * weight.astype(jnp.float32)
-    return out.astype(orig_dtype)
-
-
-def rms_norm_gemma(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Gemma-style RMSNorm: scale by (1 + weight)."""
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    xf = xf * jax.lax.rsqrt(var + eps)
-    out = xf * (1.0 + weight.astype(jnp.float32))
+    out = xf * (offset + weight.astype(jnp.float32))
     return out.astype(orig_dtype)

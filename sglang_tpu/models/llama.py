@@ -44,7 +44,8 @@ class LlamaForCausalLM:
         self.hq = c.num_attention_heads
         self.hkv = c.num_key_value_heads
         self.hd = c.head_dim
-        self.sm_scale = 1.0 / math.sqrt(c.head_dim)
+        qpa = config.hf_config.get("query_pre_attn_scalar")
+        self.sm_scale = 1.0 / math.sqrt(qpa if qpa else c.head_dim)
         # numpy, not jnp: trace-time constants must stay host-side (a
         # jax.Array constant forces a device fetch when lowering).
         self.inv_freq = compute_inv_freq(
@@ -89,6 +90,9 @@ class LlamaForCausalLM:
         if self.has_qk_norm:
             layers["q_norm"] = (L, d)
             layers["k_norm"] = (L, d)
+        if self.has_post_norms:
+            layers["post_attn_ln"] = (L, H)
+            layers["post_ffw_ln"] = (L, H)
         shapes = {"embed": (V, H), "layers": layers, "final_ln": (H,)}
         if not c.tie_word_embeddings:
             shapes["lm_head"] = (V, H)
@@ -119,6 +123,9 @@ class LlamaForCausalLM:
         if self.has_qk_norm:
             layers["q_norm"] = P(None, None)
             layers["k_norm"] = P(None, None)
+        if self.has_post_norms:
+            layers["post_attn_ln"] = P(None, None)
+            layers["post_ffw_ln"] = P(None, None)
         specs = {
             "embed": P(AXIS_TP, None),
             "layers": layers,
@@ -180,10 +187,37 @@ class LlamaForCausalLM:
             )
         return x
 
+    # ------------------------------------------------- per-layer variation
+    # Subclasses (Gemma) override these to vary rope theta / sliding window
+    # per layer; arrays ride the layer scan as extra xs.
+    def per_layer_inv_freq(self) -> np.ndarray:
+        """[L, rot/2] f32 — rope inverse frequencies per layer."""
+        return np.broadcast_to(
+            self.inv_freq[None, :],
+            (self.config.num_hidden_layers, self.inv_freq.shape[0]),
+        )
+
+    def per_layer_window(self) -> np.ndarray:
+        """[L] int32 — sliding window per layer (0 = full attention)."""
+        w = self.config.sliding_window or 0
+        return np.full((self.config.num_hidden_layers,), w, np.int32)
+
+    # Embedding multiplier (Gemma scales by sqrt(hidden_size)).
+    embed_scale: float = 1.0
+    # RMSNorm weight offset: out = normed * (offset + w) (Gemma uses 1+w).
+    norm_offset: float = 0.0
+    # Extra norms on attn/mlp outputs before the residual add (Gemma 2/3).
+    has_post_norms: bool = False
+
+    def _norm(self, x, w):
+        return rms_norm(
+            x, w, self.config.rms_norm_eps, offset=self.norm_offset
+        )
+
     def forward(
         self,
         params: Dict[str, Any],
-        kv_cache: jnp.ndarray,  # [L*S, 2, Hkv, D]
+        kv_cache: jnp.ndarray,  # [L*NP, ps, 2, Hkv*D]
         batch: DeviceBatch,
         *,
         num_slots: int,
@@ -194,19 +228,17 @@ class LlamaForCausalLM:
         c = self.config
         B, Lq = batch.input_ids.shape
         hidden = params["embed"][batch.input_ids]  # [B, Lq, H]
+        if self.embed_scale != 1.0:
+            hidden = (hidden.astype(jnp.float32) * self.embed_scale).astype(
+                hidden.dtype
+            )
         hidden = self._shard(hidden, AXIS_DP, None, None)
-
-        # Rope angles once for all layers.
-        angles = (
-            batch.positions[..., None].astype(jnp.float32) * self.inv_freq
-        )  # [B, Lq, rot/2]
-        cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
-        sin = jnp.sin(angles)[..., None, :]
 
         hq, hkv, d = self.hq, self.hkv, self.hd
         rot_half = self.rot_dim // 2
+        pos_f = batch.positions[..., None].astype(jnp.float32)  # [B, Lq, 1]
 
-        def rope(x):  # [B, Lq, h, d] half-split layout
+        def rope(x, cos, sin):  # [B, Lq, h, d] half-split layout
             xf = x.astype(jnp.float32)
             x1, x2 = xf[..., :rot_half], xf[..., rot_half : 2 * rot_half]
             o1 = x1 * cos - x2 * sin
@@ -219,9 +251,12 @@ class LlamaForCausalLM:
 
         def layer_fn(carry, xs):
             h, kv, li = carry
-            w = xs
+            w, inv_freq, window = xs
+            angles = pos_f * inv_freq  # [B, Lq, rot/2]
+            cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
+            sin = jnp.sin(angles)[..., None, :]
             # --- attention block ---
-            normed = rms_norm(h, w["input_ln"], c.rms_norm_eps)
+            normed = self._norm(h, w["input_ln"])
             q = normed @ w["q_proj"]
             k = normed @ w["k_proj"]
             v = normed @ w["v_proj"]
@@ -233,12 +268,12 @@ class LlamaForCausalLM:
             k = k.reshape(B, Lq, hkv, d)
             v = v.reshape(B, Lq, hkv, d)
             if self.has_qk_norm:
-                q = rms_norm(q, w["q_norm"], c.rms_norm_eps)
-                k = rms_norm(k, w["k_norm"], c.rms_norm_eps)
+                q = self._norm(q, w["q_norm"])
+                k = self._norm(k, w["k_norm"])
             q = self._shard(q, AXIS_DP, None, AXIS_TP, None)
             k = self._shard(k, AXIS_DP, None, AXIS_TP, None)
             v = self._shard(v, AXIS_DP, None, AXIS_TP, None)
-            q, k = rope(q), rope(k)
+            q, k = rope(q, cos, sin), rope(k, cos, sin)
             attn_out, kv = paged_attention(
                 q,
                 k,
@@ -249,25 +284,36 @@ class LlamaForCausalLM:
                 num_slots=num_slots,
                 page_size=page_size,
                 sm_scale=self.sm_scale,
-                sliding_window=c.sliding_window,
+                logit_cap=c.attn_logit_softcap,
+                sliding_window=window,
                 backend=attn_backend,
             )
             attn_out = attn_out.reshape(B, Lq, hq * d)
-            h = h + attn_out @ w["o_proj"]
+            attn_out = attn_out @ w["o_proj"]
+            if self.has_post_norms:
+                attn_out = self._norm(attn_out, w["post_attn_ln"])
+            h = h + attn_out
             h = self._shard(h, AXIS_DP, None, None)
             # --- mlp block ---
-            normed = rms_norm(h, w["post_ln"], c.rms_norm_eps)
-            h = h + self._mlp_forward(w, normed)
+            normed = self._norm(h, w["post_ln"])
+            mlp_out = self._mlp_forward(w, normed)
+            if self.has_post_norms:
+                mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
+            h = h + mlp_out
             h = self._shard(h, AXIS_DP, None, None)
             return (h, kv, li + 1), None
 
         (hidden, kv_cache, _), _ = jax.lax.scan(
             layer_fn,
             (hidden, kv_cache, np.int32(0)),
-            params["layers"],
+            (
+                params["layers"],
+                self.per_layer_inv_freq(),
+                self.per_layer_window(),
+            ),
         )
 
-        hidden = rms_norm(hidden, params["final_ln"], c.rms_norm_eps)
+        hidden = self._norm(hidden, params["final_ln"])
         # Gather the last real token of each request (logits positions).
         flat = hidden.reshape(B * Lq, -1)
         last_hidden = flat[batch.logits_idx]  # [B, H]

@@ -49,7 +49,7 @@ def _decode_kernel(
     page_table_ref,  # [B, P] int32
     seq_lens_ref,  # [B] int32 (incl. the new token)
     out_slots_ref,  # [B] int32 layer-relative slot of the new token
-    layer_page0_ref,  # [1] int32: layer_idx * num_pages
+    layer_page0_ref,  # [2] int32: (layer_idx * num_pages, sliding_window)
     # inputs
     qb_ref,  # [RB, Hq, Hkv*D] VMEM — block-diagonal packed queries
     kv_new_ref,  # [RB, 2, Hkv*D] VMEM — new K/V rows to write
@@ -69,7 +69,6 @@ def _decode_kernel(
     hkv: int,
     d: int,
     logit_cap: Optional[float],
-    sliding_window: Optional[int],
 ):
     blk = pl.program_id(0)
     RB, PB, ps = rows_per_block, pages_per_block, page_size
@@ -77,6 +76,7 @@ def _decode_kernel(
     G = hq // hkv
     HD = hkv * d
     layer_page0 = layer_page0_ref[0]
+    window = layer_page0_ref[1]  # traced; <= 0 disables the sliding window
 
     # Rows shorter than the block's longest row skip their group DMAs, so
     # their buffer region would be uninitialized — and 0 * NaN = NaN in the
@@ -107,15 +107,11 @@ def _decode_kernel(
     n_valid = n_valids[0]
     for nv in n_valids[1:]:
         n_valid = jnp.maximum(n_valid, nv)
-    if sliding_window is not None and sliding_window > 0:
-        firsts = [
-            jnp.maximum(s - sliding_window, 0) // T for s in seq_lens
-        ]
-        first_group = firsts[0]
-        for fg in firsts[1:]:
-            first_group = jnp.minimum(first_group, fg)
-    else:
-        first_group = jnp.int32(0)
+    firsts = [jnp.maximum(s - window, 0) // T for s in seq_lens]
+    first_group = firsts[0]
+    for fg in firsts[1:]:
+        first_group = jnp.minimum(first_group, fg)
+    first_group = jnp.where(window > 0, first_group, 0)
 
     def start_group(g, slot_idx):
         for r in range(RB):
@@ -181,10 +177,10 @@ def _decode_kernel(
             pos = g * T + col - r * T  # position within row r's context
             ok = jnp.logical_and(col >= r * T, col < (r + 1) * T)
             ok = jnp.logical_and(ok, pos < seq_lens[r])
-            if sliding_window is not None and sliding_window > 0:
-                ok = jnp.logical_and(
-                    ok, pos > seq_lens[r] - 1 - sliding_window
-                )
+            in_win = jnp.logical_or(
+                window <= 0, pos > seq_lens[r] - 1 - window
+            )
+            ok = jnp.logical_and(ok, in_win)
             colmask = jnp.logical_or(colmask, ok)
         rowblk = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, RB * T), 0) // hq
         colblk = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, RB * T), 1) // T
@@ -235,7 +231,6 @@ def _decode_kernel(
         "page_size",
         "sm_scale",
         "logit_cap",
-        "sliding_window",
         "pages_per_block",
         "rows_per_block",
         "interpret",
@@ -255,7 +250,7 @@ def fused_paged_decode_attention(
     page_size: int,
     sm_scale: float,
     logit_cap: Optional[float] = None,
-    sliding_window: Optional[int] = None,
+    sliding_window=None,  # traced scalar ok; None/<=0 disables
     pages_per_block: Optional[int] = None,
     rows_per_block: Optional[int] = None,
     interpret: bool = False,
@@ -283,7 +278,12 @@ def fused_paged_decode_attention(
     while B % RB != 0:  # B is a power-of-2 bucket
         RB -= 1
 
-    layer_page0 = (layer_idx * num_pages).reshape(1).astype(jnp.int32)
+    window = jnp.asarray(
+        0 if sliding_window is None else sliding_window, jnp.int32
+    )
+    layer_page0 = jnp.stack(
+        [jnp.asarray(layer_idx * num_pages, jnp.int32), window]
+    )
 
     # Block-diagonal packed queries: row h occupies lane segment (h//G)*D.
     onehot = jnp.asarray(
@@ -305,7 +305,6 @@ def fused_paged_decode_attention(
         hkv=Hkv,
         d=D,
         logit_cap=logit_cap,
-        sliding_window=sliding_window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
