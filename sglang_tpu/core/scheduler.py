@@ -54,10 +54,7 @@ class Scheduler:
         self.runner = model_runner or ModelRunner(server_args)
         self.page_size = self.runner.kv_pool.page_size
         self.allocator = self.runner.page_allocator
-        self.radix = RadixCache(
-            page_size=self.page_size,
-            disable=server_args.disable_radix_cache,
-        )
+        self.radix = self._make_radix_cache(server_args)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
         self.ratio_tracker = NewTokenRatioTracker(
             server_args.schedule_conservativeness
@@ -97,6 +94,28 @@ class Scheduler:
             timeout=server_args.watchdog_timeout, hard=True, name="scheduler"
         )
         self.watchdog.start()
+
+    def _make_radix_cache(self, server_args: ServerArgs):
+        backend = server_args.radix_cache_backend
+        if backend in ("auto", "cpp"):
+            from sglang_tpu.core.radix_cache_cpp import (
+                RadixCacheCpp,
+                native_radix_available,
+            )
+
+            if native_radix_available():
+                logger.info("Radix cache backend: cpp")
+                return RadixCacheCpp(
+                    page_size=self.page_size,
+                    disable=server_args.disable_radix_cache,
+                )
+            if backend == "cpp":
+                raise RuntimeError("native radix tree failed to build")
+        logger.info("Radix cache backend: python")
+        return RadixCache(
+            page_size=self.page_size,
+            disable=server_args.disable_radix_cache,
+        )
 
     # ---------------------------------------------------------------- input
     def add_request(self, req: Req):

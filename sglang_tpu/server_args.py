@@ -45,6 +45,7 @@ class ServerArgs:
     chunked_prefill_size: int = 2048  # -1 disables chunked prefill
     max_prefill_tokens: int = 8192
     disable_radix_cache: bool = False
+    radix_cache_backend: str = "auto"  # auto | python | cpp (native C++)
     disable_overlap_schedule: bool = False
     stream_interval: int = 1
     # Fused decode window: K decode steps run inside one jitted device loop
