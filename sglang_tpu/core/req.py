@@ -79,6 +79,8 @@ class Req:
 
         # constrained decoding state (constrained/token_fsm.GrammarState)
         self.grammar = None
+        # speculative drafting state (speculative/ngram.NgramPredictor)
+        self.spec_state = None
 
         # streaming bookkeeping (tokens already sent to detokenizer)
         self.sent_output_len = 0

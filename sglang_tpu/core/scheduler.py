@@ -82,6 +82,9 @@ class Scheduler:
         self.num_steps = 0
         self.num_generated_tokens = 0
         self.last_decode_tokens_per_s = 0.0
+        self.spec_enabled = (server_args.speculative_algorithm or "").lower() == "ngram"
+        self.num_spec_drafted = 0
+        self.num_spec_accepted = 0
 
         self.metrics = None
         if server_args.enable_metrics:
@@ -441,6 +444,11 @@ class Scheduler:
             self.ratio_tracker.step()
             return True
 
+        if self.spec_enabled and self._spec_verify_step():
+            self.num_steps += 1
+            self.ratio_tracker.step()
+            return True
+
         prepared = self._prepare_decode()
         if prepared is None:
             return False
@@ -482,6 +490,99 @@ class Scheduler:
         return pack_vocab_masks(
             masks, B, self.runner.model_config.vocab_size
         )
+
+    # ------------------------------------------------------ speculative
+    def _spec_verify_step(self) -> bool:
+        """N-gram draft + one-forward greedy verify (reference
+        speculative/ngram_worker.py; verify = ForwardMode.TARGET_VERIFY).
+        Runs only for all-greedy, grammar-free batches; returns False to
+        fall back to the normal decode path."""
+        batch = self.running
+        if not batch.reqs:
+            return False
+        if any(
+            r.sampling_params.temperature > 0 or r.grammar is not None
+            for r in batch.reqs
+        ):
+            return False
+        from sglang_tpu.speculative import NgramPredictor
+
+        k = self.server_args.speculative_num_draft_tokens
+        n = self.server_args.speculative_ngram_n
+        drafts: List[List[int]] = []
+        any_draft = False
+        for r in batch.reqs:
+            if r.spec_state is None:
+                r.spec_state = NgramPredictor(n)
+            r.spec_state.update(r.fill_ids)
+            d = r.spec_state.draft(r.fill_ids, k)
+            cap = min(
+                r.remaining_new_tokens() - 1,
+                self.max_context_len - r.cached_len - 2,
+            )
+            d = d[: max(cap, 0)]
+            if not self._ensure_req_pages(r, r.cached_len + 1 + len(d)):
+                d = []
+                if not self._ensure_req_pages(r, r.cached_len + 1):
+                    return False  # memory pressure → decode path retracts
+            drafts.append(d)
+            any_draft = any_draft or bool(d)
+        if not any_draft:
+            return False
+
+        verify = HostBatch(
+            reqs=list(batch.reqs),
+            mode=ForwardMode.TARGET_VERIFY,
+            extend_lens=[1 + len(d) for d in drafts],
+        )
+        # Temporarily append drafts so pack_extend sees them as new tokens.
+        for r, d in zip(verify.reqs, drafts):
+            r.fill_ids.extend(d)
+        try:
+            B, L, P = extend_buckets(
+                verify,
+                self.page_size,
+                self.decode_bs_buckets,
+                self.runner.max_pages_per_req,
+            )
+            packed, _, _ = verify.pack_extend(self.page_size, B, L, P)
+            tokens, logprobs = self.runner.verify_step(packed, B, L, P)
+        finally:
+            for r, d in zip(verify.reqs, drafts):
+                if d:
+                    del r.fill_ids[len(r.fill_ids) - len(d):]
+
+        updates = []
+        for i, (req, d) in enumerate(zip(verify.reqs, drafts)):
+            if req.finished:
+                continue
+            a = 0
+            while a < len(d) and int(tokens[i, a]) == d[a]:
+                a += 1
+            self.num_spec_drafted += len(d)
+            self.num_spec_accepted += a
+            # KV for [last_token] + accepted drafts is now materialized.
+            req.cached_len += 1 + a
+            for j in range(a + 1):  # accepted drafts + bonus token
+                if req.finished:
+                    break
+                req.append_output_token(
+                    int(tokens[i, j]), float(logprobs[i, j])
+                )
+                self.num_generated_tokens += 1
+                self._grammar_accept(req, int(tokens[i, j]))
+                if req.check_finished(self.eos_token_ids, self.max_context_len):
+                    self._cache_finished(req)
+                    updates.append(req)
+            # Early finish (EOS inside the accepted run) can leave
+            # cached_len past fill_ids; clamp so radix insert stays sane.
+            req.cached_len = min(req.cached_len, len(req.fill_ids))
+            if not req.finished and req.stream:
+                updates.append(req)
+        batch.filter_finished()
+        if updates:
+            self._emit_updates(updates)
+        return True
 
     # ------------------------------------------------------------- results
     def _process_prefill_result(self, batch: HostBatch, tokens, logprobs):
@@ -618,6 +719,8 @@ class Scheduler:
             num_running=len(self.running.reqs),
             num_steps=self.num_steps,
             num_generated_tokens=self.num_generated_tokens,
+            num_spec_drafted=self.num_spec_drafted,
+            num_spec_accepted=self.num_spec_accepted,
             free_pages=self.allocator.num_free_pages,
             radix_evictable_pages=self.radix.evictable_size(),
             radix_protected_pages=self.radix.protected_size(),

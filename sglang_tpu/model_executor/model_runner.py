@@ -163,6 +163,7 @@ class ModelRunner:
         self._step_counter = 0
         self._extend_fns: Dict[Tuple, Callable] = {}
         self._decode_fns: Dict[Tuple, Callable] = {}
+        self._verify_fns: Dict[Tuple, Callable] = {}
         eos_mask = np.zeros((model_config.vocab_size,), bool)
         for t in model_config.eos_token_ids:
             if 0 <= t < model_config.vocab_size:
@@ -273,6 +274,59 @@ class ModelRunner:
             [all_tokens.astype(jnp.float32), all_logprobs]
         )  # [2, K, B]
         return out, kv_cache
+
+    def _verify_impl(self, params, kv_cache, packed, rng, step, *, B, L, P):
+        """Speculative verify: one extend forward over [last_token, drafts],
+        greedy logits at EVERY position (reference ForwardMode.TARGET_VERIFY,
+        speculative/eagle_worker_v2.py:1538 — chain drafts, greedy accept)."""
+        batch = unpack_extend_batch(packed, B, L, P)
+        hidden, kv_cache = self.model.forward(
+            params,
+            kv_cache,
+            batch,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
+            return_all_hidden=True,
+        )  # [B*L, H]
+        logits = self.model.compute_logits(params, hidden)  # [B*L, V]
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        chosen = jnp.take_along_axis(
+            logits, tokens[:, None], axis=-1
+        ).squeeze(-1)
+        out = jnp.stack(
+            [tokens.astype(jnp.float32), chosen - lse]
+        ).reshape(2, B, L)
+        return out, kv_cache
+
+    def _get_verify_fn(self, B, L, P):
+        key = (B, L, P)
+        fn = self._verify_fns.get(key)
+        if fn is None:
+            logger.info("compiling verify: B=%d L=%d P=%d", B, L, P)
+            fn = jax.jit(
+                functools.partial(self._verify_impl, B=B, L=L, P=P),
+                donate_argnums=(1,),
+            )
+            self._verify_fns[key] = fn
+        return fn
+
+    def verify_step(
+        self, packed: np.ndarray, B: int, L: int, P: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Greedy target tokens at every position: ([B, L] i64, [B, L] f32)."""
+        self._step_counter += 1
+        fn = self._get_verify_fn(B, L, P)
+        out, self.kv_cache = fn(
+            self.params,
+            self.kv_cache,
+            packed,
+            self._base_rng,
+            np.int32(self._step_counter),
+        )
+        out = np.asarray(out)
+        return out[0].astype(np.int64), out[1]
 
     # ------------------------------------------------------------ host API
     def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask):

@@ -223,8 +223,11 @@ class LlamaForCausalLM:
         num_slots: int,
         page_size: int,
         attn_backend: str = "xla",
+        return_all_hidden: bool = False,
     ):
-        """Returns (last_hidden [B, H], kv_cache)."""
+        """Returns (last_hidden [B, H], kv_cache) — or, with
+        ``return_all_hidden``, (hidden [B*Lq, H], kv_cache) for
+        speculative verify (logits needed at every position)."""
         c = self.config
         B, Lq = batch.input_ids.shape
         hidden = params["embed"][batch.input_ids]  # [B, Lq, H]
@@ -314,8 +317,10 @@ class LlamaForCausalLM:
         )
 
         hidden = self._norm(hidden, params["final_ln"])
-        # Gather the last real token of each request (logits positions).
         flat = hidden.reshape(B * Lq, -1)
+        if return_all_hidden:
+            return flat, kv_cache
+        # Gather the last real token of each request (logits positions).
         last_hidden = flat[batch.logits_idx]  # [B, H]
         return last_hidden, kv_cache
 

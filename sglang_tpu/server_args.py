@@ -79,9 +79,10 @@ class ServerArgs:
     # ---- sampling defaults / limits ----
     max_new_tokens_default: int = 128
 
-    # ---- speculative decoding (wired in later rounds) ----
-    speculative_algorithm: Optional[str] = None
+    # ---- speculative decoding ----
+    speculative_algorithm: Optional[str] = None  # NGRAM
     speculative_num_draft_tokens: int = 4
+    speculative_ngram_n: int = 3
 
     # ---- lora ----
     enable_lora: bool = False
@@ -111,6 +112,10 @@ class ServerArgs:
         assert self.tp_size >= 1 and self.dp_size >= 1 and self.pp_size >= 1
         if self.schedule_policy not in ("fcfs", "lpm", "lof", "random", "dfs-weight"):
             raise ValueError(f"Unknown schedule policy {self.schedule_policy!r}")
+        if self.speculative_algorithm not in (None, "NGRAM", "ngram"):
+            raise ValueError(
+                f"Unknown speculative algorithm {self.speculative_algorithm!r}"
+            )
 
     # ------------------------------------------------------------------ CLI
     @staticmethod
