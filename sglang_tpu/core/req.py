@@ -81,6 +81,11 @@ class Req:
         self.grammar = None
         # speculative drafting state (speculative/ngram.NgramPredictor)
         self.spec_state = None
+        # scoring mode: max_new_tokens == 0 + return_logprob → input-token
+        # logprobs only (reference: logprob_start_len / input_token_logprobs)
+        self.input_logprobs = (
+            [None] * len(self.fill_ids) if self.is_scoring else None
+        )
 
         # streaming bookkeeping (tokens already sent to detokenizer)
         self.sent_output_len = 0
@@ -98,6 +103,12 @@ class Req:
     @property
     def is_prefill_done(self) -> bool:
         return self.cached_len >= len(self.origin_input_ids)
+
+    @property
+    def is_scoring(self) -> bool:
+        return (
+            self.sampling_params.max_new_tokens == 0 and self.return_logprob
+        )
 
     @property
     def finished(self) -> bool:

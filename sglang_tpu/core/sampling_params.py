@@ -34,6 +34,7 @@ class SamplingParams:
     # logprobs
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    logprob_start_len: int = 0  # first input position to score (scoring reqs)
     # misc
     seed: Optional[int] = None
 

@@ -228,7 +228,12 @@ class Scheduler:
             req.last_node = None
             return
         # Never match the full sequence: at least one token must be computed.
-        m = self.radix.match_prefix(req.fill_ids[:-1])
+        limit = len(req.fill_ids) - 1
+        if req.is_scoring:
+            # positions >= logprob_start_len must be computed (their
+            # logprobs come from the position before them)
+            limit = min(limit, max(req.sampling_params.logprob_start_len - 1, 0))
+        m = self.radix.match_prefix(req.fill_ids[:limit])
         req.pages = list(m.pages)
         req.prefix_pages_len = len(m.pages)
         req.cached_len = m.matched_tokens
@@ -296,10 +301,15 @@ class Scheduler:
         req.prefix_pages_len = 0
 
     # ------------------------------------------------------ batch formation
-    def _get_prefill_batch(self) -> Optional[HostBatch]:
-        if not self.waiting and self.chunked_req is None:
+    def _get_prefill_batch(self, scoring: bool = False) -> Optional[HostBatch]:
+        waiting = [r for r in self.waiting if r.is_scoring == scoring]
+        chunked_ok = (
+            self.chunked_req is not None
+            and self.chunked_req.is_scoring == scoring
+        )
+        if not waiting and not chunked_ok:
             return None
-        self.policy.calc_priority(self.waiting)
+        self.policy.calc_priority(waiting)
         adder = PrefillAdder(
             page_size=self.page_size,
             free_tokens=self._total_free_tokens(),
@@ -311,14 +321,14 @@ class Scheduler:
             - len(self.running.reqs),
         )
         # The in-flight chunked request continues first (reference :2748).
-        if self.chunked_req is not None:
+        if chunked_ok:
             req = self.chunked_req
             self.chunked_req = None
             if not adder.add_one_req(req) and req not in adder.can_run:
                 # Budget exhausted before the chunk could continue: requeue.
                 self.waiting.insert(0, req)
         taken = []
-        for req in list(self.waiting):
+        for req in list(waiting):
             if adder.chunked_req is not None:
                 break
             if req.last_node is None:
@@ -426,6 +436,21 @@ class Scheduler:
             bool(self.running.reqs or self.waiting or self.chunked_req)
         )
         self._process_inputs(block=block)
+        batch = self._get_prefill_batch(scoring=True)
+        if batch is not None:
+            B, L, P = extend_buckets(
+                batch,
+                self.page_size,
+                self.decode_bs_buckets,
+                self.runner.max_pages_per_req,
+            )
+            packed, _, _ = batch.pack_extend(self.page_size, B, L, P)
+            targets = self._score_targets(batch, B, L)
+            lp = self.runner.score_step(packed, targets, B, L, P)
+            self._process_scoring_result(batch, lp)
+            self.num_steps += 1
+            return True
+
         batch = self._get_prefill_batch()
         if batch is not None:
             B, L, P = extend_buckets(
@@ -490,6 +515,38 @@ class Scheduler:
         return pack_vocab_masks(
             masks, B, self.runner.model_config.vocab_size
         )
+
+    # --------------------------------------------------------- scoring
+    def _score_targets(self, batch: HostBatch, B: int, L: int):
+        """targets[i, j] = the input token whose logprob position j's
+        logits produce (the NEXT input token); -1 where undefined."""
+        targets = np.full((B, L), -1, np.int32)
+        for i, (req, n_new) in enumerate(zip(batch.reqs, batch.extend_lens)):
+            for j in range(n_new):
+                p = req.cached_len + j + 1
+                if p < len(req.fill_ids):
+                    targets[i, j] = req.fill_ids[p]
+        return targets
+
+    def _process_scoring_result(self, batch: HostBatch, lp):
+        updates = []
+        for i, (req, n_new) in enumerate(zip(batch.reqs, batch.extend_lens)):
+            for j in range(n_new):
+                p = req.cached_len + j + 1
+                if p < len(req.fill_ids):
+                    req.input_logprobs[p] = float(lp[i, j])
+            req.cached_len += n_new
+            if req.finished:  # aborted mid-flight
+                continue
+            if req is self.chunked_req:
+                self._cache_unfinished(req)
+                continue
+            # fully scored → finish (no generation; max_new_tokens == 0)
+            req._finish(FinishReason.LENGTH)
+            self._cache_finished(req)
+            updates.append(req)
+        if updates:
+            self._emit_updates(updates)
 
     # ------------------------------------------------------ speculative
     def _spec_verify_step(self) -> bool:
@@ -657,6 +714,9 @@ class Scheduler:
                     cached_tokens=req.cache_hit_tokens or 0,
                     output_logprobs=list(req.output_logprobs)
                     if req.return_logprob
+                    else None,
+                    input_logprobs=list(req.input_logprobs)
+                    if req.input_logprobs is not None
                     else None,
                 )
             )

@@ -196,6 +196,12 @@ class Engine:
             "completion_tokens": upd["completion_tokens"],
             "cached_tokens": upd["cached_tokens"],
         }
+        if upd.get("input_logprobs") is not None:
+            ids = state.req.origin_input_ids
+            meta["input_token_logprobs"] = [
+                (lp, tid, None)
+                for lp, tid in zip(upd["input_logprobs"], ids)
+            ]
         if upd.get("output_logprobs") is not None:
             meta["output_token_logprobs"] = [
                 (lp, tid, None)

@@ -164,6 +164,7 @@ class ModelRunner:
         self._extend_fns: Dict[Tuple, Callable] = {}
         self._decode_fns: Dict[Tuple, Callable] = {}
         self._verify_fns: Dict[Tuple, Callable] = {}
+        self._score_fns: Dict[Tuple, Callable] = {}
         eos_mask = np.zeros((model_config.vocab_size,), bool)
         for t in model_config.eos_token_ids:
             if 0 <= t < model_config.vocab_size:
@@ -327,6 +328,54 @@ class ModelRunner:
         )
         out = np.asarray(out)
         return out[0].astype(np.int64), out[1]
+
+    def _score_impl(self, params, kv_cache, packed, targets, *, B, L, P):
+        """Input-token logprobs: one extend forward; position j's logits
+        score the GIVEN target token (the next input token) — used for
+        prompt logprobs / echo and DSL select() choice scoring
+        (reference: logprob_start_len / input_token_logprobs)."""
+        batch = unpack_extend_batch(packed, B, L, P)
+        hidden, kv_cache = self.model.forward(
+            params,
+            kv_cache,
+            batch,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
+            return_all_hidden=True,
+        )  # [B*L, H]
+        logits = self.model.compute_logits(params, hidden)  # [B*L, V]
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = targets.reshape(B * L)
+        chosen = jnp.take_along_axis(
+            logits, jnp.maximum(tgt, 0)[:, None], axis=-1
+        ).squeeze(-1)
+        lp = jnp.where(tgt >= 0, chosen - lse, 0.0)
+        return lp.reshape(B, L), kv_cache
+
+    def _get_score_fn(self, B, L, P):
+        key = (B, L, P)
+        fn = self._score_fns.get(key)
+        if fn is None:
+            logger.info("compiling score: B=%d L=%d P=%d", B, L, P)
+            fn = jax.jit(
+                functools.partial(self._score_impl, B=B, L=L, P=P),
+                donate_argnums=(1,),
+            )
+            self._score_fns[key] = fn
+        return fn
+
+    def score_step(
+        self, packed: np.ndarray, targets: np.ndarray, B: int, L: int, P: int
+    ) -> np.ndarray:
+        """Logprob of targets[b, j] under position j's logits; target -1
+        entries return 0. Returns [B, L] f32."""
+        self._step_counter += 1
+        fn = self._get_score_fn(B, L, P)
+        lp, self.kv_cache = fn(
+            self.params, self.kv_cache, packed, targets.astype(np.int32)
+        )
+        return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
     def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask):

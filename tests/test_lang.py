@@ -1,0 +1,114 @@
+"""DSL (@function / gen / select / fork) + input-logprob scoring path."""
+
+import numpy as np
+import pytest
+
+import sglang_tpu.lang as sgl
+
+
+def test_scoring_input_logprobs(tiny_engine):
+    ids = [10, 11, 12, 13, 14, 15, 16, 17]
+    out = tiny_engine.generate(
+        input_ids=ids,
+        sampling_params={"max_new_tokens": 0, "return_logprob": True},
+    )
+    lps = out["meta_info"]["input_token_logprobs"]
+    assert len(lps) == len(ids)
+    assert lps[0][0] is None  # first token has no predecessor
+    assert all(lp is not None and lp <= 0 for lp, _t, _ in lps[1:])
+    assert out["meta_info"]["completion_tokens"] == 0
+
+    # scoring must match decode-path logprobs: greedy-generate 4 tokens,
+    # then score prompt+generated — generated tokens' scores must equal
+    # the logprobs reported at generation time.
+    gen = tiny_engine.generate(
+        input_ids=ids,
+        sampling_params={
+            "temperature": 0.0, "max_new_tokens": 4, "ignore_eos": True,
+            "return_logprob": True,
+        },
+    )
+    gen_lps = [lp for lp, _t, _ in gen["meta_info"]["output_token_logprobs"]]
+    full = ids + gen["output_ids"]
+    score = tiny_engine.generate(
+        input_ids=full,
+        sampling_params={
+            "max_new_tokens": 0, "return_logprob": True,
+            "logprob_start_len": len(ids),
+        },
+    )
+    score_lps = [
+        lp for lp, _t, _ in score["meta_info"]["input_token_logprobs"][len(ids):]
+    ]
+    np.testing.assert_allclose(score_lps, gen_lps, rtol=1e-3, atol=1e-3)
+
+
+def test_dsl_gen_and_capture(tiny_engine):
+    backend = sgl.EngineBackend(tiny_engine)
+
+    @sgl.function
+    def prog(s, prefix):
+        s += prefix
+        s += sgl.gen("first", max_tokens=6, temperature=0.0, ignore_eos=True)
+        s += " and "
+        s += sgl.gen("second", max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    state = prog.run(prefix="hello", backend=backend)
+    assert len(state["first"]) > 0
+    assert state.text().startswith("hello")
+    assert state["first"] in state.text() and " and " in state.text()
+
+
+def test_dsl_select_prefers_seen_continuation(tiny_engine):
+    backend = sgl.EngineBackend(tiny_engine)
+
+    @sgl.function
+    def prog(s):
+        s += "abcabcab"
+        s += sgl.select("pick", choices=["zzzz", "cabc"])
+
+    # The byte-level dummy model reliably assigns higher likelihood to a
+    # continuation it has just seen repeated than to unseen bytes.
+    state = prog.run(backend=backend)
+    assert state["pick"] in ("zzzz", "cabc")
+    assert len(state.meta["pick"]["scores"]) == 2
+    s0, s1 = state.meta["pick"]["scores"]
+    assert state["pick"] == ("zzzz" if s0 >= s1 else "cabc")
+
+
+def test_dsl_roles_and_fork(tiny_engine):
+    backend = sgl.EngineBackend(tiny_engine)
+
+    @sgl.function
+    def prog(s, q):
+        s += sgl.system("terse")
+        s += sgl.user(q)
+        with s.assistant():
+            s += sgl.gen("a", max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    state = prog.run(q="hi", backend=backend)
+    assert "<|im_start|>system" in state.text()
+    assert "<|im_start|>assistant" in state.text()
+    assert len(state["a"]) > 0
+
+    forks = state.fork(3)
+    assert all(f.text() == state.text() for f in forks)
+    forks[0] += sgl.gen("b", max_tokens=2, temperature=0.0, ignore_eos=True)
+    assert "b" in forks[0] and "b" not in forks[1]
+
+
+def test_dsl_run_batch(tiny_engine):
+    backend = sgl.EngineBackend(tiny_engine)
+
+    @sgl.function
+    def prog(s, word):
+        s += word
+        s += sgl.gen("out", max_tokens=3, temperature=0.0, ignore_eos=True)
+
+    states = prog.run_batch(
+        [{"word": w} for w in ["aa", "bb", "cc", "dd"]],
+        backend=backend,
+        num_threads=4,
+    )
+    assert len(states) == 4
+    assert all(len(st["out"]) > 0 for st in states)
