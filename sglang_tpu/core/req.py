@@ -51,7 +51,8 @@ class Req:
         self.origin_input_ids = list(input_ids)
         self.sampling_params = sampling_params
         self.stream = stream
-        self.lora_id = lora_id
+        self.lora_id = lora_id  # adapter name
+        self.lora_slot = 0  # resolved slot (0 = none)
         self.return_logprob = return_logprob or sampling_params.return_logprob
 
         # token state

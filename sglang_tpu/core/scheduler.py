@@ -221,7 +221,9 @@ class Scheduler:
     def _match_and_lock_prefix(self, req: Req):
         """Prefix-match the request on arrival to the batch
         (reference scheduler.py:1679 → radix_cache.py:355)."""
-        if self.radix.disable:
+        if self.radix.disable or req.lora_slot:
+            # LoRA KV differs per adapter; the tree is keyed by tokens only,
+            # so adapter requests bypass the shared prefix cache.
             req.pages = []
             req.prefix_pages_len = 0
             req.cached_len = 0
@@ -245,7 +247,7 @@ class Scheduler:
     def _cache_unfinished(self, req: Req):
         """Share mid-stream KV via the radix tree and adopt tree pages
         (reference cache_unfinished_req radix_cache.py:488)."""
-        if self.radix.disable:
+        if self.radix.disable or req.lora_slot:
             return
         aligned = req.cached_len // self.page_size * self.page_size
         n_pages = aligned // self.page_size
@@ -276,7 +278,7 @@ class Scheduler:
     def _cache_finished(self, req: Req):
         """Insert the finished sequence into the radix tree
         (reference cache_finished_req radix_cache.py:437)."""
-        if self.radix.disable:
+        if self.radix.disable or req.lora_slot:
             if req.pages:
                 self.allocator.free(req.pages)
                 req.pages = []
@@ -462,7 +464,8 @@ class Scheduler:
             packed, st_packed, pen = batch.pack_extend(self.page_size, B, L, P)
             vmask = self._grammar_masks(batch, B)
             tokens, logprobs = self.runner.extend_step(
-                packed, st_packed, B, L, P, pen=pen, vmask=vmask
+                packed, st_packed, B, L, P, pen=pen, vmask=vmask,
+                adapter_idx=self._lora_idx(batch, B),
             )
             self._process_prefill_result(batch, tokens, logprobs)
             self.num_steps += 1
@@ -489,7 +492,8 @@ class Scheduler:
         packed, st_packed, pen = batch.pack_decode(self.page_size, B, P, K)
         vmask = self._grammar_masks(batch, B)
         tokens, logprobs = self.runner.decode_window(
-            packed, st_packed, B, P, K, pen=pen, vmask=vmask
+            packed, st_packed, B, P, K, pen=pen, vmask=vmask,
+            adapter_idx=self._lora_idx(batch, B),
         )
         self._process_decode_window(batch, tokens, logprobs, K)
         self.num_steps += 1
@@ -497,6 +501,14 @@ class Scheduler:
         self.last_decode_tokens_per_s = K * len(batch.reqs) / max(dt, 1e-6)
         self.ratio_tracker.step()
         return True
+
+    def _lora_idx(self, batch: HostBatch, B: int):
+        if not any(r.lora_slot for r in batch.reqs):
+            return None
+        idx = np.zeros((B,), np.int32)
+        for i, r in enumerate(batch.reqs):
+            idx[i] = r.lora_slot
+        return idx
 
     def _grammar_masks(self, batch: HostBatch, B: int):
         """Packed vocab bitmask for grammar-constrained rows, or None."""
@@ -558,10 +570,12 @@ class Scheduler:
         if not batch.reqs:
             return False
         if any(
-            r.sampling_params.temperature > 0 or r.grammar is not None
+            r.sampling_params.temperature > 0
+            or r.grammar is not None
+            or r.lora_slot
             for r in batch.reqs
         ):
-            return False
+            return False  # verify path has no penalty/grammar/LoRA support
         from sglang_tpu.speculative import NgramPredictor
 
         k = self.server_args.speculative_num_draft_tokens

@@ -85,6 +85,7 @@ class Engine:
         self.grammar_manager = (
             GrammarManager(self.tokenizer) if self.tokenizer is not None else None
         )
+        self.lora_manager = None
         self.scheduler = Scheduler(
             server_args,
             model_runner=model_runner,
@@ -92,6 +93,17 @@ class Engine:
         )
         self._states: Dict[str, _ReqState] = {}
         self._states_lock = threading.Lock()
+
+        if server_args.enable_lora:
+            from sglang_tpu.lora import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.scheduler.runner.model_config,
+                max_slots=server_args.max_loras_per_batch,
+                max_rank=server_args.max_lora_rank,
+                dtype=self.scheduler.runner.model_config.dtype,
+            )
+            self.scheduler.runner.lora_manager = self.lora_manager
 
         self._sched_thread = threading.Thread(
             target=self.scheduler.event_loop, name="scheduler", daemon=True
@@ -118,6 +130,7 @@ class Engine:
         sampling_params: Union[None, dict, SamplingParams],
         stream: bool,
         rid: Optional[str],
+        lora_path: Optional[str] = None,
     ) -> _ReqState:
         if isinstance(sampling_params, SamplingParams):
             sp = sampling_params
@@ -140,7 +153,12 @@ class Engine:
             sampling_params=sp,
             stream=stream,
             return_logprob=sp.return_logprob,
+            lora_id=lora_path,
         )
+        if lora_path:
+            if self.lora_manager is None:
+                raise ValueError("lora_path given but --enable-lora is off")
+            req.lora_slot = self.lora_manager.slot_of(lora_path)
         if sp.regex or sp.json_schema or sp.ebnf:
             if self.grammar_manager is None:
                 raise ValueError("constrained decoding requires a tokenizer")
@@ -222,6 +240,7 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         stream: bool = False,
         rid: Optional[str] = None,
+        lora_path: Optional[str] = None,
     ):
         """Synchronous generation (reference Engine.generate,
         entrypoints/engine.py:247). Accepts a single prompt or a batch."""
@@ -234,14 +253,16 @@ class Engine:
             prompts = prompt if prompt is not None else [None] * len(input_ids)
             ids_list = input_ids if input_ids is not None else [None] * len(prompts)
             states = [
-                self._make_req(p, ids, sampling_params, False, None)
+                self._make_req(p, ids, sampling_params, False, None, lora_path)
                 for p, ids in zip(prompts, ids_list)
             ]
             for s in states:
                 self.scheduler.add_request(s.req)
             return [self._wait_final(s) for s in states]
 
-        state = self._make_req(prompt, input_ids, sampling_params, stream, rid)
+        state = self._make_req(
+            prompt, input_ids, sampling_params, stream, rid, lora_path
+        )
         self.scheduler.add_request(state.req)
         if stream:
             return self._stream_iter(state)
@@ -268,8 +289,11 @@ class Engine:
         input_ids: Optional[List[int]] = None,
         stream: bool = False,
         rid: Optional[str] = None,
+        lora_path: Optional[str] = None,
     ):
-        state = self._make_req(prompt, input_ids, sampling_params, stream, rid)
+        state = self._make_req(
+            prompt, input_ids, sampling_params, stream, rid, lora_path
+        )
         state.loop = asyncio.get_running_loop()
         state.async_queue = asyncio.Queue()
         self.scheduler.add_request(state.req)
@@ -288,6 +312,17 @@ class Engine:
                 return
 
     # --------------------------------------------------------------- admin
+    def load_lora_adapter(self, lora_name: str, lora_path: str) -> int:
+        """Dynamic adapter load (reference http_server.py:1431)."""
+        if self.lora_manager is None:
+            raise ValueError("--enable-lora is off")
+        return self.lora_manager.load_adapter(lora_name, lora_path)
+
+    def unload_lora_adapter(self, lora_name: str):
+        if self.lora_manager is None:
+            raise ValueError("--enable-lora is off")
+        self.lora_manager.unload_adapter(lora_name)
+
     def abort_request(self, rid: str):
         self.scheduler.abort_request(rid)
 

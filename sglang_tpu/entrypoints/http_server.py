@@ -126,6 +126,8 @@ class HttpServer:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/load_lora_adapter", self.load_lora_adapter)
+        r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/abort_request", self.abort_request)
         if self.server_args.enable_metrics:
             r.add_get("/metrics", self.metrics)
@@ -193,6 +195,16 @@ class HttpServer:
         self.engine.flush_cache()
         return web.Response(text="Cache flushed.")
 
+    async def load_lora_adapter(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.load_lora_adapter(body["lora_name"], body["lora_path"])
+        return web.json_response({"success": True})
+
+    async def unload_lora_adapter(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.unload_lora_adapter(body["lora_name"])
+        return web.json_response({"success": True})
+
     async def abort_request(self, request: web.Request) -> web.Response:
         body = await request.json()
         self.engine.abort_request(body.get("rid", ""))
@@ -216,6 +228,7 @@ class HttpServer:
             sampling_params=body.get("sampling_params"),
             rid=body.get("rid"),
             stream=stream,
+            lora_path=body.get("lora_path"),
         )
         if not stream:
             # batch or single
@@ -232,6 +245,7 @@ class HttpServer:
                         prompt=texts,
                         input_ids=ids,
                         sampling_params=kwargs["sampling_params"],
+                        lora_path=kwargs["lora_path"],
                     ),
                 )
                 return web.json_response(out)

@@ -202,7 +202,7 @@ class ModelRunner:
         return "xla"
 
     # ------------------------------------------------------------- impl fns
-    def _forward_batch(self, params, kv_cache, batch):
+    def _forward_batch(self, params, kv_cache, batch, lora=None):
         return self.model.forward(
             params,
             kv_cache,
@@ -210,12 +210,14 @@ class ModelRunner:
             num_slots=self.kv_pool.num_slots,
             page_size=self.kv_pool.page_size,
             attn_backend=self.attn_backend,
+            lora=lora,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
-        hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
+        lora = (lora_tree, adapter_idx) if use_lora else None
+        hidden, kv_cache = self._forward_batch(params, kv_cache, batch, lora)
         logits = self.model.compute_logits(params, hidden)
         st = unpack_sampling_params(st_packed)
         if use_pen:
@@ -232,7 +234,7 @@ class ModelRunner:
         out = jnp.stack([tokens.astype(jnp.float32), logprobs])
         return out, kv_cache
 
-    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False):
+    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False, use_lora=False):
         """K fused decode steps; tokens chain on device via lax.scan."""
         first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
         st = unpack_sampling_params(st_packed)
@@ -242,12 +244,14 @@ class ModelRunner:
             V = self.model_config.vocab_size
             pen_state = build_penalty_state(pen, V)
 
+        lora = (lora_tree, adapter_idx) if use_lora else None
+
         def body(carry, k):
             kv, tokens, pstate = carry
             batch = decode_step_batch(
                 tokens, seq_lens0, page_table, k, self.kv_pool.page_size
             )
-            hidden, kv = self._forward_batch(params, kv, batch)
+            hidden, kv = self._forward_batch(params, kv, batch, lora)
             logits = self.model.compute_logits(params, hidden)
             if use_pen:
                 counts, appeared = pstate
@@ -378,8 +382,8 @@ class ModelRunner:
         return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask):
-        key = (B, L, P, all_greedy, use_pen, use_mask)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False):
+        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
@@ -390,15 +394,15 @@ class ModelRunner:
                 functools.partial(
                     self._extend_impl,
                     B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
-                    use_mask=use_mask,
+                    use_mask=use_mask, use_lora=use_lora,
                 ),
                 donate_argnums=(1,),
             )
             self._extend_fns[key] = fn
         return fn
 
-    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask):
-        key = (B, P, K, all_greedy, use_pen, use_mask)
+    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask, use_lora=False):
+        key = (B, P, K, all_greedy, use_pen, use_mask, use_lora)
         fn = self._decode_fns.get(key)
         if fn is None:
             logger.info(
@@ -409,7 +413,7 @@ class ModelRunner:
                 functools.partial(
                     self._decode_impl,
                     B=B, P=P, K=K, all_greedy=all_greedy, use_pen=use_pen,
-                    use_mask=use_mask,
+                    use_mask=use_mask, use_lora=use_lora,
                 ),
                 donate_argnums=(1,),
             )
@@ -425,13 +429,14 @@ class ModelRunner:
         P: int,
         pen: Optional[np.ndarray] = None,
         vmask: Optional[np.ndarray] = None,
+        adapter_idx: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32)."""
         self._step_counter += 1
         # Static greedy hint: padded rows have temperature 0 by construction.
         fn = self._get_extend_fn(
             B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
-            vmask is not None,
+            vmask is not None, adapter_idx is not None,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -440,6 +445,8 @@ class ModelRunner:
             st_packed,
             pen if pen is not None else np.zeros((B, 1, 2), np.int32),
             vmask if vmask is not None else np.zeros((B, 1), np.uint32),
+            self._lora_tree() if adapter_idx is not None else {},
+            adapter_idx if adapter_idx is not None else np.zeros((B,), np.int32),
             self._base_rng,
             np.int32(self._step_counter),
         )
@@ -455,12 +462,13 @@ class ModelRunner:
         K: int,
         pen: Optional[np.ndarray] = None,
         vmask: Optional[np.ndarray] = None,
+        adapter_idx: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Run K fused decode steps; returns (tokens [K, B], logprobs [K, B])."""
         self._step_counter += 1
         fn = self._get_decode_fn(
             B, P, K, bool((st_packed[:, 0] <= 0).all()), pen is not None,
-            vmask is not None,
+            vmask is not None, adapter_idx is not None,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -469,11 +477,20 @@ class ModelRunner:
             st_packed,
             pen if pen is not None else np.zeros((B, 1, 2), np.int32),
             vmask if vmask is not None else np.zeros((B, 1), np.uint32),
+            self._lora_tree() if adapter_idx is not None else {},
+            adapter_idx if adapter_idx is not None else np.zeros((B,), np.int32),
             self._base_rng,
             np.int32(self._step_counter),
         )
         out = np.asarray(out)
         return out[0].astype(np.int64), out[1]
+
+    # ---------------------------------------------------------------- lora
+    lora_manager = None  # set by the engine when --enable-lora
+
+    def _lora_tree(self):
+        assert self.lora_manager is not None, "LoRA not enabled"
+        return self.lora_manager.device_tree()
 
     # ------------------------------------------------------------- buckets
     def decode_bs_bucket(self, bs: int) -> int:

@@ -224,6 +224,7 @@ class LlamaForCausalLM:
         page_size: int,
         attn_backend: str = "xla",
         return_all_hidden: bool = False,
+        lora=None,  # (LoRAManager.device_tree(), adapter_idx [B] i32)
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
         ``return_all_hidden``, (hidden [B*Lq, H], kv_cache) for
@@ -241,6 +242,26 @@ class LlamaForCausalLM:
         rot_half = self.rot_dim // 2
         pos_f = batch.positions[..., None].astype(jnp.float32)  # [B, Lq, 1]
 
+        if lora is not None:
+            from sglang_tpu.lora.manager import lora_delta
+
+            lora_tree, adapter_idx = lora
+            lora_a, lora_b = lora_tree["a"], lora_tree["b"]
+            lora_scaling = lora_tree["scaling"]
+        else:
+            lora_a, lora_b = {}, {}
+
+        def make_proj(w, la, lb):
+            def proj(x, name):
+                y = x @ w[name]
+                if name in la:
+                    y = y + lora_delta(
+                        x, la[name], lb[name], adapter_idx, lora_scaling
+                    ).astype(y.dtype)
+                return y
+
+            return proj
+
         def rope(x, cos, sin):  # [B, Lq, h, d] half-split layout
             xf = x.astype(jnp.float32)
             x1, x2 = xf[..., :rot_half], xf[..., rot_half : 2 * rot_half]
@@ -254,15 +275,16 @@ class LlamaForCausalLM:
 
         def layer_fn(carry, xs):
             h, kv, li = carry
-            w, inv_freq, window = xs
+            w, inv_freq, window, la, lb = xs
+            proj = make_proj(w, la, lb)
             angles = pos_f * inv_freq  # [B, Lq, rot/2]
             cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
             sin = jnp.sin(angles)[..., None, :]
             # --- attention block ---
             normed = self._norm(h, w["input_ln"])
-            q = normed @ w["q_proj"]
-            k = normed @ w["k_proj"]
-            v = normed @ w["v_proj"]
+            q = proj(normed, "q_proj")
+            k = proj(normed, "k_proj")
+            v = proj(normed, "v_proj")
             if self.has_qkv_bias:
                 q = q + w["q_bias"]
                 k = k + w["k_bias"]
@@ -292,14 +314,14 @@ class LlamaForCausalLM:
                 backend=attn_backend,
             )
             attn_out = attn_out.reshape(B, Lq, hq * d)
-            attn_out = attn_out @ w["o_proj"]
+            attn_out = proj(attn_out, "o_proj")
             if self.has_post_norms:
                 attn_out = self._norm(attn_out, w["post_attn_ln"])
             h = h + attn_out
             h = self._shard(h, AXIS_DP, None, None)
             # --- mlp block ---
             normed = self._norm(h, w["post_ln"])
-            mlp_out = self._mlp_forward(w, normed)
+            mlp_out = self._mlp_forward(w, normed, proj)
             if self.has_post_norms:
                 mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
             h = h + mlp_out
@@ -313,6 +335,8 @@ class LlamaForCausalLM:
                 params["layers"],
                 self.per_layer_inv_freq(),
                 self.per_layer_window(),
+                lora_a,
+                lora_b,
             ),
         )
 
@@ -324,13 +348,15 @@ class LlamaForCausalLM:
         last_hidden = flat[batch.logits_idx]  # [B, H]
         return last_hidden, kv_cache
 
-    def _mlp_forward(self, w, normed: jnp.ndarray) -> jnp.ndarray:
+    def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
         c = self.config
-        gate = normed @ w["gate_proj"]
-        up = normed @ w["up_proj"]
+        if proj is None:
+            proj = lambda x, name: x @ w[name]  # noqa: E731
+        gate = proj(normed, "gate_proj")
+        up = proj(normed, "up_proj")
         inter = act_and_mul(c.hidden_act, gate, up)
         inter = self._shard(inter, AXIS_DP, None, AXIS_TP)
-        return inter @ w["down_proj"]
+        return proj(inter, "down_proj")
 
     def compute_logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
         """[B, H] → [B, V] float32 (reference: layers/logits_processor.py:326)."""

@@ -64,7 +64,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
         }
 
     # ------------------------------------------------------------- forward
-    def _mlp_forward(self, w, normed: jnp.ndarray) -> jnp.ndarray:
+    def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
+        del proj  # no LoRA on expert weights (reference likewise)
         return moe_block(
             normed,
             w["moe_gate"],

@@ -87,6 +87,7 @@ class ServerArgs:
     # ---- lora ----
     enable_lora: bool = False
     max_loras_per_batch: int = 8
+    max_lora_rank: int = 16
 
     # ---- constrained decoding ----
     grammar_backend: str = "native"
