@@ -93,6 +93,9 @@ class Engine:
         )
         self._states: Dict[str, _ReqState] = {}
         self._states_lock = threading.Lock()
+        # multi-turn sessions: sid → token history (KV reuse comes from the
+        # radix cache; reference session_controller keeps KV explicitly)
+        self._sessions: Dict[str, List[int]] = {}
 
         if server_args.enable_lora:
             from sglang_tpu.lora import LoRAManager
@@ -311,7 +314,43 @@ class Engine:
             if out["finished"]:
                 return
 
+    # ------------------------------------------------------------ sessions
+    def open_session(self, session_id: Optional[str] = None) -> str:
+        """Reference /open_session (http_server.py:1465)."""
+        sid = session_id or uuid.uuid4().hex
+        if sid in self._sessions:
+            raise ValueError(f"session {sid!r} already open")
+        self._sessions[sid] = []
+        return sid
+
+    def close_session(self, session_id: str):
+        self._sessions.pop(session_id, None)
+
+    def generate_in_session(
+        self,
+        session_id: str,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params=None,
+    ) -> dict:
+        """Append a turn to the session; the accumulated history is the
+        prompt, so the radix cache serves all prior turns' KV."""
+        history = self._sessions.get(session_id)
+        if history is None:
+            raise ValueError(f"unknown session {session_id!r}")
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            input_ids = self.tokenizer.encode(prompt)
+        full = history + list(input_ids)
+        out = self.generate(input_ids=full, sampling_params=sampling_params)
+        self._sessions[session_id] = full + out["output_ids"]
+        return out
+
     # --------------------------------------------------------------- admin
+    def update_weights_from_disk(self, model_path: str):
+        """Reference /update_weights_from_disk (http_server.py:1286 family)."""
+        self.scheduler.runner.update_weights_from_disk(model_path)
+
     def load_lora_adapter(self, lora_name: str, lora_path: str) -> int:
         """Dynamic adapter load (reference http_server.py:1431)."""
         if self.lora_manager is None:

@@ -126,6 +126,9 @@ class HttpServer:
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
         r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
+        r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/abort_request", self.abort_request)
@@ -194,6 +197,24 @@ class HttpServer:
     async def flush_cache(self, request: web.Request) -> web.Response:
         self.engine.flush_cache()
         return web.Response(text="Cache flushed.")
+
+    async def open_session(self, request: web.Request) -> web.Response:
+        body = await request.json() if request.can_read_body else {}
+        sid = self.engine.open_session(body.get("session_id"))
+        return web.json_response({"session_id": sid})
+
+    async def close_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.close_session(body["session_id"])
+        return web.Response(text="ok")
+
+    async def update_weights_from_disk(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(
+            None, self.engine.update_weights_from_disk, body["model_path"]
+        )
+        return web.json_response({"success": True})
 
     async def load_lora_adapter(self, request: web.Request) -> web.Response:
         body = await request.json()

@@ -192,6 +192,12 @@ class ModelRunner:
                 "= %d is not 128-aligned", hd,
             )
             return "xla"
+        if jnp.dtype(self.kv_pool.geometry.dtype).itemsize < 2:
+            # fp8 VMEM slices need 4-row sublane alignment, which the
+            # kernel's [2, HD] K/V write blocks violate; fp8 KV runs on
+            # the XLA path until the write kernel grows an fp8 layout.
+            logger.info("Pallas attention disabled: fp8 KV cache → xla")
+            return "xla"
         if device.platform == "tpu":
             try:
                 import sglang_tpu.ops.paged_attention  # noqa: F401
@@ -507,6 +513,24 @@ class ModelRunner:
         return min(p, next_power_of_2(self.max_pages_per_req))
 
     # ------------------------------------------------------------- weights
+    def update_weights_from_disk(self, model_path: str) -> None:
+        """Reload weights from a checkpoint directory without recompiling
+        (reference model_runner.py:1840 update_weights_from_disk — RL /
+        fine-tune refresh; shapes and shardings must match)."""
+        import dataclasses
+
+        from sglang_tpu.model_loader.loader import load_model_weights
+
+        cfg = dataclasses.replace(self.model_config, model_path=model_path)
+        new_params = load_model_weights(
+            self.model, cfg, "safetensors", self.mesh_ctx
+        )
+        old = jax.tree_util.tree_leaves(self.params)
+        new = jax.tree_util.tree_leaves(new_params)
+        if [x.shape for x in old] != [x.shape for x in new]:
+            raise ValueError("checkpoint shapes do not match the loaded model")
+        self.params = new_params
+
     def update_weights_from_tensor(self, named_tensors: Dict[str, np.ndarray]):
         """RL weight sync (reference model_runner.py:2160) — in-place swap of
         param leaves without recompilation (shapes/shardings must match)."""

@@ -1,0 +1,146 @@
+"""FP8 KV cache, sessions, update_weights_from_disk."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+
+def _engine(**kw):
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+
+    args = ServerArgs(
+        model_path=kw.pop("model_path", "dummy://tiny"),
+        tokenizer_path="test:byte",
+        load_format=kw.pop("load_format", "dummy"),
+        dtype="float32",
+        page_size=8,
+        max_total_tokens=8192,
+        **kw,
+    )
+    cfg = (
+        ModelConfig.from_model_path(args.model_path, dtype="float32")
+        if not args.model_path.startswith("dummy://")
+        else ModelConfig.from_hf_dict(TINY_HF_CONFIG, dtype="float32")
+    )
+    runner = ModelRunner(args, model_config=cfg)
+    return Engine(server_args=args, model_runner=runner)
+
+
+def test_fp8_kv_cache_runs_and_is_numerically_close():
+    import jax.numpy as jnp
+
+    from sglang_tpu.layers.attention import attention_xla, gather_kv, write_kv
+
+    # unit numerics: fp8 KV roundtrip attention vs f32 KV attention
+    rng = np.random.RandomState(0)
+    B, P, ps, Hq, Hkv, D = 2, 4, 8, 4, 2, 16
+    num_pages, num_slots = 16, 16 * ps
+    pt = np.arange(1, 1 + B * P, dtype=np.int32).reshape(B, P)
+    seq = np.full((B,), P * ps, np.int32)
+    slots = (pt[:, :, None] * ps + np.arange(ps)).reshape(B, -1)
+    k = rng.randn(B, P * ps, Hkv, D).astype(np.float32)
+    v = rng.randn(B, P * ps, Hkv, D).astype(np.float32)
+    q = rng.randn(B, 1, Hq, D).astype(np.float32)
+    outs = {}
+    for dt in (jnp.float32, jnp.float8_e4m3fn):
+        cache = jnp.zeros((num_pages, ps, 2, Hkv * D), dt)
+        cache = write_kv(cache, jnp.asarray(k), jnp.asarray(v),
+                         jnp.asarray(slots), jnp.int32(0), num_slots)
+        kc, vc = gather_kv(cache, jnp.asarray(pt), jnp.int32(0), num_slots, ps, D)
+        out = attention_xla(jnp.asarray(q), kc.astype(jnp.float32),
+                            vc.astype(jnp.float32),
+                            jnp.asarray(seq - 1)[:, None], jnp.asarray(seq),
+                            D ** -0.5)
+        outs[str(dt)] = np.asarray(out)
+    a, b = outs.values()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.15, rel  # fp8 quantization noise, but same attention
+
+    # engine-level: fp8 KV engine runs end-to-end and is deterministic
+    sp = {"temperature": 0.0, "max_new_tokens": 12, "ignore_eos": True}
+    prompt = list(range(30, 60))
+    e2 = _engine(kv_cache_dtype="float8_e4m3")
+    try:
+        assert "float8" in str(e2.scheduler.runner.kv_pool.geometry.dtype)
+        o1 = e2.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        o2 = e2.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        assert len(o1["output_ids"]) == 12
+        assert o1["output_ids"] == o2["output_ids"]
+    finally:
+        e2.shutdown()
+
+
+def test_sessions_multi_turn_and_cache_reuse():
+    eng = _engine()
+    try:
+        sid = eng.open_session()
+        sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+        o1 = eng.generate_in_session(sid, prompt="hello there friend",
+                                     sampling_params=dict(sp))
+        o2 = eng.generate_in_session(sid, prompt=" and more",
+                                     sampling_params=dict(sp))
+        # second turn's prompt includes turn 1 (prompt+output) + new text
+        assert o2["meta_info"]["prompt_tokens"] == (
+            o1["meta_info"]["prompt_tokens"] + 6 + len(" and more")
+        )
+        # radix reuse: most of the history KV is cached
+        assert o2["meta_info"]["cached_tokens"] > 0
+        # equivalence with manually concatenated history
+        manual = eng.generate(
+            input_ids=eng.tokenizer.encode("hello there friend")
+            + o1["output_ids"]
+            + eng.tokenizer.encode(" and more"),
+            sampling_params=dict(sp),
+        )
+        assert manual["output_ids"] == o2["output_ids"]
+        eng.close_session(sid)
+        with pytest.raises(ValueError):
+            eng.generate_in_session(sid, prompt="x", sampling_params=sp)
+    finally:
+        eng.shutdown()
+
+
+def test_update_weights_from_disk(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    def save(seed, d):
+        cfg = LlamaConfig(
+            hidden_size=TINY_HF_CONFIG["hidden_size"],
+            intermediate_size=TINY_HF_CONFIG["intermediate_size"],
+            num_hidden_layers=TINY_HF_CONFIG["num_hidden_layers"],
+            num_attention_heads=TINY_HF_CONFIG["num_attention_heads"],
+            num_key_value_heads=TINY_HF_CONFIG["num_key_value_heads"],
+            head_dim=TINY_HF_CONFIG["head_dim"],
+            vocab_size=TINY_HF_CONFIG["vocab_size"],
+            rms_norm_eps=TINY_HF_CONFIG["rms_norm_eps"],
+            rope_theta=TINY_HF_CONFIG["rope_theta"],
+            tie_word_embeddings=False,
+            bos_token_id=256,
+            eos_token_id=257,
+        )
+        torch.manual_seed(seed)
+        m = LlamaForCausalLM(cfg).float().eval()
+        m.save_pretrained(d, safe_serialization=True)
+        return str(d)
+
+    d1 = save(0, tmp_path / "w1")
+    d2 = save(1, tmp_path / "w2")
+    eng = _engine(model_path=d1, load_format="safetensors",
+                  disable_radix_cache=True)
+    try:
+        sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+        prompt = [5, 6, 7, 8]
+        out1 = eng.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        eng.update_weights_from_disk(d2)
+        out2 = eng.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        assert out1["output_ids"] != out2["output_ids"]
+        eng.update_weights_from_disk(d1)
+        out3 = eng.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        assert out3["output_ids"] == out1["output_ids"]
+    finally:
+        eng.shutdown()
