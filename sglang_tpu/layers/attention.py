@@ -165,6 +165,27 @@ def paged_attention(
     kv_cache = write_kv(
         kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots
     )
+    if backend == "pallas":  # extend / chunked prefill, Lq > 1
+        from sglang_tpu.ops.prefill_attention import paged_prefill_attention
+
+        B, Lq = q.shape[:2]
+        # rows pack n_new as logits_idx = i*Lq + (n_new-1); padded rows → 0
+        new_lens = jnp.maximum(
+            batch.logits_idx - np.arange(B, dtype=np.int32) * Lq + 1, 0
+        )
+        return paged_prefill_attention(
+            q,
+            kv_cache,
+            batch.page_table,
+            batch.seq_lens,
+            new_lens,
+            layer_idx,
+            num_slots=num_slots,
+            page_size=page_size,
+            sm_scale=sm_scale,
+            logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
     k_ctx, v_ctx = gather_kv(
         kv_cache, batch.page_table, layer_idx, num_slots, page_size,
         q.shape[-1],
