@@ -60,6 +60,9 @@ class Req:
         self.fill_ids: List[int] = list(input_ids)
         self.cached_len = 0  # tokens with KV materialized
         self.output_logprobs: List[float] = []
+        self.output_top_logprobs = (
+            [] if sampling_params.top_logprobs_num > 0 else None
+        )
 
         # KV / radix state
         self.pages: List[int] = []  # all pages in token order
@@ -87,6 +90,9 @@ class Req:
         self.input_logprobs = (
             [None] * len(self.fill_ids) if self.is_scoring else None
         )
+        # embedding request (Engine.encode): pooled vector lands here
+        self.is_embedding = False
+        self.embedding = None
 
         # streaming bookkeeping (tokens already sent to detokenizer)
         self.sent_output_len = 0
@@ -104,6 +110,14 @@ class Req:
     @property
     def is_prefill_done(self) -> bool:
         return self.cached_len >= len(self.origin_input_ids)
+
+    @property
+    def prefill_kind(self) -> str:
+        if self.is_embedding:
+            return "embed"
+        if self.is_scoring:
+            return "score"
+        return "generate"
 
     @property
     def is_scoring(self) -> bool:

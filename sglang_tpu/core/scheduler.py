@@ -303,11 +303,11 @@ class Scheduler:
         req.prefix_pages_len = 0
 
     # ------------------------------------------------------ batch formation
-    def _get_prefill_batch(self, scoring: bool = False) -> Optional[HostBatch]:
-        waiting = [r for r in self.waiting if r.is_scoring == scoring]
+    def _get_prefill_batch(self, kind: str = "generate") -> Optional[HostBatch]:
+        waiting = [r for r in self.waiting if r.prefill_kind == kind]
         chunked_ok = (
             self.chunked_req is not None
-            and self.chunked_req.is_scoring == scoring
+            and self.chunked_req.prefill_kind == kind
         )
         if not waiting and not chunked_ok:
             return None
@@ -438,7 +438,7 @@ class Scheduler:
             bool(self.running.reqs or self.waiting or self.chunked_req)
         )
         self._process_inputs(block=block)
-        batch = self._get_prefill_batch(scoring=True)
+        batch = self._get_prefill_batch(kind="score")
         if batch is not None:
             B, L, P = extend_buckets(
                 batch,
@@ -453,6 +453,20 @@ class Scheduler:
             self.num_steps += 1
             return True
 
+        batch = self._get_prefill_batch(kind="embed")
+        if batch is not None:
+            B, L, P = extend_buckets(
+                batch,
+                self.page_size,
+                self.decode_bs_buckets,
+                self.runner.max_pages_per_req,
+            )
+            packed, _, _ = batch.pack_extend(self.page_size, B, L, P)
+            emb = self.runner.embed_step(packed, B, L, P)
+            self._process_embedding_result(batch, emb)
+            self.num_steps += 1
+            return True
+
         batch = self._get_prefill_batch()
         if batch is not None:
             B, L, P = extend_buckets(
@@ -463,11 +477,11 @@ class Scheduler:
             )
             packed, st_packed, pen = batch.pack_extend(self.page_size, B, L, P)
             vmask = self._grammar_masks(batch, B)
-            tokens, logprobs = self.runner.extend_step(
+            tokens, logprobs, toplp = self.runner.extend_step(
                 packed, st_packed, B, L, P, pen=pen, vmask=vmask,
-                adapter_idx=self._lora_idx(batch, B),
+                adapter_idx=self._lora_idx(batch, B), tl_k=self._tl_k(batch),
             )
-            self._process_prefill_result(batch, tokens, logprobs)
+            self._process_prefill_result(batch, tokens, logprobs, toplp)
             self.num_steps += 1
             self.ratio_tracker.step()
             return True
@@ -491,16 +505,28 @@ class Scheduler:
         )
         packed, st_packed, pen = batch.pack_decode(self.page_size, B, P, K)
         vmask = self._grammar_masks(batch, B)
-        tokens, logprobs = self.runner.decode_window(
+        tokens, logprobs, toplp = self.runner.decode_window(
             packed, st_packed, B, P, K, pen=pen, vmask=vmask,
-            adapter_idx=self._lora_idx(batch, B),
+            adapter_idx=self._lora_idx(batch, B), tl_k=self._tl_k(batch),
         )
-        self._process_decode_window(batch, tokens, logprobs, K)
+        self._process_decode_window(batch, tokens, logprobs, K, toplp)
         self.num_steps += 1
         dt = time.monotonic() - t0
         self.last_decode_tokens_per_s = K * len(batch.reqs) / max(dt, 1e-6)
         self.ratio_tracker.step()
         return True
+
+    def _tl_k(self, batch: HostBatch) -> int:
+        """Top-logprobs bucket for the batch (static jit arg)."""
+        want = max(
+            (r.sampling_params.top_logprobs_num for r in batch.reqs), default=0
+        )
+        if want <= 0:
+            return 0
+        for b in (4, 8, 16, 32):
+            if b >= want:
+                return b
+        return 32
 
     def _lora_idx(self, batch: HostBatch, B: int):
         if not any(r.lora_slot for r in batch.reqs):
@@ -560,6 +586,22 @@ class Scheduler:
         if updates:
             self._emit_updates(updates)
 
+    def _process_embedding_result(self, batch: HostBatch, emb):
+        updates = []
+        for i, (req, n_new) in enumerate(zip(batch.reqs, batch.extend_lens)):
+            req.cached_len += n_new
+            if req.finished:
+                continue
+            if req is self.chunked_req:
+                self._cache_unfinished(req)
+                continue
+            req.embedding = emb[i].tolist()
+            req._finish(FinishReason.LENGTH)
+            self._cache_finished(req)
+            updates.append(req)
+        if updates:
+            self._emit_updates(updates)
+
     # ------------------------------------------------------ speculative
     def _spec_verify_step(self) -> bool:
         """N-gram draft + one-forward greedy verify (reference
@@ -573,9 +615,10 @@ class Scheduler:
             r.sampling_params.temperature > 0
             or r.grammar is not None
             or r.lora_slot
+            or r.sampling_params.top_logprobs_num > 0
             for r in batch.reqs
         ):
-            return False  # verify path has no penalty/grammar/LoRA support
+            return False  # verify path: greedy, no grammar/LoRA/top-logprobs
         from sglang_tpu.speculative import NgramPredictor
 
         k = self.server_args.speculative_num_draft_tokens
@@ -656,7 +699,16 @@ class Scheduler:
         return True
 
     # ------------------------------------------------------------- results
-    def _process_prefill_result(self, batch: HostBatch, tokens, logprobs):
+    @staticmethod
+    def _append_top_logprobs(req: Req, ids_row, vals_row):
+        if req.output_top_logprobs is None:
+            return
+        k = req.sampling_params.top_logprobs_num
+        req.output_top_logprobs.append(
+            [(float(v), int(t)) for v, t in zip(vals_row[:k], ids_row[:k])]
+        )
+
+    def _process_prefill_result(self, batch: HostBatch, tokens, logprobs, toplp=None):
         updates = []
         for i, (req, n_new) in enumerate(zip(batch.reqs, batch.extend_lens)):
             req.cached_len += n_new
@@ -667,6 +719,8 @@ class Scheduler:
                 self._cache_unfinished(req)
                 continue
             req.append_output_token(int(tokens[i]), float(logprobs[i]))
+            if toplp is not None:
+                self._append_top_logprobs(req, toplp[0][i], toplp[1][i])
             self.num_generated_tokens += 1
             self._grammar_accept(req, int(tokens[i]))
             if req.check_finished(self.eos_token_ids, self.max_context_len):
@@ -679,7 +733,7 @@ class Scheduler:
         if updates:
             self._emit_updates(updates)
 
-    def _process_decode_window(self, batch: HostBatch, tokens, logprobs, K: int):
+    def _process_decode_window(self, batch: HostBatch, tokens, logprobs, K: int, toplp=None):
         """Accept tokens per request until its stop condition; tokens sampled
         after a request finished inside the window are discarded (their KV
         went into the request's own pages, freed at finish)."""
@@ -690,6 +744,8 @@ class Scheduler:
                     break
                 req.cached_len += 1
                 req.append_output_token(int(tokens[k, i]), float(logprobs[k, i]))
+                if toplp is not None:
+                    self._append_top_logprobs(req, toplp[0][k, i], toplp[1][k, i])
                 self.num_generated_tokens += 1
                 self._grammar_accept(req, int(tokens[k, i]))
                 if req.check_finished(self.eos_token_ids, self.max_context_len):
@@ -731,6 +787,10 @@ class Scheduler:
                     else None,
                     input_logprobs=list(req.input_logprobs)
                     if req.input_logprobs is not None
+                    else None,
+                    embedding=req.embedding,
+                    output_top_logprobs=list(req.output_top_logprobs)
+                    if req.output_top_logprobs is not None
                     else None,
                 )
             )

@@ -217,6 +217,8 @@ class Engine:
             "completion_tokens": upd["completion_tokens"],
             "cached_tokens": upd["cached_tokens"],
         }
+        if upd.get("embedding") is not None:
+            meta["embedding"] = upd["embedding"]
         if upd.get("input_logprobs") is not None:
             ids = state.req.origin_input_ids
             meta["input_token_logprobs"] = [
@@ -227,6 +229,11 @@ class Engine:
             meta["output_token_logprobs"] = [
                 (lp, tid, None)
                 for lp, tid in zip(upd["output_logprobs"], upd["output_ids"])
+            ]
+        if upd.get("output_top_logprobs") is not None:
+            meta["output_top_logprobs"] = [
+                [(lp, tid, None) for lp, tid in step]
+                for step in upd["output_top_logprobs"]
             ]
         return {
             "text": state.text,
@@ -313,6 +320,31 @@ class Engine:
             yield out
             if out["finished"]:
                 return
+
+    # ----------------------------------------------------------- encode
+    def encode(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+    ):
+        """Embedding API (reference Engine.encode / /v1/embeddings):
+        last-token pooled, L2-normalized hidden state."""
+        if isinstance(prompt, list) or (
+            input_ids is not None and input_ids and isinstance(input_ids[0], list)
+        ):
+            prompts = prompt if prompt is not None else [None] * len(input_ids)
+            ids_list = input_ids if input_ids is not None else [None] * len(prompts)
+            states = []
+            for p, ids in zip(prompts, ids_list):
+                st = self._make_req(p, ids, {"max_new_tokens": 0}, False, None)
+                st.req.is_embedding = True
+                self.scheduler.add_request(st.req)
+                states.append(st)
+            return [self._wait_final(s) for s in states]
+        state = self._make_req(prompt, input_ids, {"max_new_tokens": 0}, False, None)
+        state.req.is_embedding = True
+        self.scheduler.add_request(state.req)
+        return self._wait_final(state)
 
     # ------------------------------------------------------------ sessions
     def open_session(self, session_id: Optional[str] = None) -> str:

@@ -25,6 +25,9 @@ from sglang_tpu.entrypoints.chat_template import apply_chat_template
 from sglang_tpu.entrypoints.engine import Engine
 from sglang_tpu.entrypoints.protocol import (
     ChatCompletionChoice,
+    EmbeddingObject,
+    EmbeddingRequest,
+    EmbeddingResponse,
     ChatCompletionChunk,
     ChatCompletionChunkChoice,
     ChatCompletionRequest,
@@ -125,6 +128,7 @@ class HttpServer:
         r.add_post("/generate", self.generate)
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
@@ -377,6 +381,45 @@ class HttpServer:
         )
         return web.json_response(resp_obj.model_dump(exclude_none=True))
 
+    # ---------------------------------------------------- /v1/embeddings
+    async def embeddings(self, request: web.Request) -> web.Response:
+        req = EmbeddingRequest(**await request.json())
+        inp = req.input
+        if isinstance(inp, str):
+            items = [(inp, None)]
+        elif inp and isinstance(inp[0], int):
+            items = [(None, inp)]
+        elif inp and isinstance(inp[0], str):
+            items = [(t, None) for t in inp]
+        elif inp and isinstance(inp[0], list):
+            items = [(None, ids) for ids in inp]
+        else:
+            return _error("input must be a string or non-empty list")
+        loop = asyncio.get_running_loop()
+        outs = await asyncio.gather(
+            *[
+                loop.run_in_executor(
+                    None,
+                    lambda p=p, ids=ids: self.engine.encode(
+                        prompt=p, input_ids=ids
+                    ),
+                )
+                for p, ids in items
+            ]
+        )
+        data = [
+            EmbeddingObject(embedding=o["meta_info"]["embedding"], index=i)
+            for i, o in enumerate(outs)
+        ]
+        pt = sum(o["meta_info"]["prompt_tokens"] for o in outs)
+        return web.json_response(
+            EmbeddingResponse(
+                data=data,
+                model=self.model_name,
+                usage=UsageInfo(prompt_tokens=pt, total_tokens=pt),
+            ).model_dump()
+        )
+
     # ------------------------------------------------- /v1/chat/completions
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
         req = ChatCompletionRequest(**await request.json())
@@ -448,17 +491,31 @@ class HttpServer:
             lp = None
             if req.logprobs:
                 lps = out["meta_info"].get("output_token_logprobs") or []
+                tops = out["meta_info"].get("output_top_logprobs") or [None] * len(lps)
+
+                def tok_str(tid):
+                    return (
+                        self.tokenizer.convert_ids_to_tokens([tid])[0]
+                        if self.tokenizer is not None
+                        else str(tid)
+                    )
+
                 lp = {
                     "content": [
                         {
-                            "token": self.tokenizer.convert_ids_to_tokens([tid])[0]
-                            if self.tokenizer is not None
-                            else str(tid),
+                            "token": tok_str(tid),
                             "logprob": logprob,
                             "bytes": None,
-                            "top_logprobs": [],
+                            "top_logprobs": [
+                                {
+                                    "token": tok_str(t2),
+                                    "logprob": lp2,
+                                    "bytes": None,
+                                }
+                                for lp2, t2, _ in (top or [])
+                            ],
                         }
-                        for logprob, tid, _ in lps
+                        for (logprob, tid, _), top in zip(lps, tops)
                     ]
                 }
             choices.append(

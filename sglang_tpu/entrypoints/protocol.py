@@ -199,6 +199,26 @@ class ChatCompletionChunk(BaseModel):
     usage: Optional[UsageInfo] = None
 
 
+class EmbeddingRequest(BaseModel):
+    model: str = ""
+    input: Union[str, List[str], List[int], List[List[int]]] = ""
+    encoding_format: str = "float"
+    user: Optional[str] = None
+
+
+class EmbeddingObject(BaseModel):
+    object: str = "embedding"
+    embedding: List[float] = Field(default_factory=list)
+    index: int = 0
+
+
+class EmbeddingResponse(BaseModel):
+    object: str = "list"
+    data: List[EmbeddingObject] = Field(default_factory=list)
+    model: str = ""
+    usage: Optional[UsageInfo] = None
+
+
 class ModelCard(BaseModel):
     id: str
     object: str = "model"

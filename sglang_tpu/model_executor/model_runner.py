@@ -165,6 +165,7 @@ class ModelRunner:
         self._decode_fns: Dict[Tuple, Callable] = {}
         self._verify_fns: Dict[Tuple, Callable] = {}
         self._score_fns: Dict[Tuple, Callable] = {}
+        self._embed_fns: Dict[Tuple, Callable] = {}
         eos_mask = np.zeros((model_config.vocab_size,), bool)
         for t in model_config.eos_token_ids:
             if 0 <= t < model_config.vocab_size:
@@ -219,7 +220,7 @@ class ModelRunner:
             lora=lora,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         lora = (lora_tree, adapter_idx) if use_lora else None
@@ -235,12 +236,18 @@ class ModelRunner:
         tokens, logprobs = sample(
             logits, st, jax.random.fold_in(rng, step), all_greedy=all_greedy
         )
-        # Single fetched result: [2, B] f32 (token ids are exact in f32 for
-        # vocab < 2^24).
-        out = jnp.stack([tokens.astype(jnp.float32), logprobs])
+        # Single fetched result: [2(+2k), B] f32 (token ids are exact in f32
+        # for vocab < 2^24); optional rows = top-k alternative logprobs.
+        out = jnp.stack([tokens.astype(jnp.float32), logprobs])  # [2, B]
+        if tl_k > 0:
+            tv, ti = jax.lax.approx_max_k(logits, tl_k, recall_target=0.95)
+            lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+            out = jnp.concatenate(
+                [out, (tv - lse).T, ti.astype(jnp.float32).T], axis=0
+            )  # [2 + 2k, B]
         return out, kv_cache
 
-    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False, use_lora=False):
+    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, tl_k=0):
         """K fused decode steps; tokens chain on device via lax.scan."""
         first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
         st = unpack_sampling_params(st_packed)
@@ -274,9 +281,17 @@ class ModelRunner:
             )
             if use_pen:
                 pstate = update_penalty_state(counts, appeared, new_tokens)
-            return (kv, new_tokens, pstate), (new_tokens, logprobs)
+            if tl_k > 0:
+                tv, ti = jax.lax.approx_max_k(
+                    logits, tl_k, recall_target=0.95
+                )
+                lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+                extra = (tv - lse, ti)
+            else:
+                extra = (jnp.zeros((B, 0)), jnp.zeros((B, 0), jnp.int32))
+            return (kv, new_tokens, pstate), (new_tokens, logprobs, extra)
 
-        (kv_cache, _, _), (all_tokens, all_logprobs) = jax.lax.scan(
+        (kv_cache, _, _), (all_tokens, all_logprobs, tl) = jax.lax.scan(
             body,
             (kv_cache, first_tokens, pen_state),
             np.arange(K, dtype=np.int32),
@@ -284,6 +299,9 @@ class ModelRunner:
         out = jnp.stack(
             [all_tokens.astype(jnp.float32), all_logprobs]
         )  # [2, K, B]
+        if tl_k > 0:
+            # tl = (vals [K, B, k], ids [K, B, k])
+            out = (out, tl[0], tl[1].astype(jnp.float32))
         return out, kv_cache
 
     def _verify_impl(self, params, kv_cache, packed, rng, step, *, B, L, P):
@@ -339,6 +357,37 @@ class ModelRunner:
         out = np.asarray(out)
         return out[0].astype(np.int64), out[1]
 
+    def _embed_impl(self, params, kv_cache, packed, *, B, L, P):
+        """Embedding forward: last-token hidden state, L2-normalized
+        (e5-mistral-style last-token pooling; reference: embedding models
+        served via ``is_embedding`` + ``layers/pooler.py``)."""
+        batch = unpack_extend_batch(packed, B, L, P)
+        hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
+        hf = hidden.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(hf * hf, axis=-1, keepdims=True) + 1e-12)
+        return hf / norm, kv_cache
+
+    def _get_embed_fn(self, B, L, P):
+        key = (B, L, P)
+        fn = self._embed_fns.get(key)
+        if fn is None:
+            logger.info("compiling embed: B=%d L=%d P=%d", B, L, P)
+            fn = jax.jit(
+                functools.partial(self._embed_impl, B=B, L=L, P=P),
+                donate_argnums=(1,),
+            )
+            self._embed_fns[key] = fn
+        return fn
+
+    def embed_step(
+        self, packed: np.ndarray, B: int, L: int, P: int
+    ) -> np.ndarray:
+        """Normalized last-token embeddings [B, hidden] f32."""
+        self._step_counter += 1
+        fn = self._get_embed_fn(B, L, P)
+        emb, self.kv_cache = fn(self.params, self.kv_cache, packed)
+        return np.asarray(emb)
+
     def _score_impl(self, params, kv_cache, packed, targets, *, B, L, P):
         """Input-token logprobs: one extend forward; position j's logits
         score the GIVEN target token (the next input token) — used for
@@ -388,8 +437,8 @@ class ModelRunner:
         return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False):
-        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, tl_k=0):
+        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, tl_k)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
@@ -400,15 +449,15 @@ class ModelRunner:
                 functools.partial(
                     self._extend_impl,
                     B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
-                    use_mask=use_mask, use_lora=use_lora,
+                    use_mask=use_mask, use_lora=use_lora, tl_k=tl_k,
                 ),
                 donate_argnums=(1,),
             )
             self._extend_fns[key] = fn
         return fn
 
-    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask, use_lora=False):
-        key = (B, P, K, all_greedy, use_pen, use_mask, use_lora)
+    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask, use_lora=False, tl_k=0):
+        key = (B, P, K, all_greedy, use_pen, use_mask, use_lora, tl_k)
         fn = self._decode_fns.get(key)
         if fn is None:
             logger.info(
@@ -419,7 +468,7 @@ class ModelRunner:
                 functools.partial(
                     self._decode_impl,
                     B=B, P=P, K=K, all_greedy=all_greedy, use_pen=use_pen,
-                    use_mask=use_mask, use_lora=use_lora,
+                    use_mask=use_mask, use_lora=use_lora, tl_k=tl_k,
                 ),
                 donate_argnums=(1,),
             )
@@ -436,13 +485,15 @@ class ModelRunner:
         pen: Optional[np.ndarray] = None,
         vmask: Optional[np.ndarray] = None,
         adapter_idx: Optional[np.ndarray] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32)."""
+        tl_k: int = 0,
+    ):
+        """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32,
+        top_logprobs or None)."""
         self._step_counter += 1
         # Static greedy hint: padded rows have temperature 0 by construction.
         fn = self._get_extend_fn(
             B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
-            vmask is not None, adapter_idx is not None,
+            vmask is not None, adapter_idx is not None, tl_k,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -457,7 +508,14 @@ class ModelRunner:
             np.int32(self._step_counter),
         )
         out = np.asarray(out)
-        return out[0].astype(np.int64), out[1]
+        tokens, logprobs = out[0].astype(np.int64), out[1]
+        toplp = None
+        if tl_k > 0:
+            toplp = (
+                out[2 + tl_k:].T.astype(np.int64),  # ids [B, k]
+                out[2: 2 + tl_k].T,  # vals [B, k]
+            )
+        return tokens, logprobs, toplp
 
     def decode_window(
         self,
@@ -469,12 +527,14 @@ class ModelRunner:
         pen: Optional[np.ndarray] = None,
         vmask: Optional[np.ndarray] = None,
         adapter_idx: Optional[np.ndarray] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Run K fused decode steps; returns (tokens [K, B], logprobs [K, B])."""
+        tl_k: int = 0,
+    ):
+        """Run K fused decode steps; returns (tokens [K, B],
+        logprobs [K, B], top_logprobs or None)."""
         self._step_counter += 1
         fn = self._get_decode_fn(
             B, P, K, bool((st_packed[:, 0] <= 0).all()), pen is not None,
-            vmask is not None, adapter_idx is not None,
+            vmask is not None, adapter_idx is not None, tl_k,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -488,8 +548,16 @@ class ModelRunner:
             self._base_rng,
             np.int32(self._step_counter),
         )
+        if tl_k > 0:
+            out, tv, ti = out
+            out = np.asarray(out)
+            return (
+                out[0].astype(np.int64),
+                out[1],
+                (np.asarray(ti).astype(np.int64), np.asarray(tv)),
+            )
         out = np.asarray(out)
-        return out[0].astype(np.int64), out[1]
+        return out[0].astype(np.int64), out[1], None
 
     # ---------------------------------------------------------------- lora
     lora_manager = None  # set by the engine when --enable-lora

@@ -144,3 +144,45 @@ def test_update_weights_from_disk(tmp_path):
         assert out3["output_ids"] == out1["output_ids"]
     finally:
         eng.shutdown()
+
+
+def test_embeddings_engine_and_consistency():
+    eng = _engine()
+    try:
+        out = eng.encode(prompt="embed me please")
+        emb = out["meta_info"]["embedding"]
+        assert len(emb) == 64  # hidden size
+        np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-3)
+        # deterministic + batch form agrees
+        outs = eng.encode(prompt=["embed me please", "another"])
+        np.testing.assert_allclose(
+            outs[0]["meta_info"]["embedding"], emb, rtol=1e-4, atol=1e-5
+        )
+        assert outs[1]["meta_info"]["embedding"] != emb
+    finally:
+        eng.shutdown()
+
+
+def test_top_logprobs():
+    eng = _engine()
+    try:
+        out = eng.generate(
+            input_ids=[3, 4, 5, 6],
+            sampling_params={
+                "temperature": 0.0, "max_new_tokens": 5, "ignore_eos": True,
+                "return_logprob": True, "top_logprobs_num": 4,
+            },
+        )
+        tops = out["meta_info"]["output_top_logprobs"]
+        assert len(tops) == 5
+        for step, (chosen_lp, chosen_tid, _) in zip(
+            tops, out["meta_info"]["output_token_logprobs"]
+        ):
+            assert len(step) == 4
+            lps = [lp for lp, _t, _ in step]
+            assert lps == sorted(lps, reverse=True)
+            # greedy: the chosen token is the top-1 alternative
+            assert step[0][1] == chosen_tid
+            np.testing.assert_allclose(step[0][0], chosen_lp, rtol=1e-3, atol=1e-4)
+    finally:
+        eng.shutdown()
