@@ -46,12 +46,33 @@ BUILTIN_TEMPLATES = {
 }
 
 
+def _tools_block(tools) -> str:
+    """Qwen-style tool advertisement block for builtin templates."""
+    import json
+
+    lines = [
+        "# Tools",
+        "You may call one or more functions. For each call, return",
+        '<tool_call>{"name": <name>, "arguments": <args>}</tool_call>.',
+        "<tools>",
+    ]
+    for t in tools:
+        lines.append(json.dumps(t, separators=(",", ":")))
+    lines.append("</tools>")
+    return "\n".join(lines)
+
+
 def apply_chat_template(
     tokenizer,
     messages: List[ChatMessage],
     template_name: Optional[str] = None,
+    tools=None,
 ) -> str:
     """messages → prompt string ending with the assistant generation cue."""
+    if tools:
+        messages = [
+            ChatMessage(role="system", content=_tools_block(tools))
+        ] + list(messages)
     if template_name:
         fn = BUILTIN_TEMPLATES.get(template_name)
         if fn is None:
@@ -65,9 +86,17 @@ def apply_chat_template(
         and hasattr(tokenizer, "apply_chat_template")
         and getattr(tokenizer, "chat_template", None)
     ):
-        return tokenizer.apply_chat_template(
-            [m.model_dump(exclude_none=True) for m in messages],
-            tokenize=False,
-            add_generation_prompt=True,
-        )
+        try:
+            return tokenizer.apply_chat_template(
+                [m.model_dump(exclude_none=True) for m in messages],
+                tokenize=False,
+                add_generation_prompt=True,
+                tools=tools,
+            )
+        except TypeError:
+            return tokenizer.apply_chat_template(
+                [m.model_dump(exclude_none=True) for m in messages],
+                tokenize=False,
+                add_generation_prompt=True,
+            )
     return _chatml(messages)

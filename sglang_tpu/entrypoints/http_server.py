@@ -427,7 +427,8 @@ class HttpServer:
             return _error("messages must be non-empty")
         sp = req.to_sampling_dict(self.server_args.max_new_tokens_default)
         prompt = apply_chat_template(
-            self.tokenizer, req.messages, self.server_args.chat_template
+            self.tokenizer, req.messages, self.server_args.chat_template,
+            tools=req.tools,
         )
 
         if req.stream:
@@ -486,8 +487,35 @@ class HttpServer:
                 for _ in range(n)
             ]
         )
+        from sglang_tpu.parsers import FunctionCallParser, ReasoningParser
+
         choices = []
         for i, out in enumerate(outs):
+            text = out["text"]
+            reasoning = None
+            if self.server_args.reasoning_parser:
+                reasoning, text = ReasoningParser().parse(text)
+                reasoning = reasoning or None
+            tool_calls = None
+            finish_override = None
+            if req.tools and req.tool_choice != "none":
+                normal, calls = FunctionCallParser(
+                    req.tools, self.server_args.tool_call_parser
+                ).parse(text)
+                if calls:
+                    text = normal or None
+                    finish_override = "tool_calls"
+                    tool_calls = [
+                        {
+                            "id": f"call_{i}_{c.tool_index}",
+                            "type": "function",
+                            "function": {
+                                "name": c.name,
+                                "arguments": c.arguments,
+                            },
+                        }
+                        for c in calls
+                    ]
             lp = None
             if req.logprobs:
                 lps = out["meta_info"].get("output_token_logprobs") or []
@@ -521,8 +549,15 @@ class HttpServer:
             choices.append(
                 ChatCompletionChoice(
                     index=i,
-                    message=ChatMessage(role="assistant", content=out["text"]),
-                    finish_reason=_finish_reason(out["meta_info"]) or "length",
+                    message=ChatMessage(
+                        role="assistant",
+                        content=text,
+                        tool_calls=tool_calls,
+                        reasoning_content=reasoning,
+                    ),
+                    finish_reason=finish_override
+                    or _finish_reason(out["meta_info"])
+                    or "length",
                     logprobs=lp,
                 )
             )

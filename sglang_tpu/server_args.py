@@ -71,6 +71,8 @@ class ServerArgs:
     port: int = 30000
     api_key: Optional[str] = None
     chat_template: Optional[str] = None
+    reasoning_parser: Optional[str] = None  # deepseek-r1 | qwen3
+    tool_call_parser: str = "auto"  # auto | qwen25 | hermes | llama3 | mistral
     enable_metrics: bool = False
     log_level: str = "info"
     log_requests: bool = False
