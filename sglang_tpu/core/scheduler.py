@@ -99,6 +99,31 @@ class Scheduler:
         self.watchdog.start()
 
     def _make_radix_cache(self, server_args: ServerArgs):
+        if server_args.enable_hierarchical_cache:
+            import jax.numpy as jnp
+            import ml_dtypes  # noqa: F401 — numpy bf16 support
+
+            from sglang_tpu.core.hicache import HiRadixCache, HostKVPool
+
+            g = self.runner.kv_pool.geometry
+            host_pages = max(int(g.num_pages * server_args.hicache_ratio), 2)
+            np_dtype = np.dtype(jnp.dtype(g.dtype).name)
+            pool = HostKVPool(
+                host_pages,
+                (g.num_layers,) + tuple(self.runner.kv_cache.shape[1:]),
+                np_dtype,
+            )
+            logger.info(
+                "Radix cache backend: hicache (host tier: %d pages, %.2f GiB)",
+                host_pages, pool.buf.nbytes / (1 << 30),
+            )
+            return HiRadixCache(
+                page_size=self.page_size,
+                host_pool=pool,
+                extract_pages=self.runner.extract_pages,
+                inject_pages=self.runner.inject_pages,
+                disable=server_args.disable_radix_cache,
+            )
         backend = server_args.radix_cache_backend
         if backend in ("auto", "cpp"):
             from sglang_tpu.core.radix_cache_cpp import (
@@ -235,7 +260,17 @@ class Scheduler:
             # positions >= logprob_start_len must be computed (their
             # logprobs come from the position before them)
             limit = min(limit, max(req.sampling_params.logprob_start_len - 1, 0))
-        m = self.radix.match_prefix(req.fill_ids[:limit])
+        key = req.fill_ids[:limit]
+        m = self.radix.match_prefix(key)
+        if hasattr(self.radix, "match_host_extension") and not req.lora_slot:
+            extra, host_pages = self.radix.match_host_extension(
+                key, m.matched_tokens
+            )
+            if extra > 0 and host_pages:
+                new_pages = self._alloc_pages(len(host_pages))
+                if new_pages is not None:
+                    self.radix.promote(key, m.pages, new_pages, host_pages)
+                    m = self.radix.match_prefix(key)
         req.pages = list(m.pages)
         req.prefix_pages_len = len(m.pages)
         req.cached_len = m.matched_tokens

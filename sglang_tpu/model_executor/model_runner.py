@@ -580,6 +580,56 @@ class ModelRunner:
         p = next_power_of_2(max(max_pages, 1))
         return min(p, next_power_of_2(self.max_pages_per_req))
 
+    # ------------------------------------------------------------- hicache
+    def _page_rows(self, pages, pad_to: int) -> np.ndarray:
+        g = self.kv_pool.geometry
+        arr = np.full((pad_to,), -1, np.int64)
+        arr[: len(pages)] = pages
+        rows = np.where(
+            arr[None, :] >= 0,
+            np.arange(g.num_layers)[:, None] * g.num_pages + arr[None, :],
+            -1,
+        )
+        return rows.ravel()  # [L * pad_to], -1 = padding
+
+    def extract_pages(self, pages) -> np.ndarray:
+        """Fetch whole pages (all layers) to host: [n, L, ps, 2, HD]."""
+        from sglang_tpu.utils import next_power_of_2
+
+        n = len(pages)
+        pad = next_power_of_2(n)
+        rows = self._page_rows(pages, pad)
+        data = np.asarray(self.kv_cache[jnp.asarray(np.maximum(rows, 0))])
+        g = self.kv_pool.geometry
+        data = data.reshape(g.num_layers, pad, *self.kv_cache.shape[1:])
+        return data.transpose(1, 0, 2, 3, 4)[:n]
+
+    def inject_pages(self, pages, data: np.ndarray) -> None:
+        """Write host page slabs [n, L, ps, 2, HD] into the device pool."""
+        from sglang_tpu.utils import next_power_of_2
+
+        n = len(pages)
+        pad = next_power_of_2(n)
+        g = self.kv_pool.geometry
+        if pad != n:
+            padding = np.zeros((pad - n,) + data.shape[1:], data.dtype)
+            data = np.concatenate([data, padding], axis=0)
+        rows = self._page_rows(pages, pad)
+        vals = data.transpose(1, 0, 2, 3, 4).reshape(
+            g.num_layers * pad, *self.kv_cache.shape[1:]
+        )
+        key = ("inject", pad)
+        fn = self._extend_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda kv, r, v: kv.at[r].set(
+                    v.astype(kv.dtype), mode="drop"
+                ),
+                donate_argnums=(0,),
+            )
+            self._extend_fns[key] = fn
+        self.kv_cache = fn(self.kv_cache, rows, vals)
+
     # ------------------------------------------------------------- weights
     def update_weights_from_disk(self, model_path: str) -> None:
         """Reload weights from a checkpoint directory without recompiling

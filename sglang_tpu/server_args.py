@@ -46,6 +46,8 @@ class ServerArgs:
     max_prefill_tokens: int = 8192
     disable_radix_cache: bool = False
     radix_cache_backend: str = "auto"  # auto | python | cpp (native C++)
+    enable_hierarchical_cache: bool = False  # host-RAM KV backup tier
+    hicache_ratio: float = 2.0  # host pool size as a multiple of device pool
     disable_overlap_schedule: bool = False
     stream_interval: int = 1
     # Fused decode window: K decode steps run inside one jitted device loop

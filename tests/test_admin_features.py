@@ -18,7 +18,7 @@ def _engine(**kw):
         load_format=kw.pop("load_format", "dummy"),
         dtype="float32",
         page_size=8,
-        max_total_tokens=8192,
+        max_total_tokens=kw.pop("max_total_tokens", 8192),
         **kw,
     )
     cfg = (
@@ -184,5 +184,30 @@ def test_top_logprobs():
             # greedy: the chosen token is the top-1 alternative
             assert step[0][1] == chosen_tid
             np.testing.assert_allclose(step[0][0], chosen_lp, rtol=1e-3, atol=1e-4)
+    finally:
+        eng.shutdown()
+
+
+def test_hierarchical_cache_promotes_evicted_prefix():
+    """Pages evicted from the device pool come back from the host tier on a
+    later prefix match (reference hiradix write_backup/load_back)."""
+    from sglang_tpu.core.hicache import HiRadixCache
+
+    # Tiny device pool: two long prompts cannot coexist.
+    eng = _engine(max_total_tokens=512, enable_hierarchical_cache=True,
+                  chunked_prefill_size=256)
+    try:
+        assert isinstance(eng.scheduler.radix, HiRadixCache)
+        sp = {"temperature": 0.0, "max_new_tokens": 4, "ignore_eos": True}
+        a = [(7 * i + 1) % 256 for i in range(300)]
+        b = [(11 * i + 5) % 256 for i in range(300)]
+        out_a1 = eng.generate(input_ids=list(a), sampling_params=dict(sp))
+        # B evicts A's pages (pool is too small for both)
+        eng.generate(input_ids=list(b), sampling_params=dict(sp))
+        assert eng.scheduler.radix.num_backups > 0
+        out_a2 = eng.generate(input_ids=list(a), sampling_params=dict(sp))
+        assert eng.scheduler.radix.num_promotions > 0
+        assert out_a2["meta_info"]["cached_tokens"] > 0
+        assert out_a2["output_ids"] == out_a1["output_ids"]
     finally:
         eng.shutdown()
