@@ -112,6 +112,14 @@ class ModelConfig:
             eos_ids = [eos]
         else:
             eos_ids = list(eos)
+        # DeepSeek MLA: the KV cache stores ONE latent vector per token
+        # (c_kv + rope key), so pool geometry is 1 "kv head" of
+        # kv_lora_rank + qk_rope_head_dim dims.
+        attention_arch = AttentionArch.MHA
+        if text.get("kv_lora_rank"):
+            attention_arch = AttentionArch.MLA
+            n_kv = 1
+            head_dim = text["kv_lora_rank"] + text.get("qk_rope_head_dim", 0)
         cfg = cls(
             architectures=hf.get("architectures", []),
             hidden_size=hidden,
@@ -153,6 +161,7 @@ class ModelConfig:
             hf_config=hf,
             bos_token_id=text.get("bos_token_id"),
             eos_token_ids=eos_ids,
+            attention_arch=attention_arch,
         )
         return cfg
 

@@ -31,19 +31,25 @@ def moe_topk(
     gate_logits: jnp.ndarray,  # [T, E] f32
     top_k: int,
     norm_topk_prob: bool = True,
-    gate_bias: Optional[jnp.ndarray] = None,  # [E] (deepseek-style e-score bias)
+    gate_bias: Optional[jnp.ndarray] = None,  # [E] (deepseek e-score bias)
+    scoring: str = "softmax",  # softmax (Mixtral/Qwen/DSv2) | sigmoid (DSv3)
 ):
-    """Softmax gating → (weights [T, k] f32, expert ids [T, k] i32).
+    """Gating → (weights [T, k] f32, expert ids [T, k] i32).
 
-    Reference: ``layers/moe/topk.py`` (softmax top-k with optional
-    renormalization — Mixtral/Qwen semantics).
+    Reference: ``layers/moe/topk.py`` — softmax top-k (Mixtral/Qwen/DSv2
+    'greedy') and sigmoid + selection-bias top-k (DeepSeek-V3 'noaux_tc':
+    the bias affects SELECTION only; weights come from unbiased scores).
     """
-    probs = jax.nn.softmax(gate_logits.astype(jnp.float32), axis=-1)
+    gl = gate_logits.astype(jnp.float32)
+    if scoring == "sigmoid":
+        probs = jax.nn.sigmoid(gl)
+    else:
+        probs = jax.nn.softmax(gl, axis=-1)
     select = probs if gate_bias is None else probs + gate_bias
     _, idx = jax.lax.top_k(select, top_k)  # E is small; exact top_k is cheap
     w = jnp.take_along_axis(probs, idx, axis=-1)
     if norm_topk_prob:
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
     return w, idx.astype(jnp.int32)
 
 
@@ -57,8 +63,11 @@ def moe_block(
     top_k: int,
     norm_topk_prob: bool = True,
     hidden_act: str = "silu",
+    gate_bias: Optional[jnp.ndarray] = None,
+    scoring: str = "softmax",
+    routed_scaling_factor: float = 1.0,
 ) -> jnp.ndarray:
-    """Token-choice sparse MoE forward (Mixtral/Qwen family)."""
+    """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families)."""
     B, L, H = hidden.shape
     E = gate_w.shape[-1]
     T = B * L
@@ -67,7 +76,11 @@ def moe_block(
     gate_logits = jnp.einsum(
         "th,he->te", x, gate_w, preferred_element_type=jnp.float32
     )
-    weights, expert_idx = moe_topk(gate_logits, top_k, norm_topk_prob)
+    weights, expert_idx = moe_topk(
+        gate_logits, top_k, norm_topk_prob, gate_bias, scoring
+    )
+    if routed_scaling_factor != 1.0:
+        weights = weights * routed_scaling_factor
 
     # Flatten (token, slot) pairs and sort by expert for the grouped GEMM.
     flat_expert = expert_idx.reshape(T * top_k)  # [N]

@@ -181,6 +181,12 @@ class ModelRunner:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
             return "xla"
         mc = self.model_config
+        from sglang_tpu.configs.model_config import AttentionArch
+
+        if mc.attention_arch == AttentionArch.MLA:
+            # MLA attends in latent space with different K/V dims; the
+            # GQA kernels don't apply (absorbed-MLA kernel: next round).
+            return "xla"
         # Mosaic sliced HBM DMA requires a 128-aligned lane dim (Hkv*D).
         hd = (
             mc.num_key_value_heads

@@ -175,11 +175,13 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                 n_loaded += 1
     logger.info("Loaded %d tensors from %d safetensors files", n_loaded, len(files))
 
-    # Sanity: every param got at least one write.
+    # Sanity: every param got at least one write.  Any top-level subtree
+    # named *layers* is a stacked per-layer dict (leading dim = depth).
     expected = set()
     for p, shape in _iter_paths(shapes):
-        if p.startswith("layers."):
-            for li in range(shapes["layers"][p.split(".", 1)[1]][0]):
+        top = p.split(".", 1)[0]
+        if top.endswith("layers") and "." in p:
+            for li in range(shape[0]):
                 expected.add((p, li))
         else:
             expected.add((p, None))
