@@ -149,6 +149,12 @@ class Scheduler:
     def add_request(self, req: Req):
         self.input_queue.put(req)
 
+    def add_transferred_request(self, req: Req, kv_tokens: int, page_data):
+        """PD disaggregation: enqueue a request whose prompt KV arrives
+        from a prefill engine (reference decode.py prealloc→transfer
+        queues); processed on the scheduler thread."""
+        self.input_queue.put(("adopt", req, kv_tokens, page_data))
+
     def abort_request(self, rid: str):
         self._abort_rids.add(rid)
         self.input_queue.put(None)  # wake the loop
@@ -160,7 +166,9 @@ class Scheduler:
         except queue.Empty:
             return
         while True:
-            if item is not None:
+            if isinstance(item, tuple) and item and item[0] == "adopt":
+                self._adopt_prefilled(*item[1:])
+            elif item is not None:
                 self._admit_new_request(item)
             try:
                 item = self.input_queue.get_nowait()
@@ -168,6 +176,26 @@ class Scheduler:
                 break
         if self._abort_rids:
             self._apply_aborts()
+
+    def _adopt_prefilled(self, req: Req, kv_tokens: int, page_data):
+        """Inject transferred KV pages into the pool + radix tree, then
+        admit the request normally — the prefix match picks the injected
+        pages up and only the unaligned tail is recomputed."""
+        n_pages = kv_tokens // self.page_size
+        if n_pages > 0 and page_data is not None and not self.radix.disable:
+            pages = self._alloc_pages(n_pages)
+            if pages is not None:
+                self.runner.inject_pages(pages, page_data[:n_pages])
+                dup = self.radix.insert(req.fill_ids[:kv_tokens], pages)
+                dup_pages = dup // self.page_size
+                if dup_pages:  # prefix already cached here → free duplicates
+                    self.allocator.free(pages[:dup_pages])
+            else:
+                logger.warning(
+                    "PD adopt: no pages for %d transferred tokens; "
+                    "recomputing prefill locally", kv_tokens,
+                )
+        self._admit_new_request(req)
 
     def _admit_new_request(self, req: Req):
         if (

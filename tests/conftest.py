@@ -6,12 +6,18 @@ dry-runs the multi-chip path (see __graft_entry__.py).
 
 import os
 
-os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: the session may export JAX_PLATFORMS=axon (the
+# real-TPU tunnel), which must not leak into the hermetic CPU test mesh.
+os.environ["JAX_NUM_CPU_DEVICES"] = "8"
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 
 import pytest  # noqa: E402
 
