@@ -1,0 +1,122 @@
+"""Multi-host leader/follower execution over jax.distributed.
+
+Two local CPU processes (1 device each) form a 2-device global mesh; the
+leader runs the engine with TP=2 across BOTH hosts, followers replay the
+broadcast step stream.  Output must match a single-process TP=1 engine.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_NUM_CPU_DEVICES"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+rank = int(sys.argv[1])
+addr = sys.argv[2]
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.parallel.multihost import run_node
+from sglang_tpu.server_args import ServerArgs
+
+TINY = {
+    "architectures": ["LlamaForCausalLM"], "hidden_size": 64,
+    "intermediate_size": 128, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+    "vocab_size": 512, "max_position_embeddings": 1024,
+    "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+    "tie_word_embeddings": False, "eos_token_id": 257, "model_type": "llama",
+}
+args = ServerArgs(
+    model_path="dummy://tiny", tokenizer_path="test:byte",
+    load_format="dummy", dtype="float32", page_size=8,
+    max_total_tokens=2048, tp_size=2, nnodes=2, node_rank=rank,
+    dist_init_addr=addr,
+)
+cfg = ModelConfig.from_hf_dict(TINY, dtype="float32")
+eng = run_node(args, model_config=cfg)
+if rank == 0:
+    out = eng.generate(
+        input_ids=[9, 8, 7, 6, 5],
+        sampling_params={"temperature": 0.0, "max_new_tokens": 8,
+                         "ignore_eos": True},
+    )
+    print("RESULT " + json.dumps(out["output_ids"]), flush=True)
+    eng.scheduler.runner.stop_followers()
+    eng.shutdown()
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_multihost_leader_follower(tmp_path):
+    addr = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(rank), addr],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            text=True,
+        )
+        for rank in (0, 1)
+    ]
+    try:
+        out0, _ = procs[0].communicate(timeout=240)
+        out1, _ = procs[1].communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out")
+    assert procs[0].returncode == 0, out0[-2000:]
+    assert procs[1].returncode == 0, out1[-2000:]
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
+    assert line, out0[-2000:]
+    multihost_ids = json.loads(line[0][len("RESULT "):])
+
+    # single-process TP=1 reference
+    import jax
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+    args = make_server_args()
+    runner = ModelRunner(
+        args,
+        model_config=ModelConfig.from_hf_dict(TINY_HF_CONFIG, dtype="float32"),
+        devices=jax.devices()[:1],
+    )
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        ref = eng.generate(
+            input_ids=[9, 8, 7, 6, 5],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 8,
+                             "ignore_eos": True},
+        )
+    finally:
+        eng.shutdown()
+    assert multihost_ids == ref["output_ids"]
