@@ -356,11 +356,46 @@ class HttpServer:
                 for pt, ids in prompts
             ]
         )
+        prompt_lps = [None] * len(prompts)
+        if req.echo and req.logprobs is not None:
+            # score the prompts for input-token logprobs (reference
+            # echo+logprobs path: input_token_logprobs)
+            score_sp = {"max_new_tokens": 0, "return_logprob": True}
+            scores = await asyncio.gather(
+                *[
+                    self.engine.async_generate(
+                        prompt=pt, input_ids=ids,
+                        sampling_params=dict(score_sp),
+                    )
+                    for pt, ids in prompts
+                ]
+            )
+            prompt_lps = [
+                s["meta_info"].get("input_token_logprobs") for s in scores
+            ]
         choices = []
         for i, out in enumerate(outs):
             echo_text = ""
             if req.echo and prompts[i][0] is not None:
                 echo_text = prompts[i][0]
+            lp = None
+            if req.logprobs is not None:
+                lp = _completion_logprobs(out, self.tokenizer)
+                if prompt_lps[i]:
+                    pre = LogProbs()
+                    for logprob, tid, _ in prompt_lps[i]:
+                        pre.token_logprobs.append(logprob)
+                        pre.tokens.append(
+                            self.tokenizer.convert_ids_to_tokens([tid])[0]
+                            if self.tokenizer is not None
+                            else str(tid)
+                        )
+                        pre.top_logprobs.append(None)
+                    lp = LogProbs(
+                        token_logprobs=pre.token_logprobs + lp.token_logprobs,
+                        tokens=pre.tokens + lp.tokens,
+                        top_logprobs=pre.top_logprobs + lp.top_logprobs,
+                    )
             choices.append(
                 CompletionChoice(
                     index=i,
@@ -369,9 +404,7 @@ class HttpServer:
                     matched_stop=out["meta_info"].get("finish_reason", {}).get("matched")
                     if out["meta_info"].get("finish_reason")
                     else None,
-                    logprobs=_completion_logprobs(out, self.tokenizer)
-                    if req.logprobs is not None
-                    else None,
+                    logprobs=lp,
                 )
             )
         resp_obj = CompletionResponse(

@@ -302,3 +302,27 @@ def test_openai_chat_response_format_json_schema(server):
     content = r.json()["choices"][0]["message"]["content"]
     obj = json.loads(content)
     assert isinstance(obj["x"], int)
+
+
+def test_openai_completions_echo_with_prompt_logprobs(server):
+    r = httpx.post(
+        server + "/v1/completions",
+        json={
+            "model": "tiny-test",
+            "prompt": "abcdef",
+            "max_tokens": 3,
+            "temperature": 0,
+            "ignore_eos": True,
+            "echo": True,
+            "logprobs": 1,
+        },
+        timeout=180,
+    )
+    out = r.json()
+    ch = out["choices"][0]
+    assert ch["text"].startswith("abcdef")
+    lp = ch["logprobs"]
+    # 6 prompt tokens (first has null logprob) + 3 generated
+    assert len(lp["token_logprobs"]) == 9
+    assert lp["token_logprobs"][0] is None
+    assert all(isinstance(x, float) for x in lp["token_logprobs"][1:])
