@@ -81,6 +81,12 @@ class ModelConfig:
     attention_arch: AttentionArch = AttentionArch.MHA
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
+    # weight quantization (parsed from hf quantization_config; reference
+    # layers/quantization/base_config.py) — None = unquantized
+    quant_config: Optional[Any] = None
+    # "pallas" (fused dequant GEMM) or "xla" (dequant+matmul) — set by
+    # ModelRunner after backend selection; trace-time static.
+    quant_backend: str = "xla"
 
     @property
     def kv_head_dim(self) -> int:
@@ -163,6 +169,9 @@ class ModelConfig:
             eos_token_ids=eos_ids,
             attention_arch=attention_arch,
         )
+        from sglang_tpu.layers.quantization import QuantConfig
+
+        cfg.quant_config = QuantConfig.from_hf(hf)
         return cfg
 
     @classmethod

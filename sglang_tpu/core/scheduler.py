@@ -67,6 +67,7 @@ class Scheduler:
         self.chunked_req: Optional[Req] = None
         self.reqs_by_rid: Dict[str, Req] = {}
         self._abort_rids: set = set()
+        self._pending_flushes: List[threading.Event] = []
 
         self.eos_token_ids = set(self.runner.model_config.eos_token_ids)
         self.max_context_len = self.runner.max_context_len
@@ -159,15 +160,38 @@ class Scheduler:
         self._abort_rids.add(rid)
         self.input_queue.put(None)  # wake the loop
 
+    def request_flush_cache(self) -> "threading.Event":
+        """Ask the scheduler thread to reset radix+allocator once no live
+        request holds pages (reference /flush_cache semantics — a reset
+        while the loop holds pages would corrupt paged state). Returns an
+        event set when the flush has been performed."""
+        done = threading.Event()
+        self.input_queue.put(("flush_cache", done))
+        return done
+
+    def _maybe_flush_cache(self):
+        if not self._pending_flushes:
+            return
+        if self.running.reqs or self.waiting or self.chunked_req:
+            return  # wait for idle; checked again every step
+        self.radix.reset()
+        self.allocator.clear()
+        for ev in self._pending_flushes:
+            ev.set()
+        self._pending_flushes = []
+
     def _process_inputs(self, block: bool):
         timeout = 0.5 if block else 0.0
         try:
             item = self.input_queue.get(timeout=timeout)
         except queue.Empty:
+            self._maybe_flush_cache()
             return
         while True:
             if isinstance(item, tuple) and item and item[0] == "adopt":
                 self._adopt_prefilled(*item[1:])
+            elif isinstance(item, tuple) and item and item[0] == "flush_cache":
+                self._pending_flushes.append(item[1])
             elif item is not None:
                 self._admit_new_request(item)
             try:
@@ -176,6 +200,7 @@ class Scheduler:
                 break
         if self._abort_rids:
             self._apply_aborts()
+        self._maybe_flush_cache()
 
     def _adopt_prefilled(self, req: Req, kv_tokens: int, page_data):
         """Inject transferred KV pages into the pool + radix tree, then

@@ -235,8 +235,14 @@ class Engine:
                 [(lp, tid, None) for lp, tid in step]
                 for step in upd["output_top_logprobs"]
             ]
+        # While streaming (unfinished), hold back len(longest stop)-1 chars
+        # so a stop string split across two updates is never partially
+        # surfaced to the client (reference detokenizer holdback).
+        text = state.text
+        if not upd["finished"] and state.stop_checker.max_len > 1:
+            text = text[: max(0, len(text) - (state.stop_checker.max_len - 1))]
         return {
-            "text": state.text,
+            "text": text,
             "output_ids": upd["output_ids"],
             "meta_info": meta,
             "finished": upd["finished"],
@@ -397,10 +403,13 @@ class Engine:
     def abort_request(self, rid: str):
         self.scheduler.abort_request(rid)
 
-    def flush_cache(self):
-        # v1: radix reset requires an idle scheduler; best-effort.
-        self.scheduler.radix.reset()
-        self.scheduler.allocator.clear()
+    def flush_cache(self, timeout: float = 30.0) -> bool:
+        """Reset the radix cache + page allocator. The reset runs on the
+        scheduler thread only once no live request holds pages (an unfenced
+        reset under load corrupts paged KV state). Returns False if the
+        scheduler did not go idle within `timeout`."""
+        done = self.scheduler.request_flush_cache()
+        return done.wait(timeout)
 
     def get_server_info(self) -> dict:
         return {

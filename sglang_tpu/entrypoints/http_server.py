@@ -15,6 +15,7 @@ Routes:
 from __future__ import annotations
 
 import asyncio
+import hmac
 import json
 import time
 from typing import Any, AsyncIterator, Dict, List, Optional
@@ -103,10 +104,14 @@ class HttpServer:
     # ------------------------------------------------------------ middleware
     @web.middleware
     async def _auth_middleware(self, request: web.Request, handler):
+        # With --api-key set, EVERY route except liveness/metrics requires
+        # Bearer auth (reference add_api_key_middleware protects all
+        # endpoints — /generate, weight-update and LoRA-load routes would
+        # otherwise allow unauthenticated arbitrary-path file reads).
         api_key = self.server_args.api_key
-        if api_key and request.path.startswith("/v1"):
+        if api_key and request.path not in ("/health", "/metrics"):
             auth = request.headers.get("Authorization", "")
-            if auth != f"Bearer {api_key}":
+            if not hmac.compare_digest(auth, f"Bearer {api_key}"):
                 return _error("Invalid API key", 401)
         try:
             return await handler(request)

@@ -114,9 +114,16 @@ def attention_xla(
     probs = jax.nn.softmax(scores, axis=-1)
     # Fully-masked rows (padding) produce NaN from softmax(-inf); zero them.
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    # With an fp8 KV cache the attention weights must NOT be quantized to
+    # the cache dtype (~2 significant digits); dequantize V up to bf16 and
+    # keep P in bf16 (reference dequantizes fp8 K/V, keeps P fp16/bf16).
+    pv_dtype = v_ctx.dtype
+    if jnp.issubdtype(pv_dtype, jnp.floating) and jnp.finfo(pv_dtype).bits == 8:
+        pv_dtype = jnp.bfloat16
+        v_ctx = v_ctx.astype(pv_dtype)
     out = jnp.einsum(
         "bhglc,bchd->blhgd",
-        probs.astype(v_ctx.dtype),
+        probs.astype(pv_dtype),
         v_ctx,
         preferred_element_type=jnp.float32,
     )

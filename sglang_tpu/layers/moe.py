@@ -33,12 +33,19 @@ def moe_topk(
     norm_topk_prob: bool = True,
     gate_bias: Optional[jnp.ndarray] = None,  # [E] (deepseek e-score bias)
     scoring: str = "softmax",  # softmax (Mixtral/Qwen/DSv2) | sigmoid (DSv3)
+    n_group: int = 1,  # DeepSeek group-limited routing (config n_group)
+    topk_group: int = 1,  # groups a token may route into (config topk_group)
 ):
     """Gating → (weights [T, k] f32, expert ids [T, k] i32).
 
     Reference: ``layers/moe/topk.py`` — softmax top-k (Mixtral/Qwen/DSv2
     'greedy') and sigmoid + selection-bias top-k (DeepSeek-V3 'noaux_tc':
     the bias affects SELECTION only; weights come from unbiased scores).
+    Group-limited routing (DeepSeek n_group/topk_group): experts are split
+    into n_group equal groups; the top topk_group groups are selected first
+    (group score = sum of the group's top-2 biased scores on the sigmoid
+    path, max score on the softmax path) and experts outside them are
+    masked to -inf before the final per-token top-k.
     """
     gl = gate_logits.astype(jnp.float32)
     if scoring == "sigmoid":
@@ -46,6 +53,22 @@ def moe_topk(
     else:
         probs = jax.nn.softmax(gl, axis=-1)
     select = probs if gate_bias is None else probs + gate_bias
+    if n_group > 1 and topk_group < n_group:
+        T, E = select.shape
+        sg = select.reshape(T, n_group, E // n_group)
+        if scoring == "sigmoid":
+            g_scores = jnp.sum(jax.lax.top_k(sg, 2)[0], axis=-1)  # [T, G]
+        else:
+            g_scores = jnp.max(sg, axis=-1)
+        _, g_idx = jax.lax.top_k(g_scores, topk_group)  # [T, topk_group]
+        g_mask = (
+            jnp.zeros((T, n_group), bool).at[
+                jnp.arange(T)[:, None], g_idx
+            ].set(True)
+        )
+        select = jnp.where(
+            jnp.repeat(g_mask, E // n_group, axis=-1), select, -jnp.inf
+        )
     _, idx = jax.lax.top_k(select, top_k)  # E is small; exact top_k is cheap
     w = jnp.take_along_axis(probs, idx, axis=-1)
     if norm_topk_prob:
@@ -66,6 +89,8 @@ def moe_block(
     gate_bias: Optional[jnp.ndarray] = None,
     scoring: str = "softmax",
     routed_scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
 ) -> jnp.ndarray:
     """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families)."""
     B, L, H = hidden.shape
@@ -77,7 +102,8 @@ def moe_block(
         "th,he->te", x, gate_w, preferred_element_type=jnp.float32
     )
     weights, expert_idx = moe_topk(
-        gate_logits, top_k, norm_topk_prob, gate_bias, scoring
+        gate_logits, top_k, norm_topk_prob, gate_bias, scoring,
+        n_group=n_group, topk_group=topk_group,
     )
     if routed_scaling_factor != 1.0:
         weights = weights * routed_scaling_factor

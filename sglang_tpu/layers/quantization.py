@@ -1,0 +1,365 @@
+"""Weight quantization: configs, checkpoint repacking, and quantized linears.
+
+Equivalent role to the reference's ``layers/quantization/`` (plug-in
+``QuantizationConfig`` / ``QuantizeMethodBase`` in ``base_config.py``,
+INT4 ``awq/`` + ``gptq/``, FP8 ``fp8.py``, INT8 ``w8a8_int8.py``, fused
+CUDA GEMMs in ``sgl-kernel/csrc/gemm/awq_kernel.cu`` /
+``fp8_gemm_kernel.cu`` / ``int8_gemm_kernel.cu``) — TPU-native:
+
+* On TPU v5e the MXU computes in bf16 (plus native int8 at 2x rate);
+  there is no fp8/int4 matmul unit.  Weight quantization therefore wins
+  by **HBM bandwidth** (decode is weights-bandwidth-bound): weights are
+  stored packed in HBM and dequantized to bf16 *inside* a Pallas kernel
+  fused with the matmul (``ops/quant_gemm.py``), so the bf16 copy never
+  touches HBM.  INT4 reads 4x fewer weight bytes than bf16; FP8/INT8 2x.
+* Checkpoint compatibility is preserved at the loader: HF AWQ / GPTQ /
+  FP8 / compressed-tensors tensors are unpacked on host at load time and
+  repacked into one canonical device layout (below).
+
+Canonical INT4 device layout ("pack4"):
+    qw    uint8 [in, out/2]   — two 4-bit columns per byte, block-local
+                                split-half: within each PACK_BLOCK output
+                                columns, byte column c holds out column c
+                                (low nibble) and c + PACK_BLOCK/2 (high).
+                                An in-kernel unpack is then two cheap
+                                vector ops + one lane-dim concat.
+    scale dtype [in/g, out]   — per-group scale (g = group_size)
+    zero  dtype [in/g, out]   — per-group zero point (already in quant
+                                units; dequant w = (q - zero) * scale)
+
+FP8 layout: qw float8_e4m3fn [in, out], scale [1|in?, out|1] per-tensor
+or per-out-channel.  INT8 (W8A8): qw int8 [in, out], per-channel scale;
+activations are quantized per-token to int8 at run time and the matmul
+runs on the MXU's int8 path (2x bf16 throughput on v5e).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+# Output columns per packing block for the int4 split-half layout.  The
+# Pallas GEMM's output tile equals this, so each tile unpacks with one
+# lane-dim concat (no cross-tile shuffles).
+PACK_BLOCK = 512
+
+# AWQ's in-int32 nibble interleave (AutoAWQ pack order).
+AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+class ParamShape(NamedTuple):
+    """A param-tree leaf carrying an explicit dtype (default leaves are
+    plain shape tuples and inherit the model dtype).  ``fan`` records the
+    logical fan-in of the projection this leaf belongs to, so the dummy
+    loader can synthesize magnitude-plausible quantized weights."""
+
+    shape: tuple
+    dtype: Any
+    fan: Optional[int] = None
+
+
+@dataclass
+class QuantConfig:
+    """Parsed HF ``quantization_config``."""
+
+    method: str  # awq | gptq | fp8 | w8a8_int8
+    bits: int = 4
+    group_size: int = 128
+    sym: bool = False
+    gptq_v2: bool = False
+    desc_act: bool = False
+    # fp8: per-tensor vs per-channel weight scales
+    fp8_per_channel: bool = False
+    modules_to_not_convert: List[str] = field(default_factory=list)
+
+    @staticmethod
+    def from_hf(hf_config: Dict[str, Any]) -> Optional["QuantConfig"]:
+        qc = hf_config.get("quantization_config")
+        if not qc:
+            return None
+        method = (qc.get("quant_method") or "").lower()
+        skip = qc.get("modules_to_not_convert") or []
+        if method == "awq":
+            return QuantConfig(
+                method="awq",
+                bits=int(qc.get("bits", qc.get("w_bit", 4))),
+                group_size=int(qc.get("group_size", qc.get("q_group_size", 128))),
+                modules_to_not_convert=skip,
+            )
+        if method == "gptq":
+            if qc.get("desc_act"):
+                raise NotImplementedError(
+                    "GPTQ act-order (desc_act=True) checkpoints are not "
+                    "supported; re-quantize with desc_act=False"
+                )
+            return QuantConfig(
+                method="gptq",
+                bits=int(qc.get("bits", 4)),
+                group_size=int(qc.get("group_size", 128)),
+                sym=bool(qc.get("sym", True)),
+                gptq_v2=(qc.get("checkpoint_format") == "gptq_v2"),
+                desc_act=bool(qc.get("desc_act", False)),
+                modules_to_not_convert=skip,
+            )
+        if method in ("fp8", "fbgemm_fp8"):
+            return QuantConfig(
+                method="fp8",
+                bits=8,
+                group_size=0,
+                fp8_per_channel=qc.get("activation_scheme") != "static",
+                modules_to_not_convert=skip,
+            )
+        if method in ("w8a8_int8", "int8"):
+            return QuantConfig(
+                method="w8a8_int8", bits=8, group_size=0,
+                modules_to_not_convert=skip,
+            )
+        if method == "compressed-tensors":
+            # minimal subset: FP8 weight (+dynamic act) configs
+            for grp in (qc.get("config_groups") or {}).values():
+                wq = grp.get("weights") or {}
+                if wq.get("type") == "float" and wq.get("num_bits") == 8:
+                    return QuantConfig(
+                        method="fp8",
+                        bits=8,
+                        group_size=0,
+                        fp8_per_channel=(wq.get("strategy") == "channel"),
+                        modules_to_not_convert=qc.get("ignore") or [],
+                    )
+            logger.warning("Unsupported compressed-tensors config; ignoring")
+            return None
+        raise ValueError(f"Unsupported quant_method {method!r}")
+
+    @property
+    def is_int4(self) -> bool:
+        return self.method in ("awq", "gptq")
+
+    def skips(self, hf_module: str) -> bool:
+        return any(m in hf_module for m in self.modules_to_not_convert)
+
+
+# --------------------------------------------------------------------------
+# Host-side unpack of HF checkpoint formats → plain int arrays
+# --------------------------------------------------------------------------
+
+def unpack_awq_int32(packed: np.ndarray) -> np.ndarray:
+    """AWQ int32 [r, c/8] → uint8 [r, c] (4-bit values, AWQ nibble order)."""
+    r, c8 = packed.shape
+    out = np.empty((r, c8, 8), np.uint8)
+    p = packed.astype(np.uint32)
+    for i in range(8):
+        out[:, :, AWQ_ORDER[i]] = (p >> (4 * i)) & 0xF
+    return out.reshape(r, c8 * 8)
+
+
+def unpack_gptq_qweight(packed: np.ndarray) -> np.ndarray:
+    """GPTQ int32 [in/8, out] → uint8 [in, out] (rows packed sequentially)."""
+    r8, c = packed.shape
+    out = np.empty((r8, 8, c), np.uint8)
+    p = packed.astype(np.uint32)
+    for i in range(8):
+        out[:, i, :] = (p >> (4 * i)) & 0xF
+    return out.reshape(r8 * 8, c)
+
+
+def unpack_gptq_qzeros(packed: np.ndarray, v2: bool) -> np.ndarray:
+    """GPTQ int32 [in/g, out/8] → uint8 [in/g, out]; legacy format stores
+    zero-1 (the notorious +1 offset), gptq_v2 stores the raw zero."""
+    r, c8 = packed.shape
+    out = np.empty((r, c8, 8), np.uint16)
+    p = packed.astype(np.uint32)
+    for i in range(8):
+        out[:, :, i] = (p >> (4 * i)) & 0xF
+    z = out.reshape(r, c8 * 8)
+    if not v2:
+        z = z + 1
+    return z.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Canonical int4 pack / unpack (device layout)
+# --------------------------------------------------------------------------
+
+def pack_int4(q: np.ndarray, pack_block: int = PACK_BLOCK) -> np.ndarray:
+    """uint8 4-bit values [in, out] → packed uint8 [in, out/2].
+
+    Block-local split-half: within each ``pack_block`` output columns,
+    packed byte column c holds column c in its low nibble and column
+    c + pack_block/2 in its high nibble.  out must divide by pack_block
+    (pad first with :func:`pad_to_block`).
+    """
+    rows, out = q.shape
+    assert out % pack_block == 0, (out, pack_block)
+    half = pack_block // 2
+    v = q.reshape(rows, out // pack_block, 2, half)
+    lo = v[:, :, 0, :].astype(np.uint8)
+    hi = v[:, :, 1, :].astype(np.uint8)
+    return ((hi << 4) | (lo & 0xF)).reshape(rows, out // 2)
+
+
+def unpack_int4(packed: np.ndarray, pack_block: int = PACK_BLOCK) -> np.ndarray:
+    """Inverse of :func:`pack_int4` (host-side; for tests)."""
+    rows, out2 = packed.shape
+    half = pack_block // 2
+    v = packed.reshape(rows, out2 // half, half)
+    lo = v & 0xF
+    hi = (v >> 4) & 0xF
+    return np.stack([lo, hi], axis=2).reshape(rows, out2 * 2)
+
+
+def pad_axis(a: np.ndarray, axis: int, multiple: int, value=0) -> np.ndarray:
+    n = a.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return a
+    width = [(0, 0)] * a.ndim
+    width[axis] = (0, pad)
+    return np.pad(a, width, constant_values=value)
+
+
+# --------------------------------------------------------------------------
+# Checkpoint tensor → canonical repack transforms (used by hf_weight_mapping)
+# --------------------------------------------------------------------------
+
+def awq_repack_qweight(t: np.ndarray) -> np.ndarray:
+    """HF AWQ qweight int32 [in, out/8] → canonical packed uint8.
+
+    Output columns are padded to PACK_BLOCK; the in dim is left as-is
+    (padded at the staging buffer if needed).
+    """
+    q = unpack_awq_int32(t)  # [in, out]
+    q = pad_axis(q, 1, PACK_BLOCK)
+    return pack_int4(q)
+
+
+def awq_unpack_qzeros(t: np.ndarray) -> np.ndarray:
+    z = unpack_awq_int32(t)  # [in/g, out]
+    return pad_axis(z, 1, PACK_BLOCK).astype(np.float32)
+
+
+def gptq_repack_qweight(t: np.ndarray) -> np.ndarray:
+    q = unpack_gptq_qweight(t)  # [in, out]
+    q = pad_axis(q, 1, PACK_BLOCK)
+    return pack_int4(q)
+
+
+def make_gptq_unpack_qzeros(v2: bool):
+    def tf(t: np.ndarray) -> np.ndarray:
+        z = unpack_gptq_qzeros(t, v2)
+        return pad_axis(z, 1, PACK_BLOCK).astype(np.float32)
+
+    return tf
+
+
+def pad_scales(t: np.ndarray) -> np.ndarray:
+    """AWQ/GPTQ scales [in/g, out] → padded to PACK_BLOCK out columns.
+    Padding scale is 1.0 so padded (q=0, zero=0) columns dequant to 0."""
+    return pad_axis(t.astype(np.float32), 1, PACK_BLOCK, value=1.0)
+
+
+# --------------------------------------------------------------------------
+# Quantized linear application
+# --------------------------------------------------------------------------
+
+def dequant_int4(
+    qw: jnp.ndarray,  # uint8 [in, out/2] canonical packed
+    scale: jnp.ndarray,  # [in/g, out]
+    zero: jnp.ndarray,  # [in/g, out]
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """XLA dequant (materializes the full matrix — fallback/TP path)."""
+    rows, out2 = qw.shape
+    half = PACK_BLOCK // 2
+    v = qw.reshape(rows, out2 // half, half)
+    lo = (v & 0xF).astype(compute_dtype)
+    hi = ((v >> 4) & 0xF).astype(compute_dtype)
+    q = jnp.stack([lo, hi], axis=2).reshape(rows, out2 * 2)
+    g = rows // scale.shape[0]
+    qg = q.reshape(scale.shape[0], g, -1)
+    w = (qg - zero[:, None, :].astype(compute_dtype)) * scale[
+        :, None, :
+    ].astype(compute_dtype)
+    return w.reshape(rows, out2 * 2)
+
+
+def _is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "qw" in w
+
+
+def quant_linear(
+    x: jnp.ndarray,  # [..., in]
+    w: Dict[str, jnp.ndarray],
+    method: str,
+    backend: str = "xla",
+    out_features: Optional[int] = None,
+) -> jnp.ndarray:
+    """Apply a quantized projection; returns [..., out_features].
+
+    ``out_features`` trims the PACK_BLOCK padding (int4 layouts only).
+    """
+    lead = x.shape[:-1]
+    xin = x.reshape(-1, x.shape[-1])
+    if method in ("awq", "gptq"):
+        y = None
+        if backend == "pallas":
+            from sglang_tpu.ops.quant_gemm import int4_matmul
+
+            try:  # trace-time shape conformance check
+                y = int4_matmul(xin, w["qw"], w["scale"], w["zero"])
+            except ValueError:
+                y = None
+        if y is None:
+            wd = dequant_int4(w["qw"], w["scale"], w["zero"], x.dtype)
+            y = xin @ wd
+        if out_features is not None and y.shape[-1] != out_features:
+            y = y[:, :out_features]
+    elif method == "fp8":
+        K, N = w["qw"].shape
+        if backend == "pallas" and K % 512 == 0 and N % 512 == 0:
+            from sglang_tpu.ops.quant_gemm import fp8_matmul
+
+            y = fp8_matmul(xin, w["qw"], w["scale"])
+        else:
+            wd = w["qw"].astype(x.dtype) * w["scale"].astype(x.dtype)
+            y = xin @ wd
+    elif method == "w8a8_int8":
+        # Per-token dynamic activation quant + int8 MXU matmul (v5e runs
+        # int8 dots at 2x bf16 rate); reference w8a8_int8.py semantics.
+        amax = jnp.max(jnp.abs(xin.astype(jnp.float32)), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(amax / 127.0, 1e-8)
+        xq = jnp.clip(
+            jnp.round(xin.astype(jnp.float32) / x_scale), -127, 127
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq,
+            w["qw"],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (
+            acc.astype(jnp.float32) * x_scale * w["scale"].astype(jnp.float32)
+        ).astype(x.dtype)
+    else:
+        raise ValueError(f"unknown quant method {method!r}")
+    return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+
+
+def apply_linear(
+    x: jnp.ndarray,
+    w: Any,
+    method: Optional[str] = None,
+    backend: str = "xla",
+    out_features: Optional[int] = None,
+) -> jnp.ndarray:
+    """Uniform linear: plain array → ``x @ w``; quant dict → quant_linear."""
+    if _is_quantized(w):
+        return quant_linear(x, w, method, backend, out_features)
+    return x @ w

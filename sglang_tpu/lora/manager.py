@@ -97,39 +97,55 @@ class LoRAManager:
                 raise RuntimeError(
                     f"no free LoRA slots (max {self.max_slots - 1})"
                 )
+            # Reserve the slot under the lock BEFORE the slow unlocked
+            # safetensors load: two concurrent loads must not pick the
+            # same free slot and overwrite each other's weights.
+            self._names[name] = slot
 
-        with open(os.path.join(path, "adapter_config.json")) as f:
-            cfg = json.load(f)
-        r = int(cfg["r"])
-        if r > self.max_rank:
-            raise ValueError(
-                f"adapter rank {r} exceeds --max-lora-rank {self.max_rank}"
-            )
-        scaling = float(cfg.get("lora_alpha", r)) / r
+        try:
+            with open(os.path.join(path, "adapter_config.json")) as f:
+                cfg = json.load(f)
+            r = int(cfg["r"])
+            if r > self.max_rank:
+                raise ValueError(
+                    f"adapter rank {r} exceeds --max-lora-rank {self.max_rank}"
+                )
+            scaling = float(cfg.get("lora_alpha", r)) / r
 
-        st_path = os.path.join(path, "adapter_model.safetensors")
-        n_loaded = 0
-        with safe_open(st_path, framework="numpy") as f:
-            for key in f.keys():
-                parts = key.split(".")
-                if "layers" not in parts:
-                    continue
-                li = int(parts[parts.index("layers") + 1])
-                mod = next((m for m in LORA_MODULES if m in parts), None)
-                if mod is None:
-                    continue
-                tensor = f.get_tensor(key).astype(np.float32)
-                if "lora_A" in key:  # [r, in] → [in, r]
-                    self._host_a[mod][li, slot, :, : tensor.shape[0]] = tensor.T
-                    n_loaded += 1
-                elif "lora_B" in key:  # [out, r] → [r, out]
-                    self._host_b[mod][li, slot, : tensor.shape[1], :] = tensor.T
-                    n_loaded += 1
-        if n_loaded == 0:
-            raise ValueError(f"no LoRA tensors found in {st_path}")
+            st_path = os.path.join(path, "adapter_model.safetensors")
+            n_loaded = 0
+            with safe_open(st_path, framework="numpy") as f:
+                for key in f.keys():
+                    parts = key.split(".")
+                    if "layers" not in parts:
+                        continue
+                    li = int(parts[parts.index("layers") + 1])
+                    mod = next((m for m in LORA_MODULES if m in parts), None)
+                    if mod is None:
+                        continue
+                    tensor = f.get_tensor(key).astype(np.float32)
+                    if "lora_A" in key:  # [r, in] → [in, r]
+                        self._host_a[mod][li, slot, :, : tensor.shape[0]] = (
+                            tensor.T
+                        )
+                        n_loaded += 1
+                    elif "lora_B" in key:  # [out, r] → [r, out]
+                        self._host_b[mod][li, slot, : tensor.shape[1], :] = (
+                            tensor.T
+                        )
+                        n_loaded += 1
+            if n_loaded == 0:
+                raise ValueError(f"no LoRA tensors found in {st_path}")
+        except Exception:
+            with self._lock:
+                if self._names.get(name) == slot:
+                    del self._names[name]
+                for m in LORA_MODULES:
+                    self._host_a[m][:, slot] = 0
+                    self._host_b[m][:, slot] = 0
+            raise
         with self._lock:
             self._scaling[slot] = scaling
-            self._names[name] = slot
             self._device_tree = None
         logger.info(
             "Loaded LoRA %r (rank %d, scaling %.2f, %d tensors) → slot %d",

@@ -151,6 +151,22 @@ class ModelRunner:
         self.attn_backend = self._pick_attn_backend(devices[0])
         logger.info("Attention backend: %s", self.attn_backend)
 
+        # ---- quantized-GEMM backend (trace-time static on the config) ----
+        if model_config.quant_config is not None:
+            # The fused Pallas dequant GEMMs run single-device; under a
+            # GSPMD mesh the XLA dequant path partitions correctly.
+            model_config.quant_backend = (
+                "pallas"
+                if devices[0].platform == "tpu"
+                and self.mesh_ctx.is_single_device
+                else "xla"
+            )
+            logger.info(
+                "Quantization: %s (backend %s)",
+                model_config.quant_config.method,
+                model_config.quant_backend,
+            )
+
         # ---- jitted step fns (cached per shape bucket) ----
         rng_dst = (
             devices[0]
@@ -246,7 +262,7 @@ class ModelRunner:
         # for vocab < 2^24); optional rows = top-k alternative logprobs.
         out = jnp.stack([tokens.astype(jnp.float32), logprobs])  # [2, B]
         if tl_k > 0:
-            tv, ti = jax.lax.approx_max_k(logits, tl_k, recall_target=0.95)
+            tv, ti = jax.lax.approx_max_k(logits, tl_k, recall_target=1.0)
             lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
             out = jnp.concatenate(
                 [out, (tv - lse).T, ti.astype(jnp.float32).T], axis=0
@@ -289,7 +305,7 @@ class ModelRunner:
                 pstate = update_penalty_state(counts, appeared, new_tokens)
             if tl_k > 0:
                 tv, ti = jax.lax.approx_max_k(
-                    logits, tl_k, recall_target=0.95
+                    logits, tl_k, recall_target=1.0
                 )
                 lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
                 extra = (tv - lse, ti)
@@ -588,15 +604,20 @@ class ModelRunner:
 
     # ------------------------------------------------------------- hicache
     def _page_rows(self, pages, pad_to: int) -> np.ndarray:
+        # Padding rows use a POSITIVE one-past-the-end sentinel: JAX
+        # normalizes negative indices before the OOB check, so a -1
+        # sentinel under .at[].set(mode="drop") would silently write the
+        # last row of the pool instead of being dropped.
         g = self.kv_pool.geometry
+        oob = g.num_layers * g.num_pages
         arr = np.full((pad_to,), -1, np.int64)
         arr[: len(pages)] = pages
         rows = np.where(
             arr[None, :] >= 0,
             np.arange(g.num_layers)[:, None] * g.num_pages + arr[None, :],
-            -1,
+            oob,
         )
-        return rows.ravel()  # [L * pad_to], -1 = padding
+        return rows.ravel()  # [L * pad_to], oob = padding
 
     def extract_pages(self, pages) -> np.ndarray:
         """Fetch whole pages (all layers) to host: [n, L, ps, 2, HD]."""
@@ -605,7 +626,9 @@ class ModelRunner:
         n = len(pages)
         pad = next_power_of_2(n)
         rows = self._page_rows(pages, pad)
-        data = np.asarray(self.kv_cache[jnp.asarray(np.maximum(rows, 0))])
+        g0 = self.kv_pool.geometry
+        safe_rows = np.minimum(rows, g0.num_layers * g0.num_pages - 1)
+        data = np.asarray(self.kv_cache[jnp.asarray(safe_rows)])
         g = self.kv_pool.geometry
         data = data.reshape(g.num_layers, pad, *self.kv_cache.shape[1:])
         return data.transpose(1, 0, 2, 3, 4)[:n]

@@ -23,9 +23,63 @@ import jax.numpy as jnp
 import numpy as np
 
 from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.quantization import ParamShape
 from sglang_tpu.utils import get_logger
 
 logger = get_logger(__name__)
+
+
+def _leaf_shape(v):
+    return v.shape if isinstance(v, ParamShape) else v
+
+
+def _leaf_dtype(v, default):
+    return v.dtype if isinstance(v, ParamShape) else default
+
+
+def _st_dtype_map():
+    import ml_dtypes
+
+    return {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "BF16": ml_dtypes.bfloat16,
+        "F8_E4M3": ml_dtypes.float8_e4m3fn,
+        "F8_E5M2": ml_dtypes.float8_e5m2,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U64": np.uint64, "U32": np.uint32, "U16": np.uint16,
+        "U8": np.uint8, "BOOL": np.bool_,
+    }
+
+
+class SafetensorsFile:
+    """Minimal mmap-backed safetensors reader.
+
+    The ``safetensors`` numpy binding cannot represent F8_E4M3/F8_E5M2
+    tensors (numpy has no fp8), which every HF FP8 checkpoint uses —
+    this reader maps them to ``ml_dtypes`` and returns zero-copy memmap
+    views for everything (format: 8-byte LE header length, JSON header
+    with per-tensor dtype/shape/data_offsets, raw little-endian data).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as fh:
+            n = int.from_bytes(fh.read(8), "little")
+            self.header = json.loads(fh.read(n))
+        self.header.pop("__metadata__", None)
+        self._data_start = 8 + n
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        self._dtypes = _st_dtype_map()
+
+    def keys(self):
+        return list(self.header.keys())
+
+    def get_tensor(self, name: str) -> np.ndarray:
+        meta = self.header[name]
+        dt = np.dtype(self._dtypes[meta["dtype"]])
+        lo, hi = meta["data_offsets"]
+        raw = self._mm[self._data_start + lo : self._data_start + hi]
+        return raw.view(dt).reshape(meta["shape"])
 
 
 def _tree_get(tree: Dict[str, Any], path: str):
@@ -78,12 +132,46 @@ def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
                 p = f"{prefix}.{k}" if prefix else k
                 if isinstance(v, dict):
                     out[k] = build(v, p)
-                elif is_norm(p):
-                    out[k] = jnp.ones(v, dtype=dtype)
+                    continue
+                shape = _leaf_shape(v)
+                leaf_dtype = _leaf_dtype(v, dtype)
+                leaf = p.split(".")[-1]
+                sub = jax.random.fold_in(key, zlib.crc32(p.encode()))
+                if is_norm(p):
+                    out[k] = jnp.ones(shape, dtype=leaf_dtype)
+                elif jnp.issubdtype(jnp.dtype(leaf_dtype), jnp.integer):
+                    # packed int4 / int8 quant payloads: random bits
+                    info = jnp.iinfo(jnp.dtype(leaf_dtype))
+                    out[k] = jax.random.randint(
+                        sub, shape, info.min, int(info.max) + 1,
+                        dtype=jnp.int32,
+                    ).astype(leaf_dtype)
+                elif leaf == "scale":
+                    # dequantized std ≈ levels_std * scale; target std
+                    # 1/sqrt(fan) → scale ≈ 0.3/sqrt(fan) (+jitter)
+                    fan = (
+                        v.fan
+                        if isinstance(v, ParamShape) and v.fan
+                        else (shape[-2] if len(shape) > 1 else 1)
+                    )
+                    out[k] = (
+                        (0.3 / math.sqrt(max(fan, 1)))
+                        * (0.8 + 0.4 * jax.random.uniform(sub, shape))
+                    ).astype(leaf_dtype)
+                elif leaf == "zero":
+                    out[k] = jnp.full(shape, 8.0, dtype=leaf_dtype)
+                elif jnp.dtype(leaf_dtype).itemsize == 1:
+                    # fp8 weights: unit-ish levels, magnitude via scale
+                    out[k] = (
+                        jax.random.normal(sub, shape) * 2.5
+                    ).astype(leaf_dtype)
                 else:
-                    sub = jax.random.fold_in(key, zlib.crc32(p.encode()))
-                    scale = 1.0 / math.sqrt(v[-1]) if len(v) > 1 else 1.0
-                    out[k] = scale * jax.random.normal(sub, v, dtype=dtype)
+                    scale = (
+                        1.0 / math.sqrt(shape[-1]) if len(shape) > 1 else 1.0
+                    )
+                    out[k] = scale * jax.random.normal(
+                        sub, shape, dtype=leaf_dtype
+                    )
             return out
 
         return build(shapes)
@@ -106,7 +194,6 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
         raise FileNotFoundError(
             f"No *.safetensors under {config.model_path!r}"
         )
-    from safetensors import safe_open
 
     shapes = model.param_shapes()
     np_dtype = np.dtype(jnp.dtype(config.dtype).name) if jnp.dtype(
@@ -131,54 +218,74 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
             if isinstance(v, dict):
                 out[k] = build(v, p)
             else:
-                out[k] = np.zeros(v, dtype=host_dtype)
+                out[k] = np.zeros(
+                    _leaf_shape(v),
+                    dtype=np.dtype(jnp.dtype(_leaf_dtype(v, None)).name)
+                    if isinstance(v, ParamShape)
+                    else host_dtype,
+                )
         return out
 
     host = build(shapes)
     mapping = model.hf_weight_mapping()
     seen = set()
 
+    def _fit(tensor, dest_shape):
+        """Pad a repacked tensor up to the (PACK_BLOCK-padded) buffer."""
+        if tensor.shape == tuple(dest_shape):
+            return tensor
+        pad = [
+            (0, d - s) for s, d in zip(tensor.shape, dest_shape)
+        ]
+        return np.pad(tensor, pad)
+
     n_loaded = 0
     for file in files:
-        with safe_open(file, framework="numpy") as f:
-            for name in f.keys():
-                m = mapping(name)
-                if m is None:
-                    continue
-                path, layer_idx, transform = m
-                tensor = f.get_tensor(name)
-                if transform == "t":
-                    tensor = tensor.T
-                dest = _tree_get(host, path)
-                if layer_idx is None:
-                    np.copyto(dest, tensor.astype(host_dtype, copy=False))
-                elif isinstance(layer_idx, tuple):  # (layer, expert) etc.
-                    sub = dest
-                    for ix in layer_idx[:-1]:
-                        sub = sub[ix]
-                    np.copyto(
-                        sub[layer_idx[-1]],
-                        tensor.astype(host_dtype, copy=False),
-                    )
-                else:
-                    np.copyto(
-                        dest[layer_idx], tensor.astype(host_dtype, copy=False)
-                    )
-                seen.add(
-                    (
-                        path,
-                        layer_idx[0]
-                        if isinstance(layer_idx, tuple)
-                        else layer_idx,
-                    )
+        f = SafetensorsFile(file)
+        for name in f.keys():
+            m = mapping(name)
+            if m is None:
+                continue
+            path, layer_idx, transform = m
+            tensor = f.get_tensor(name)
+            if transform == "t":
+                tensor = tensor.T
+            elif callable(transform):
+                tensor = transform(tensor)
+            dest = _tree_get(host, path)
+            if layer_idx is None:
+                np.copyto(dest, tensor.astype(dest.dtype, copy=False))
+            elif isinstance(layer_idx, tuple):  # (layer, expert) etc.
+                sub = dest
+                for ix in layer_idx[:-1]:
+                    sub = sub[ix]
+                np.copyto(
+                    sub[layer_idx[-1]],
+                    tensor.astype(sub.dtype, copy=False),
                 )
-                n_loaded += 1
+            else:
+                np.copyto(
+                    dest[layer_idx],
+                    _fit(tensor, dest[layer_idx].shape).astype(
+                        dest.dtype, copy=False
+                    ),
+                )
+            seen.add(
+                (
+                    path,
+                    layer_idx[0]
+                    if isinstance(layer_idx, tuple)
+                    else layer_idx,
+                )
+            )
+            n_loaded += 1
     logger.info("Loaded %d tensors from %d safetensors files", n_loaded, len(files))
 
     # Sanity: every param got at least one write.  Any top-level subtree
     # named *layers* is a stacked per-layer dict (leading dim = depth).
     expected = set()
     for p, shape in _iter_paths(shapes):
+        shape = _leaf_shape(shape)
         top = p.split(".", 1)[0]
         if top.endswith("layers") and "." in p:
             for li in range(shape[0]):
@@ -194,20 +301,22 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
 
 def _place_params(model, host_params, mesh_ctx):
     specs = model.param_specs()
+    shapes = model.param_shapes()
 
-    def place(path_tree, spec_tree):
+    def place(path_tree, spec_tree, shape_tree):
         out = {}
         for k, v in path_tree.items():
             if isinstance(v, dict):
-                out[k] = place(v, spec_tree[k])
+                out[k] = place(v, spec_tree[k], shape_tree[k])
             else:
-                arr = jnp.asarray(v, dtype=model.config.dtype)
+                dtype = _leaf_dtype(shape_tree[k], model.config.dtype)
+                arr = jnp.asarray(v, dtype=dtype)
                 if mesh_ctx is not None:
                     arr = jax.device_put(arr, mesh_ctx.sharding(*spec_tree[k]))
                 out[k] = arr
         return out
 
-    return place(host_params, specs)
+    return place(host_params, specs, shapes)
 
 
 def load_model_weights(model, config: ModelConfig, load_format: str, mesh_ctx=None):

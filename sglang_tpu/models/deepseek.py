@@ -60,6 +60,9 @@ class DeepseekV2ForCausalLM:
         self.moe_inter = hf.get("moe_intermediate_size", config.intermediate_size)
         self.routed_scaling = float(hf.get("routed_scaling_factor", 1.0))
         self.scoring = hf.get("scoring_func", "softmax")
+        # group-limited routing (reference layers/moe/topk.py noaux_tc)
+        self.n_group = int(hf.get("n_group", 1) or 1)
+        self.topk_group = int(hf.get("topk_group", 1) or 1)
         self.topk_method = hf.get("topk_method", "greedy")
         self.norm_topk = bool(hf.get("norm_topk_prob", False))
         if self.n_experts == 0:
@@ -275,8 +278,14 @@ class DeepseekV2ForCausalLM:
         scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+        # Never quantize the attention weights to an 8-bit cache dtype
+        # (see layers/attention.py — reference keeps P in bf16).
+        pv_dtype = v_ctx.dtype
+        if jnp.issubdtype(pv_dtype, jnp.floating) and jnp.finfo(pv_dtype).bits == 8:
+            pv_dtype = jnp.bfloat16
+            v_ctx = v_ctx.astype(pv_dtype)
         out = jnp.einsum(
-            "bhlc,bchd->blhd", probs.astype(v_ctx.dtype), v_ctx,
+            "bhlc,bchd->blhd", probs.astype(pv_dtype), v_ctx,
             preferred_element_type=jnp.float32,
         ).astype(h.dtype)
         out = out.reshape(B, Lq, hq * vd)
@@ -301,6 +310,8 @@ class DeepseekV2ForCausalLM:
             gate_bias=w.get("gate_bias"),
             scoring=self.scoring,
             routed_scaling_factor=self.routed_scaling,
+            n_group=self.n_group,
+            topk_group=self.topk_group,
         )
         if self.n_shared:
             shared = act_and_mul(

@@ -26,9 +26,23 @@ from sglang_tpu.configs.model_config import ModelConfig
 from sglang_tpu.layers.activation import act_and_mul
 from sglang_tpu.layers.attention import paged_attention
 from sglang_tpu.layers.norm import rms_norm
+from sglang_tpu.layers.quantization import (
+    PACK_BLOCK,
+    ParamShape,
+    awq_repack_qweight,
+    awq_unpack_qzeros,
+    gptq_repack_qweight,
+    make_gptq_unpack_qzeros,
+    pad_scales,
+    quant_linear,
+)
 from sglang_tpu.layers.rotary import compute_inv_freq
 from sglang_tpu.model_executor.forward_batch import DeviceBatch
 from sglang_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 class LlamaForCausalLM:
@@ -58,11 +72,69 @@ class LlamaForCausalLM:
             self.has_qk_norm = True
 
     # ------------------------------------------------------------- params
+    # Projection name → (hf module suffix, in_dim fn, out_dim fn); drives
+    # both param_shapes and the quantized-checkpoint weight mapping.
+    def _proj_dims(self) -> Dict[str, tuple]:
+        c = self.config
+        H, I = c.hidden_size, c.intermediate_size
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        return {
+            "q_proj": ("self_attn.q_proj", H, hq * d),
+            "k_proj": ("self_attn.k_proj", H, hkv * d),
+            "v_proj": ("self_attn.v_proj", H, hkv * d),
+            "o_proj": ("self_attn.o_proj", hq * d, H),
+            "gate_proj": ("mlp.gate_proj", H, I),
+            "up_proj": ("mlp.up_proj", H, I),
+            "down_proj": ("mlp.down_proj", I, H),
+        }
+
+    def _is_quantized_proj(self, name: str) -> bool:
+        qc = self.config.quant_config
+        if qc is None:
+            return False
+        dims = self._proj_dims()
+        if name not in dims:
+            return False
+        hf_mod, din, _ = dims[name]
+        if qc.skips(hf_mod):
+            return False
+        if qc.group_size and din % qc.group_size != 0:
+            return False
+        return True
+
+    def _quant_leaf(self, L: int, din: int, dout: int) -> Dict[str, Any]:
+        qc = self.config.quant_config
+        if qc.is_int4:
+            dout_p = _round_up(dout, PACK_BLOCK)
+            g = qc.group_size
+            return {
+                "qw": ParamShape((L, din, dout_p // 2), jnp.uint8, fan=din),
+                "scale": ParamShape((L, din // g, dout_p), jnp.float32, fan=din),
+                "zero": ParamShape((L, din // g, dout_p), jnp.float32, fan=din),
+            }
+        if qc.method == "fp8":
+            return {
+                "qw": ParamShape((L, din, dout), jnp.float8_e4m3fn, fan=din),
+                "scale": ParamShape((L, 1, dout), jnp.float32, fan=din),
+            }
+        if qc.method == "w8a8_int8":
+            return {
+                "qw": ParamShape((L, din, dout), jnp.int8, fan=din),
+                "scale": ParamShape((L, 1, dout), jnp.float32, fan=din),
+            }
+        raise ValueError(qc.method)
+
+    def _proj_shape(self, name: str, L: int) -> Any:
+        _, din, dout = self._proj_dims()[name]
+        if self._is_quantized_proj(name):
+            return self._quant_leaf(L, din, dout)
+        return (L, din, dout)
+
     def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
         return {
-            "gate_proj": (L, H, I),
-            "up_proj": (L, H, I),
-            "down_proj": (L, I, H),
+            "gate_proj": self._proj_shape("gate_proj", L),
+            "up_proj": self._proj_shape("up_proj", L),
+            "down_proj": self._proj_shape("down_proj", L),
         }
 
     def param_shapes(self) -> Dict[str, Any]:
@@ -76,10 +148,10 @@ class LlamaForCausalLM:
         hq, hkv, d = self.hq, self.hkv, self.hd
         layers = {
             "input_ln": (L, H),
-            "q_proj": (L, H, hq * d),
-            "k_proj": (L, H, hkv * d),
-            "v_proj": (L, H, hkv * d),
-            "o_proj": (L, hq * d, H),
+            "q_proj": self._proj_shape("q_proj", L),
+            "k_proj": self._proj_shape("k_proj", L),
+            "v_proj": self._proj_shape("v_proj", L),
+            "o_proj": self._proj_shape("o_proj", L),
             "post_ln": (L, H),
             **self._mlp_shapes(L, H, I),
         }
@@ -98,21 +170,40 @@ class LlamaForCausalLM:
             shapes["lm_head"] = (V, H)
         return shapes
 
+    def _proj_spec(self, name: str, col_sharded: bool) -> Any:
+        """Spec for one projection: plain weight or quant dict. Quant
+        leaves are [L, in(ish), out(ish)]; a row-sharded (in-dim) spec
+        falls back to replicated for leaves whose in-ish dim is 1
+        (per-channel fp8/int8 scales)."""
+        spec = (
+            P(None, None, AXIS_TP) if col_sharded else P(None, AXIS_TP, None)
+        )
+        if not self._is_quantized_proj(name):
+            return spec
+        qc = self.config.quant_config
+        out = {}
+        for k in self._quant_leaf(1, 1, 1):
+            if k == "scale" and not qc.is_int4 and not col_sharded:
+                out[k] = P(None, None, None)
+            else:
+                out[k] = spec
+        return out
+
     def _mlp_specs(self) -> Dict[str, Any]:
-        col = P(None, None, AXIS_TP)
-        row = P(None, AXIS_TP, None)
-        return {"gate_proj": col, "up_proj": col, "down_proj": row}
+        return {
+            "gate_proj": self._proj_spec("gate_proj", True),
+            "up_proj": self._proj_spec("up_proj", True),
+            "down_proj": self._proj_spec("down_proj", False),
+        }
 
     def param_specs(self) -> Dict[str, Any]:
         """PartitionSpecs matching param_shapes (tp sharding)."""
-        col = P(None, None, AXIS_TP)  # [L, in, out]: shard out features
-        row = P(None, AXIS_TP, None)  # [L, in, out]: shard in features
         layers = {
             "input_ln": P(None, None),
-            "q_proj": col,
-            "k_proj": col,
-            "v_proj": col,
-            "o_proj": row,
+            "q_proj": self._proj_spec("q_proj", True),
+            "k_proj": self._proj_spec("k_proj", True),
+            "v_proj": self._proj_spec("v_proj", True),
+            "o_proj": self._proj_spec("o_proj", False),
             "post_ln": P(None, None),
             **self._mlp_specs(),
         }
@@ -136,11 +227,52 @@ class LlamaForCausalLM:
         return specs
 
     # ------------------------------------------------------- weight loading
+    def _quant_weight_table(self) -> Dict[str, tuple]:
+        """HF-tensor-suffix → (param path, transform) for quantized projs
+        (reference quantization loaders: awq.py / gptq.py / fp8.py)."""
+        qc = self.config.quant_config
+        table: Dict[str, tuple] = {}
+        if qc is None:
+            return table
+        import numpy as _np
+
+        t_transpose = lambda t: _np.ascontiguousarray(t.T)  # noqa: E731
+        scale_row = lambda t: _np.asarray(t).reshape(1, -1)  # noqa: E731
+        for name, (hf_mod, _, _) in self._proj_dims().items():
+            if not self._is_quantized_proj(name):
+                continue
+            if qc.method == "awq":
+                table[f"{hf_mod}.qweight"] = (
+                    f"layers.{name}.qw", awq_repack_qweight)
+                table[f"{hf_mod}.qzeros"] = (
+                    f"layers.{name}.zero", awq_unpack_qzeros)
+                table[f"{hf_mod}.scales"] = (
+                    f"layers.{name}.scale", pad_scales)
+            elif qc.method == "gptq":
+                table[f"{hf_mod}.qweight"] = (
+                    f"layers.{name}.qw", gptq_repack_qweight)
+                table[f"{hf_mod}.qzeros"] = (
+                    f"layers.{name}.zero",
+                    make_gptq_unpack_qzeros(qc.gptq_v2),
+                )
+                table[f"{hf_mod}.scales"] = (
+                    f"layers.{name}.scale", pad_scales)
+                table[f"{hf_mod}.g_idx"] = None  # trivial order only
+            else:  # fp8 / w8a8_int8: plain [out,in] weight + scale
+                table[f"{hf_mod}.weight"] = (
+                    f"layers.{name}.qw", t_transpose)
+                table[f"{hf_mod}.weight_scale"] = (
+                    f"layers.{name}.scale", scale_row)
+                table[f"{hf_mod}.input_scale"] = None  # dynamic act quant
+        return table
+
     def hf_weight_mapping(self):
         """Map HF tensor names → (param path, layer index or None, transform).
 
-        transform: "t" = transpose 2D [out,in]→[in,out]; None = as-is.
+        transform: "t" = transpose 2D [out,in]→[in,out]; a callable runs
+        on the host numpy tensor (quant repacks); None = as-is.
         """
+        quant_table = self._quant_weight_table()
 
         def mapping(name: str):
             if name in ("model.embed_tokens.weight", "embed_tokens.weight"):
@@ -156,6 +288,12 @@ class LlamaForCausalLM:
                 return None
             li = int(parts[parts.index("layers") + 1])
             tail = ".".join(parts[parts.index("layers") + 2 :])
+            if tail in quant_table:
+                ent = quant_table[tail]
+                if ent is None:
+                    return None
+                path, tf = ent
+                return (path, li, tf)
             table = {
                 "input_layernorm.weight": ("layers.input_ln", None),
                 "post_attention_layernorm.weight": ("layers.post_ln", None),
@@ -251,9 +389,21 @@ class LlamaForCausalLM:
         else:
             lora_a, lora_b = {}, {}
 
+        qc = c.quant_config
+        proj_out = {k: v[2] for k, v in self._proj_dims().items()}
+
         def make_proj(w, la, lb):
             def proj(x, name):
-                y = x @ w[name]
+                wn = w[name]
+                if isinstance(wn, dict) and "qw" in wn:
+                    # quantized base weight (LoRA deltas still apply in
+                    # bf16 on top — S-LoRA over a quantized base)
+                    y = quant_linear(
+                        x, wn, qc.method, c.quant_backend,
+                        out_features=proj_out.get(name),
+                    )
+                else:
+                    y = x @ wn
                 if name in la:
                     y = y + lora_delta(
                         x, la[name], lb[name], adapter_idx, lora_scaling

@@ -1,0 +1,181 @@
+"""Pallas fused dequant × matmul kernels (INT4 group-quant and FP8).
+
+Equivalent role to the reference's quantized GEMMs
+(``sgl-kernel/csrc/gemm/awq_kernel.cu``, ``fp8_gemm_kernel.cu``,
+``int8_gemm_kernel.cu``) — TPU-native: decode-time linear layers are
+weights-HBM-bandwidth bound, so the win is reading the PACKED weight from
+HBM and dequantizing to bf16 in VMEM, fused into the MXU matmul.  The
+bf16 weight copy never exists in HBM: INT4 moves 4x fewer weight bytes
+than bf16, FP8 2x.
+
+Layouts (see ``layers/quantization.py``):
+* INT4: ``qw`` uint8 [K, N/2], two 4-bit output columns per byte in
+  block-local split-half order with PACK_BLOCK=512 — each 512-wide output
+  tile unpacks with two vector ops and ONE lane-dim concat (no
+  cross-lane shuffles).  ``scale``/``zero`` f32 [K/g, N].
+* FP8: ``qw`` float8_e4m3fn [K, N], ``scale`` f32 [1, N] (per-channel;
+  per-tensor scales are broadcast to [1, N] at load).
+
+Grid: (T-blocks, N-blocks, K-blocks), K innermost ("arbitrary") with an
+f32 VMEM accumulator that persists across K steps; the output tile is
+written on the last K step.  Pallas auto-pipelining double-buffers the
+packed-weight DMAs, so the kernel streams at HBM speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_tpu.layers.quantization import PACK_BLOCK
+
+BN = PACK_BLOCK  # output tile = pack block (split-half unpack stays local)
+BK = 512  # fp8 reduction tile; int4 derives its own from the group size
+
+
+def _int4_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_scr):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bk = qw_ref.shape[0]
+    n_groups = s_ref.shape[0]
+    g = bk // n_groups
+
+    @pl.when(ki == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # Mosaic supports uint8→int32 casts but not uint8→float or uint8
+    # shifts; widen first, then unpack in int32.
+    w32 = qw_ref[...].astype(jnp.int32)  # [bk, BN/2]
+    lo = w32 & 0xF
+    hi = (w32 >> 4) & 0xF
+    wq = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [bk, BN]
+    s = s_ref[...]  # [n_groups, BN] f32
+    z = z_ref[...]
+    wg = wq.reshape(n_groups, g, BN)
+    wd = ((wg - z[:, None, :]) * s[:, None, :]).astype(jnp.bfloat16)
+    acc_scr[...] += jnp.dot(
+        x_ref[...].astype(jnp.bfloat16),
+        wd.reshape(bk, BN),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul(
+    x: jnp.ndarray,  # [T, K]
+    qw: jnp.ndarray,  # uint8 [K, N/2] canonical packed
+    scale: jnp.ndarray,  # f32 [K/g, N]
+    zero: jnp.ndarray,  # f32 [K/g, N]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, K = x.shape
+    N = qw.shape[1] * 2
+    KG = scale.shape[0]
+    g = K // KG
+    # The scale/zero block must be sublane-legal: either 8-row divisible
+    # or the whole group axis.  Cover 8 group rows per K block (or all).
+    n_groups = min(8, KG)
+    bk = n_groups * g
+    if K % bk or N % BN or K != KG * g:
+        raise ValueError(f"int4_matmul: non-conforming shapes K={K} N={N} g={g}")
+
+    BT = min(256, max(16, -(-T // 16) * 16))
+    Tp = -(-T // BT) * BT
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+
+    grid = (Tp // BT, N // BN, K // bk)
+    out = pl.pallas_call(
+        _int4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, bk), lambda t, n, k: (t, k)),
+            pl.BlockSpec((bk, BN // 2), lambda t, n, k: (k, n)),
+            pl.BlockSpec((n_groups, BN), lambda t, n, k: (k, n)),
+            pl.BlockSpec((n_groups, BN), lambda t, n, k: (k, n)),
+        ],
+        out_specs=pl.BlockSpec((BT, BN), lambda t, n, k: (t, n)),
+        out_shape=jax.ShapeDtypeStruct((Tp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BT, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * K * N,
+            bytes_accessed=K * N // 2 + Tp * K * 2 + Tp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qw, scale, zero)
+    return out[:T] if Tp != T else out
+
+
+def _fp8_kernel(x_ref, qw_ref, s_ref, o_ref, acc_scr):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    wd = (
+        qw_ref[...].astype(jnp.float32) * s_ref[...].astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    acc_scr[...] += jnp.dot(
+        x_ref[...].astype(jnp.bfloat16), wd,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fp8_matmul(
+    x: jnp.ndarray,  # [T, K]
+    qw: jnp.ndarray,  # fp8 [K, N]
+    scale: jnp.ndarray,  # f32 [1, N]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, K = x.shape
+    N = qw.shape[1]
+    assert K % BK == 0 and N % BN == 0, (K, N)
+
+    BT = min(256, max(16, -(-T // 16) * 16))
+    Tp = -(-T // BT) * BT
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+
+    grid = (Tp // BT, N // BN, K // BK)
+    out = pl.pallas_call(
+        _fp8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, BK), lambda t, n, k: (t, k)),
+            pl.BlockSpec((BK, BN), lambda t, n, k: (k, n)),
+            pl.BlockSpec((1, BN), lambda t, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((BT, BN), lambda t, n, k: (t, n)),
+        out_shape=jax.ShapeDtypeStruct((Tp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BT, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * K * N,
+            bytes_accessed=K * N + Tp * K * 2 + Tp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qw, scale)
+    return out[:T] if Tp != T else out

@@ -150,3 +150,74 @@ def test_scheduler_crash_does_not_hang(tiny_engine):
             eng.generate(input_ids=[1], sampling_params={"max_new_tokens": 1})
     finally:
         eng.scheduler.runner.decode_window = real
+
+
+def test_inject_pages_non_power_of_2_does_not_corrupt_last_row(tiny_engine):
+    """Regression: padding rows in inject_pages used a -1 sentinel, which
+    JAX normalizes to the LAST row before the mode='drop' OOB check —
+    silently zeroing the last page of the last layer on every
+    non-power-of-2 injection (hicache promote / PD adopt)."""
+    import numpy as np
+
+    runner = tiny_engine.scheduler.runner
+    g = runner.kv_pool.geometry
+    # poison-mark the last row of the pool
+    last = g.num_layers * g.num_pages - 1
+    import jax.numpy as jnp
+    runner.kv_cache = runner.kv_cache.at[last].set(7.0)
+    before = np.asarray(runner.kv_cache[last]).copy()
+    # inject 3 pages (pads to 4) into pages 1..3
+    data = np.random.RandomState(0).randn(
+        3, g.num_layers, *runner.kv_cache.shape[1:]
+    ).astype(np.float32)
+    runner.inject_pages([1, 2, 3], data)
+    after = np.asarray(runner.kv_cache[last])
+    np.testing.assert_array_equal(before, after)
+    # and the real pages did land
+    got = runner.extract_pages([1, 2, 3])
+    np.testing.assert_allclose(got, data, rtol=1e-6)
+
+
+def test_flush_cache_waits_for_idle(tiny_engine):
+    """flush_cache must not reset radix/allocator while requests hold
+    pages; it runs on the scheduler thread once idle."""
+    import threading
+
+    results = {}
+
+    def gen():
+        results["out"] = tiny_engine.generate(
+            "a b c d e f g h", {"max_new_tokens": 12, "temperature": 0.0}
+        )
+
+    t = threading.Thread(target=gen)
+    t.start()
+    ok = tiny_engine.flush_cache(timeout=30.0)
+    t.join(timeout=30.0)
+    assert ok
+    assert results["out"]["meta_info"]["finish_reason"] is not None
+    # after flush the allocator is fully free
+    sched = tiny_engine.scheduler
+    assert not sched.running.reqs and not sched.waiting
+
+
+def test_stream_holds_back_partial_stop_string(tiny_engine):
+    """A stop string split across stream updates must never be partially
+    surfaced: every streamed prefix must not contain any prefix of the
+    stop string at its tail beyond the holdback window."""
+    stop = "zzqq"
+    chunks = []
+    for out in tiny_engine.generate(
+        "a b c", {"max_new_tokens": 8, "temperature": 0.0, "stop": [stop]},
+        stream=True,
+    ):
+        chunks.append(out["text"])
+    # cumulative text snapshots must be monotonically extending
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.startswith(a)
+    final = chunks[-1]
+    assert stop not in final
+    # unfinished snapshots are held back by len(stop)-1 chars
+    for c, out_is_last in zip(chunks, [False] * (len(chunks) - 1) + [True]):
+        if not out_is_last:
+            assert len(c) <= max(0, len(final) + len(stop) - 1)

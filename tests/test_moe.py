@@ -186,3 +186,36 @@ def test_mixtral_greedy_matches_hf(hf_mixtral_dir):
     hf_new = hf_out[0][len(prompt_ids):].tolist()
     assert out["output_ids"] == hf_new
     eng.shutdown()
+
+
+def test_moe_topk_group_limited_routing():
+    """DeepSeek n_group/topk_group: experts outside the selected groups
+    must never be routed to (reference layers/moe/topk.py noaux_tc)."""
+    rng = np.random.RandomState(3)
+    T, E, n_group, topk_group, top_k = 16, 16, 4, 2, 4
+    logits = jnp.asarray(rng.randn(T, E).astype(np.float32))
+    bias = jnp.asarray(rng.randn(E).astype(np.float32) * 0.1)
+    w, idx = moe_topk(
+        logits, top_k, norm_topk_prob=True, gate_bias=bias,
+        scoring="sigmoid", n_group=n_group, topk_group=topk_group,
+    )
+    idx = np.asarray(idx)
+    gsz = E // n_group
+    # python reference group selection: top-2-sum of biased sigmoid scores
+    import scipy.special as sp
+    probs = sp.expit(np.asarray(logits))
+    select = probs + np.asarray(bias)
+    for t in range(T):
+        g_scores = np.sort(select[t].reshape(n_group, gsz), axis=-1)[:, -2:].sum(-1)
+        allowed_groups = set(np.argsort(-g_scores)[:topk_group])
+        token_groups = set(idx[t] // gsz)
+        assert token_groups <= allowed_groups, (t, token_groups, allowed_groups)
+    # weights come from UNbiased scores, normalized
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_moe_topk_group_noop_when_single_group():
+    logits = jnp.asarray(np.random.RandomState(0).randn(5, 8).astype(np.float32))
+    w1, i1 = moe_topk(logits, 2, n_group=1, topk_group=1)
+    w2, i2 = moe_topk(logits, 2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -1,0 +1,213 @@
+"""E2E: genuine AWQ / FP8 HF checkpoints load and serve, matching their
+dequantized-dense equivalents (reference layers/quantization/ load paths)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import TINY_HF_CONFIG, make_server_args
+from tests.test_quantization import pack_awq_int32
+
+GROUP = 32
+
+
+def _tiny_hf_state(seed=0):
+    """Random float32 tensors in HF llama naming (no torch needed)."""
+    rng = np.random.RandomState(seed)
+    c = TINY_HF_CONFIG
+    H, I = c["hidden_size"], c["intermediate_size"]
+    hq = c["num_attention_heads"] * c["head_dim"]
+    hkv = c["num_key_value_heads"] * c["head_dim"]
+    V, L = c["vocab_size"], c["num_hidden_layers"]
+    st = {
+        "model.embed_tokens.weight": rng.randn(V, H).astype(np.float32) * 0.05,
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": rng.randn(V, H).astype(np.float32) * 0.05,
+    }
+    proj_shapes = {
+        "self_attn.q_proj": (hq, H),
+        "self_attn.k_proj": (hkv, H),
+        "self_attn.v_proj": (hkv, H),
+        "self_attn.o_proj": (H, hq),
+        "mlp.gate_proj": (I, H),
+        "mlp.up_proj": (I, H),
+        "mlp.down_proj": (H, I),
+    }
+    for li in range(L):
+        p = f"model.layers.{li}."
+        st[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        st[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for mod, (dout, din) in proj_shapes.items():
+            st[p + mod + ".weight"] = (
+                rng.randn(dout, din).astype(np.float32) / np.sqrt(din)
+            )
+    return st
+
+
+def _quantize_awq(w, g=GROUP):
+    """w [out, in] → (qweight, qzeros, scales) in AWQ wire format + the
+    exactly-dequantized float weight [out, in]."""
+    wt = np.ascontiguousarray(w.T)  # [in, out]
+    K, N = wt.shape
+    grp = wt.reshape(K // g, g, N)
+    mx, mn = grp.max(1), grp.min(1)
+    s = np.maximum((mx - mn) / 15.0, 1e-8).astype(np.float32)
+    z = np.clip(np.round(-mn / s), 0, 15).astype(np.uint8)
+    sr, zr = np.repeat(s, g, 0), np.repeat(z, g, 0).astype(np.float32)
+    q = np.clip(np.round(wt / sr + zr), 0, 15).astype(np.uint8)
+    wd = (q.astype(np.float32) - zr) * sr
+    return pack_awq_int32(q), pack_awq_int32(z), s, np.ascontiguousarray(wd.T)
+
+
+def _save_st(d, tensors):
+    from safetensors.numpy import save_file
+
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in tensors.items()},
+        os.path.join(d, "model.safetensors"),
+    )
+
+
+def _write_cfg(d, quantization_config=None):
+    cfg = dict(TINY_HF_CONFIG)
+    if quantization_config:
+        cfg["quantization_config"] = quantization_config
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+@pytest.fixture(scope="module")
+def awq_pair_dirs(tmp_path_factory):
+    """(awq checkpoint dir, dense dir holding the dequantized weights)."""
+    st = _tiny_hf_state()
+    awq, dense = {}, {}
+    for name, w in st.items():
+        if name.endswith(".weight") and (
+            "self_attn" in name or "mlp." in name
+        ):
+            qw, qz, s, wd = _quantize_awq(w)
+            base = name[: -len(".weight")]
+            awq[base + ".qweight"] = qw
+            awq[base + ".qzeros"] = qz
+            awq[base + ".scales"] = s
+            dense[name] = wd
+        else:
+            awq[name] = w
+            dense[name] = w
+    da = str(tmp_path_factory.mktemp("awq"))
+    dd = str(tmp_path_factory.mktemp("dense"))
+    _save_st(da, awq)
+    _save_st(dd, dense)
+    _write_cfg(da, {"quant_method": "awq", "bits": 4, "group_size": GROUP,
+                    "version": "gemm", "zero_point": True})
+    _write_cfg(dd)
+    return da, dd
+
+
+def _make_engine(model_dir):
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    args = make_server_args(
+        model_path=model_dir, load_format="safetensors", dtype="float32"
+    )
+    cfg = ModelConfig.from_model_path(model_dir, dtype="float32")
+    runner = ModelRunner(args, model_config=cfg)
+    return Engine(server_args=args, model_runner=runner)
+
+
+def test_awq_checkpoint_matches_dequantized_dense(awq_pair_dirs):
+    da, dd = awq_pair_dirs
+    ea = _make_engine(da)
+    ed = _make_engine(dd)
+    try:
+        assert ea.scheduler.runner.model_config.quant_config.method == "awq"
+        prompt = [5, 99, 203, 17, 42, 7, 310, 8]
+        sp = {"max_new_tokens": 12, "temperature": 0.0, "return_logprob": True}
+        oa = ea.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        assert oa["output_ids"] == od["output_ids"]
+        la = [t[0] for t in oa["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        np.testing.assert_allclose(la, ld, rtol=1e-3, atol=1e-3)
+    finally:
+        ea.shutdown()
+        ed.shutdown()
+
+
+@pytest.fixture(scope="module")
+def fp8_pair_dirs(tmp_path_factory):
+    import ml_dtypes
+
+    st = _tiny_hf_state(seed=1)
+    fp8, dense = {}, {}
+    for name, w in st.items():
+        if name.endswith(".weight") and (
+            "self_attn" in name or "mlp." in name
+        ):
+            # per-out-channel scale (neuralmagic dynamic scheme)
+            s = (np.abs(w).max(axis=1, keepdims=True) / 448.0).astype(
+                np.float32
+            )
+            qw = (w / s).astype(ml_dtypes.float8_e4m3fn)
+            wd = qw.astype(np.float32) * s
+            base = name[: -len(".weight")]
+            fp8[name] = qw
+            fp8[base + ".weight_scale"] = s.reshape(-1)
+            dense[name] = wd
+        else:
+            fp8[name] = w
+            dense[name] = w
+    df = str(tmp_path_factory.mktemp("fp8"))
+    dd = str(tmp_path_factory.mktemp("fp8dense"))
+    _save_st(df, fp8)
+    _save_st(dd, dense)
+    _write_cfg(df, {"quant_method": "fp8", "activation_scheme": "dynamic"})
+    _write_cfg(dd)
+    return df, dd
+
+
+def test_fp8_checkpoint_matches_dequantized_dense(fp8_pair_dirs):
+    df, dd = fp8_pair_dirs
+    ef = _make_engine(df)
+    ed = _make_engine(dd)
+    try:
+        assert ef.scheduler.runner.model_config.quant_config.method == "fp8"
+        prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+        sp = {"max_new_tokens": 10, "temperature": 0.0, "return_logprob": True}
+        of = ef.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        assert of["output_ids"] == od["output_ids"]
+        lf = [t[0] for t in of["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        np.testing.assert_allclose(lf, ld, rtol=1e-3, atol=1e-3)
+    finally:
+        ef.shutdown()
+        ed.shutdown()
+
+
+def test_dummy_quant_engine_serves(tmp_path):
+    """Dummy-weight AWQ engine: full pipeline with the quant param tree."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    hf = dict(TINY_HF_CONFIG)
+    hf["quantization_config"] = {
+        "quant_method": "awq", "bits": 4, "group_size": GROUP,
+    }
+    cfg = ModelConfig.from_hf_dict(hf, model_path="test://tiny", dtype="float32")
+    args = make_server_args()
+    runner = ModelRunner(args, model_config=cfg)
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        out = eng.generate(
+            input_ids=[1, 2, 3, 4], sampling_params={
+                "max_new_tokens": 8, "temperature": 0.0}
+        )
+        assert len(out["output_ids"]) == 8
+    finally:
+        eng.shutdown()
