@@ -208,3 +208,68 @@ def pack_vocab_masks(masks: List[Optional[np.ndarray]], B: int, V: int) -> np.nd
         bits = padded.reshape(W, 32).astype(np.uint32)
         out[i] = (bits << shifts).sum(axis=1, dtype=np.uint32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side FSM (K>1 grammar decode)
+# ---------------------------------------------------------------------------
+
+DEVICE_FSM_BUDGET = 64 << 20  # bytes of next-state table we allow on device
+
+
+class DeviceFSM:
+    """Dense token-level FSM tables resident on device.
+
+    For small automata the full (mask, next-state) tables fit on the
+    chip, so the fused K-step decode loop can advance the grammar and
+    apply the vocab mask PER STEP on device — structured output keeps
+    the K>1 fused window instead of dropping to one dispatch per token
+    (the reference instead overlaps CPU mask-fill with the forward,
+    scheduler.py:1665; on TPU the dispatch round-trip makes that a loss).
+    """
+
+    def __init__(self, mask_bits: np.ndarray, next_state: np.ndarray):
+        self.mask_bits = mask_bits  # [S, W] uint32
+        self.next_state = next_state  # [S, V] int32
+        self._dev = None
+
+    @property
+    def num_states(self) -> int:
+        return self.next_state.shape[0]
+
+    def device_arrays(self):
+        """(mask_bits, next_state) as device arrays (uploaded once)."""
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = (
+                jnp.asarray(self.mask_bits),
+                jnp.asarray(self.next_state),
+            )
+        return self._dev
+
+
+def build_device_fsm(fsm: TokenFSM, budget_bytes: int = DEVICE_FSM_BUDGET):
+    """Precompute full tables for every DFA state; None if over budget."""
+    S = fsm.dfa.table.shape[0]
+    V = fsm.vocab.vocab_size
+    if S * V * 4 > budget_bytes:
+        return None
+    cached = getattr(fsm, "_device_fsm", None)
+    if cached is not None:
+        return cached
+    W = (V + 31) // 32
+    mask_bits = np.zeros((S, W), np.uint32)
+    next_state = np.full((S, V), -1, np.int32)
+    shifts = np.arange(32, dtype=np.uint32)
+    for s in range(S):
+        m = fsm.mask_for(s)
+        nxt = fsm._next_cache[s]
+        padded = np.zeros(W * 32, bool)
+        padded[:V] = m
+        bits = padded.reshape(W, 32).astype(np.uint32)
+        mask_bits[s] = (bits << shifts).sum(axis=1, dtype=np.uint32)
+        next_state[s] = nxt
+    dev = DeviceFSM(mask_bits, next_state)
+    fsm._device_fsm = dev
+    return dev

@@ -85,6 +85,12 @@ class Req:
         self.grammar = None
         # speculative drafting state (speculative/ngram.NgramPredictor)
         self.spec_state = None
+        # EAGLE per-request state (speculative/eagle.py): device feature
+        # slot, tokens emitted last round but not yet draft-extended, and
+        # whether the feature pool rows are fresh (False → bootstrap).
+        self.spec_slot = -1
+        self.spec_pending: List[int] = []
+        self.spec_valid = False
         # scoring mode: max_new_tokens == 0 + return_logprob → input-token
         # logprobs only (reference: logprob_start_len / input_token_logprobs)
         self.input_logprobs = (

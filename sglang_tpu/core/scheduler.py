@@ -68,6 +68,14 @@ class Scheduler:
         self.reqs_by_rid: Dict[str, Req] = {}
         self._abort_rids: set = set()
         self._pending_flushes: List[threading.Event] = []
+        self._pending_emit_reqs: List[Req] = []
+        # chained decode windows in flight, oldest first (each dict holds
+        # its reqs snapshot, K, dispatch handle, and chain depth)
+        self._inflight: List[dict] = []
+        # depth 2 keeps the device saturated: window N+1 absorbs the
+        # host fetch round-trip of window N, window N+2 absorbs the
+        # host-side bookkeeping + dispatch gap
+        self._chain_depth = 2
 
         self.eos_token_ids = set(self.runner.model_config.eos_token_ids)
         self.max_context_len = self.runner.max_context_len
@@ -83,9 +91,19 @@ class Scheduler:
         self.num_steps = 0
         self.num_generated_tokens = 0
         self.last_decode_tokens_per_s = 0.0
-        self.spec_enabled = (server_args.speculative_algorithm or "").lower() == "ngram"
+        self.spec_algo = (server_args.speculative_algorithm or "").lower()
+        self.spec_enabled = self.spec_algo in ("ngram", "eagle")
         self.num_spec_drafted = 0
         self.num_spec_accepted = 0
+        if self.spec_algo == "eagle":
+            n_slots = max(
+                max(self.decode_bs_buckets),
+                server_args.max_running_requests,
+            )
+            self.runner.init_eagle(
+                server_args.speculative_num_draft_tokens, n_slots
+            )
+            self._spec_free_slots = list(range(n_slots))
 
         self.metrics = None
         if server_args.enable_metrics:
@@ -172,7 +190,10 @@ class Scheduler:
     def _maybe_flush_cache(self):
         if not self._pending_flushes:
             return
-        if self.running.reqs or self.waiting or self.chunked_req:
+        if (
+            self.running.reqs or self.waiting or self.chunked_req
+            or self._inflight
+        ):
             return  # wait for idle; checked again every step
         self.radix.reset()
         self.allocator.clear()
@@ -284,6 +305,8 @@ class Scheduler:
         return True
 
     def _release_req_kv(self, req: Req):
+        if self.spec_algo == "eagle":
+            self._release_spec_slot(req)
         """Free owned pages and unlock the radix prefix."""
         owned = req.pages[req.prefix_pages_len :]
         if owned:
@@ -366,6 +389,8 @@ class Scheduler:
     def _cache_finished(self, req: Req):
         """Insert the finished sequence into the radix tree
         (reference cache_finished_req radix_cache.py:437)."""
+        if self.spec_algo == "eagle":
+            self._release_spec_slot(req)
         if self.radix.disable or req.lora_slot:
             if req.pages:
                 self.allocator.free(req.pages)
@@ -475,10 +500,14 @@ class Scheduler:
             self.max_context_len - r.cached_len for r in self.running.reqs
         )
         K = 1
-        # Grammar masks depend on the host FSM state after every token →
-        # grammar batches decode one step per dispatch (the reference
-        # likewise disables overlap for grammar batches, scheduler.py:1665).
+        # Grammar masks depend on the FSM state after every token.  Small
+        # automata ship their full tables to the device (DeviceFSM) and
+        # advance inside the fused window, keeping K>1; larger ones fall
+        # back to one step per dispatch with CPU mask fill (the reference
+        # always does the latter, scheduler.py:1665).
         has_grammar = any(r.grammar is not None for r in self.running.reqs)
+        if has_grammar:
+            has_grammar = not self._grammar_fsm_on_device(self.running.reqs)
         if not has_grammar:
             while K * 2 <= min(self.server_args.decode_window_size, headroom):
                 K *= 2
@@ -525,7 +554,18 @@ class Scheduler:
         self.watchdog.set_busy(
             bool(self.running.reqs or self.waiting or self.chunked_req)
         )
-        self._process_inputs(block=block)
+        if self._pending_emit_reqs and not self._inflight:
+            # nothing left to overlap them under — deliver now, BEFORE
+            # any blocking wait on the input queue (a deferred finish
+            # must not sit behind the idle timeout)
+            self._flush_pending_emits()
+        self._process_inputs(block=block and not self._inflight)
+        if self._inflight and (
+            self.waiting or self.chunked_req is not None or self._abort_rids
+        ):
+            # other work wants the device / consistent request state:
+            # settle the in-flight decode windows first
+            self._drain_inflight()
         batch = self._get_prefill_batch(kind="score")
         if batch is not None:
             B, L, P = extend_buckets(
@@ -536,6 +576,7 @@ class Scheduler:
             )
             packed, _, _ = batch.pack_extend(self.page_size, B, L, P)
             targets = self._score_targets(batch, B, L)
+            self._flush_pending_emits()
             lp = self.runner.score_step(packed, targets, B, L, P)
             self._process_scoring_result(batch, lp)
             self.num_steps += 1
@@ -550,6 +591,7 @@ class Scheduler:
                 self.runner.max_pages_per_req,
             )
             packed, _, _ = batch.pack_extend(self.page_size, B, L, P)
+            self._flush_pending_emits()
             emb = self.runner.embed_step(packed, B, L, P)
             self._process_embedding_result(batch, emb)
             self.num_steps += 1
@@ -565,25 +607,89 @@ class Scheduler:
             )
             packed, st_packed, pen = batch.pack_extend(self.page_size, B, L, P)
             vmask = self._grammar_masks(batch, B)
-            tokens, logprobs, toplp = self.runner.extend_step(
-                packed, st_packed, B, L, P, pen=pen, vmask=vmask,
-                adapter_idx=self._lora_idx(batch, B), tl_k=self._tl_k(batch),
+            self._flush_pending_emits()
+            adapter_idx = self._lora_idx(batch, B)
+            tl_k = self._tl_k(batch)
+            use_eagle = (
+                self.spec_algo == "eagle"
+                and pen is None and vmask is None
+                and adapter_idx is None and tl_k == 0
+                and all(self._assign_spec_slot(r) for r in batch.reqs)
             )
-            self._process_prefill_result(batch, tokens, logprobs, toplp)
+            if use_eagle:
+                slot_idx = np.asarray(
+                    [r.spec_slot for r in batch.reqs]
+                    + [-1] * (B - len(batch.reqs)), np.int32,
+                )
+                tokens, logprobs, toplp = self.runner.eagle_extend_step(
+                    packed, st_packed, slot_idx, B, L, P
+                )
+            else:
+                tokens, logprobs, toplp = self.runner.extend_step(
+                    packed, st_packed, B, L, P, pen=pen, vmask=vmask,
+                    adapter_idx=adapter_idx, tl_k=tl_k,
+                )
+            self._process_prefill_result(
+                batch, tokens, logprobs, toplp, spec_valid=use_eagle
+            )
             self.num_steps += 1
             self.ratio_tracker.step()
             return True
 
-        if self.spec_enabled and self._spec_verify_step():
+        if self.spec_enabled:
+            ran = (
+                self._eagle_round()
+                if self.spec_algo == "eagle"
+                else self._spec_verify_step()
+            )
+            if ran:
+                self.num_steps += 1
+                self.ratio_tracker.step()
+                return True
+
+        if self._inflight:
+            # Windows are running.  Top the pipeline up to chain_depth by
+            # dispatching device-chained successors (their input tokens
+            # ride the device; no host sync), then fetch + process the
+            # OLDEST — both the host fetch round-trip and the bookkeeping
+            # gap hide under the younger windows' device execution.
+            t0 = time.monotonic()
+            while len(self._inflight) < self._chain_depth:
+                nxt = self._dispatch_chained(self._inflight[-1])
+                if nxt is None:
+                    break
+                self.num_chained_windows = (
+                    getattr(self, "num_chained_windows", 0) + 1
+                )
+                self._inflight.append(nxt)
+            inf = self._inflight.pop(0)
+            self._fetch_and_process_window(inf)
             self.num_steps += 1
+            dt = time.monotonic() - t0
+            self.last_decode_tokens_per_s = (
+                inf["K"] * len(inf["reqs"]) / max(dt, 1e-6)
+            )
             self.ratio_tracker.step()
             return True
 
         prepared = self._prepare_decode()
         if prepared is None:
+            self._flush_pending_emits()
             return False
         batch, K = prepared
-        t0 = time.monotonic()
+        self._inflight = [self._dispatch_decode(batch, K)]
+        # The device is now running this window: stream pending updates
+        # (detok, SSE callbacks) under it; the result is fetched on the
+        # next loop iteration (reference overlap contract,
+        # overlap_utils.py:128).
+        self._flush_pending_emits()
+        self.num_steps += 1
+        self.ratio_tracker.step()
+        return True
+
+    # ------------------------------------------------- chained decode
+    def _dispatch_decode(self, batch: HostBatch, K: int) -> dict:
+        # depth 0: state in the packed buffers is fully synced
         B, P = decode_buckets(
             batch,
             self.page_size,
@@ -592,17 +698,99 @@ class Scheduler:
             K,
         )
         packed, st_packed, pen = batch.pack_decode(self.page_size, B, P, K)
-        vmask = self._grammar_masks(batch, B)
-        tokens, logprobs, toplp = self.runner.decode_window(
+        fsm = self._grammar_device_tables(batch, B)
+        vmask = None if fsm is not None else self._grammar_masks(batch, B)
+        adapter_idx = self._lora_idx(batch, B)
+        tl_k = self._tl_k(batch)
+        handle = self.runner.decode_window_async(
             packed, st_packed, B, P, K, pen=pen, vmask=vmask,
-            adapter_idx=self._lora_idx(batch, B), tl_k=self._tl_k(batch),
+            adapter_idx=adapter_idx, tl_k=tl_k, fsm=fsm,
         )
-        self._process_decode_window(batch, tokens, logprobs, K, toplp)
-        self.num_steps += 1
-        dt = time.monotonic() - t0
-        self.last_decode_tokens_per_s = K * len(batch.reqs) / max(dt, 1e-6)
-        self.ratio_tracker.step()
-        return True
+        return dict(
+            reqs=list(batch.reqs), K=K, B=B, handle=handle, depth=0,
+            chainable=(
+                pen is None and vmask is None and adapter_idx is None
+                and fsm is None
+            ),
+        )
+
+    def _dispatch_chained(self, inf: dict):
+        """Dispatch window N+1 with the device-resident last tokens of the
+        (unfetched) window N as its input.  Requires an unchanged batch
+        row order and page room for another K tokens; any mismatch →
+        None (the caller fetches N and the next loop dispatches fresh)."""
+        if (
+            not inf["chainable"]
+            or self.spec_enabled
+            or self.waiting
+            or self.chunked_req is not None
+            or self._pending_flushes
+        ):
+            return None
+        reqs = inf["reqs"]
+        K = inf["K"]
+        depth = inf["depth"] + 1  # windows between synced state and this one
+        ahead = (depth + 1) * K  # tokens past the synced cached_len
+        if any(r.finished or r.grammar is not None for r in reqs):
+            return None
+        if reqs != self.running.reqs:
+            return None
+        for r in reqs:
+            if r.cached_len + ahead >= self.max_context_len:
+                return None
+        for r in reqs:
+            if not self._ensure_req_pages(r, r.cached_len + ahead):
+                return None
+        from sglang_tpu.layers.sampler import pack_sampling_params
+        from sglang_tpu.model_executor.forward_batch import pack_decode_batch
+        from sglang_tpu.utils import next_power_of_2
+
+        B = inf["B"]
+        max_pages = max(
+            cdiv(r.cached_len + ahead, self.page_size) for r in reqs
+        )
+        P = min(
+            next_power_of_2(max_pages),
+            next_power_of_2(self.runner.max_pages_per_req),
+        )
+        first_tokens = np.zeros((B,), np.int32)  # overridden by the chain
+        seq_lens = np.zeros((B,), np.int32)
+        page_table = np.zeros((B, P), np.int32)
+        for i, r in enumerate(reqs):
+            seq_lens[i] = r.cached_len + depth * K  # state after predecessor
+            n_pages = cdiv(r.cached_len + ahead, self.page_size)
+            page_table[i, :n_pages] = r.pages[:n_pages]
+        packed = pack_decode_batch(first_tokens, seq_lens, page_table)
+        st_packed = pack_sampling_params(reqs, B)
+        # min_new_remaining is depth*K tokens stale (unabsorbed windows)
+        st_packed[: len(reqs), 7] = np.maximum(
+            st_packed[: len(reqs), 7] - depth * K, 0
+        )
+        handle = self.runner.decode_window_async(
+            packed, st_packed, B, P, K,
+            chain_tokens=inf["handle"][2],
+        )
+        return dict(
+            reqs=list(reqs), K=K, B=B, handle=handle, depth=depth,
+            chainable=True,
+        )
+
+    def _fetch_and_process_window(self, inf: dict):
+        tokens, logprobs, toplp = self.runner.decode_window_fetch(
+            inf["handle"]
+        )
+        snap = HostBatch(reqs=inf["reqs"], mode=ForwardMode.DECODE)
+        self._process_decode_window(
+            snap, tokens, logprobs, inf["K"], toplp, defer_emit=True
+        )
+        # mirror finish-filtering into the live running batch
+        self.running.reqs = [r for r in self.running.reqs if not r.finished]
+
+    def _drain_inflight(self):
+        pending = self._inflight
+        self._inflight = []
+        for inf in pending:
+            self._fetch_and_process_window(inf)
 
     def _tl_k(self, batch: HostBatch) -> int:
         """Top-logprobs bucket for the batch (static jit arg)."""
@@ -623,6 +811,55 @@ class Scheduler:
         for i, r in enumerate(batch.reqs):
             idx[i] = r.lora_slot
         return idx
+
+    def _grammar_fsm_on_device(self, reqs) -> bool:
+        """True when every grammar in the batch has (or can build) device
+        FSM tables within budget."""
+        from sglang_tpu.constrained.token_fsm import build_device_fsm
+
+        if getattr(self.runner, "is_multihost_leader", False):
+            return False  # protocol broadcasts CPU-filled masks instead
+        for r in reqs:
+            if r.grammar is None or r.grammar.is_terminated:
+                continue
+            if build_device_fsm(r.grammar.fsm) is None:
+                return False
+        return True
+
+    def _grammar_device_tables(self, batch: HostBatch, B: int):
+        """(parts tuple, state0 [B], S_bucket) for the device FSM, or None
+        when any grammar is too big / no grammar rows exist."""
+        if not any(
+            r.grammar is not None and not r.grammar.is_terminated
+            for r in batch.reqs
+        ):
+            return None
+        if getattr(self.runner, "is_multihost_leader", False):
+            return None  # protocol broadcasts CPU-filled masks instead
+        from sglang_tpu.constrained.token_fsm import build_device_fsm
+        from sglang_tpu.utils import next_power_of_2
+
+        parts = []
+        offsets = {}
+        total = 0
+        for r in batch.reqs:
+            if r.grammar is None or r.grammar.is_terminated:
+                continue
+            dev = build_device_fsm(r.grammar.fsm)
+            if dev is None:
+                return None
+            key = id(dev)
+            if key not in offsets:
+                offsets[key] = total
+                total += dev.num_states
+                parts.append(dev.device_arrays())
+        S_bucket = next_power_of_2(total + 1)
+        state0 = np.full((B,), S_bucket - 1, np.int32)  # free/sentinel
+        for i, r in enumerate(batch.reqs):
+            if r.grammar is not None and not r.grammar.is_terminated:
+                dev = build_device_fsm(r.grammar.fsm)
+                state0[i] = offsets[id(dev)] + r.grammar.state
+        return (tuple(parts), state0, S_bucket)
 
     def _grammar_masks(self, batch: HostBatch, B: int):
         """Packed vocab bitmask for grammar-constrained rows, or None."""
@@ -796,7 +1033,7 @@ class Scheduler:
             [(float(v), int(t)) for v, t in zip(vals_row[:k], ids_row[:k])]
         )
 
-    def _process_prefill_result(self, batch: HostBatch, tokens, logprobs, toplp=None):
+    def _process_prefill_result(self, batch: HostBatch, tokens, logprobs, toplp=None, spec_valid: bool = False):
         updates = []
         for i, (req, n_new) in enumerate(zip(batch.reqs, batch.extend_lens)):
             req.cached_len += n_new
@@ -807,6 +1044,9 @@ class Scheduler:
                 self._cache_unfinished(req)
                 continue
             req.append_output_token(int(tokens[i]), float(logprobs[i]))
+            if self.spec_algo == "eagle":
+                req.spec_pending = [int(tokens[i])]
+                req.spec_valid = spec_valid
             if toplp is not None:
                 self._append_top_logprobs(req, toplp[0][i], toplp[1][i])
             self.num_generated_tokens += 1
@@ -821,10 +1061,12 @@ class Scheduler:
         if updates:
             self._emit_updates(updates)
 
-    def _process_decode_window(self, batch: HostBatch, tokens, logprobs, K: int, toplp=None):
+    def _process_decode_window(self, batch: HostBatch, tokens, logprobs, K: int, toplp=None, defer_emit: bool = False):
         """Accept tokens per request until its stop condition; tokens sampled
         after a request finished inside the window are discarded (their KV
-        went into the request's own pages, freed at finish)."""
+        went into the request's own pages, freed at finish).  With
+        ``defer_emit`` the stream updates are queued and flushed under the
+        NEXT window's device execution."""
         updates = []
         for i, req in enumerate(batch.reqs):
             for k in range(K):
@@ -839,11 +1081,156 @@ class Scheduler:
                 if req.check_finished(self.eos_token_ids, self.max_context_len):
                     self._cache_finished(req)
                     updates.append(req)
+            if self.spec_algo == "eagle" and not req.finished:
+                # features are stale now; next eagle round bootstraps
+                req.spec_pending = [req.output_ids[-1]] if req.output_ids else []
+                req.spec_valid = False
             if not req.finished and req.stream:
                 updates.append(req)
         batch.filter_finished()
         if updates:
+            if defer_emit:
+                self._pending_emit_reqs.extend(updates)
+            else:
+                self._emit_updates(updates)
+
+    def _flush_pending_emits(self):
+        if self._pending_emit_reqs:
+            reqs = self._pending_emit_reqs
+            self._pending_emit_reqs = []
+            self._emit_updates(reqs)
+
+    # ------------------------------------------------------ EAGLE round
+    def _assign_spec_slot(self, req: Req) -> bool:
+        if req.spec_slot >= 0:
+            return True
+        if not self._spec_free_slots:
+            return False
+        req.spec_slot = self._spec_free_slots.pop()
+        return True
+
+    def _release_spec_slot(self, req: Req):
+        if getattr(req, "spec_slot", -1) >= 0:
+            self._spec_free_slots.append(req.spec_slot)
+            req.spec_slot = -1
+            req.spec_valid = False
+
+    def _eagle_round(self) -> bool:
+        """One EAGLE chain round: fused draft window (draft-extend over
+        last round's emitted tokens + k chained drafts) then one target
+        verify with device rejection sampling (reference
+        eagle_worker_v2.py:505/:1538, reject_sampling.py).  Returns False
+        to fall back to the normal decode path (which invalidates the
+        feature state; the next round bootstraps)."""
+        batch = self.running
+        if not batch.reqs:
+            return False
+        k = self.server_args.speculative_num_draft_tokens
+        for r in batch.reqs:
+            sp = r.sampling_params
+            if (
+                sp.frequency_penalty != 0.0
+                or sp.presence_penalty != 0.0
+                or sp.repetition_penalty != 1.0
+                or r.grammar is not None
+                or r.lora_slot
+                or sp.top_logprobs_num > 0
+                or not r.spec_pending
+            ):
+                return False
+            if r.cached_len + k + 2 >= self.max_context_len:
+                return False
+            if not self._ensure_req_pages(r, r.cached_len + k + 2):
+                return False
+            if not self._assign_spec_slot(r):
+                return False
+
+        from sglang_tpu.layers.sampler import pack_sampling_params
+        from sglang_tpu.utils import next_power_of_2
+
+        n = len(batch.reqs)
+        B = next(b for b in self.decode_bs_buckets if b >= n)
+        A = k + 1
+        max_pages = max(
+            cdiv(r.cached_len + k + 2, self.page_size) for r in batch.reqs
+        )
+        P = min(
+            next_power_of_2(max_pages),
+            next_power_of_2(self.runner.max_pages_per_req),
+        )
+
+        ext_tokens = np.zeros((B, A), np.int32)
+        ext_lens = np.zeros((B,), np.int32)
+        base_pos = np.zeros((B,), np.int32)
+        slot_idx = np.full((B,), -1, np.int32)
+        bootstrap = np.zeros((B,), np.int32)
+        page_table = np.zeros((B, P), np.int32)
+        for i, r in enumerate(batch.reqs):
+            pend = r.spec_pending[:A]
+            ext_tokens[i, : len(pend)] = pend
+            ext_lens[i] = len(pend)
+            base_pos[i] = r.cached_len - len(pend) + 1
+            slot_idx[i] = r.spec_slot
+            bootstrap[i] = 0 if r.spec_valid else 1
+            n_pages = cdiv(r.cached_len + k + 2, self.page_size)
+            page_table[i, :n_pages] = r.pages[:n_pages]
+        st_packed = pack_sampling_params(batch.reqs, B)
+        dpacked = np.concatenate(
+            [ext_tokens.ravel(), ext_lens, base_pos, slot_idx,
+             page_table.ravel()]
+        ).astype(np.int32)
+
+        drafts, q_logits = self.runner.eagle_draft_window(
+            dpacked, st_packed, B, A, P
+        )
+
+        # verify: target extend over [last_token, d_1..d_k]
+        verify = HostBatch(
+            reqs=list(batch.reqs),
+            mode=ForwardMode.TARGET_VERIFY,
+            extend_lens=[k + 1] * n,
+        )
+        for i, r in enumerate(verify.reqs):
+            r.fill_ids.extend(int(t) for t in drafts[i, :k])
+        try:
+            packed, _, _ = verify.pack_extend(self.page_size, B, k + 1, P)
+            tokens, accept_len, lp = self.runner.eagle_verify_step(
+                packed, st_packed, q_logits, drafts, slot_idx, bootstrap,
+                B, k + 1, P,
+            )
+        finally:
+            for r in verify.reqs:
+                del r.fill_ids[len(r.fill_ids) - k:]
+
+        updates = []
+        for i, r in enumerate(batch.reqs):
+            if r.finished:
+                continue
+            a = int(accept_len[i])
+            if not bootstrap[i]:
+                self.num_spec_drafted += k
+                self.num_spec_accepted += a
+            r.cached_len += 1 + a
+            pend = []
+            for j in range(a + 1):
+                if r.finished:
+                    break
+                t = int(tokens[i, j])
+                r.append_output_token(t, float(lp[i, j]))
+                pend.append(t)
+                self.num_generated_tokens += 1
+                if r.check_finished(self.eos_token_ids, self.max_context_len):
+                    self._cache_finished(r)
+                    updates.append(r)
+            r.cached_len = min(r.cached_len, len(r.fill_ids))
+            r.spec_pending = pend
+            r.spec_valid = not r.finished
+            if not r.finished and r.stream:
+                updates.append(r)
+        batch.filter_finished()
+        if updates:
             self._emit_updates(updates)
+        return True
 
     def _grammar_accept(self, req: Req, token: int):
         if req.grammar is None or req.finished:

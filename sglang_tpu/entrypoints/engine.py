@@ -393,11 +393,17 @@ class Engine:
         """Dynamic adapter load (reference http_server.py:1431)."""
         if self.lora_manager is None:
             raise ValueError("--enable-lora is off")
+        runner = self.scheduler.runner
+        if hasattr(runner, "broadcast_lora_load"):  # multi-host leader
+            runner.broadcast_lora_load(lora_name, lora_path)
         return self.lora_manager.load_adapter(lora_name, lora_path)
 
     def unload_lora_adapter(self, lora_name: str):
         if self.lora_manager is None:
             raise ValueError("--enable-lora is off")
+        runner = self.scheduler.runner
+        if hasattr(runner, "broadcast_lora_unload"):
+            runner.broadcast_lora_unload(lora_name)
         self.lora_manager.unload_adapter(lora_name)
 
     def abort_request(self, rid: str):

@@ -18,6 +18,7 @@ import asyncio
 import hmac
 import json
 import time
+import uuid
 from typing import Any, AsyncIterator, Dict, List, Optional
 
 from aiohttp import web
@@ -141,6 +142,16 @@ class HttpServer:
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/abort_request", self.abort_request)
+        # Anthropic-compatible messages API (reference entrypoints/anthropic/)
+        r.add_post("/v1/messages", self.anthropic_messages)
+        # OpenAI Responses API (reference /v1/responses route)
+        r.add_post("/v1/responses", self.openai_responses)
+        # Ollama emulation (reference entrypoints/ollama/)
+        r.add_post("/api/generate", self.ollama_generate)
+        r.add_post("/api/chat", self.ollama_chat)
+        r.add_get("/api/tags", self.ollama_tags)
+        r.add_post("/api/show", self.ollama_show)
+        r.add_get("/api/version", self.ollama_version)
         if self.server_args.enable_metrics:
             r.add_get("/metrics", self.metrics)
 
@@ -625,3 +636,331 @@ def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
         app, host=server_args.host, port=server_args.port, print=None,
         access_log=logger if server_args.log_requests else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Anthropic / OpenAI-Responses / Ollama protocol adapters
+# ---------------------------------------------------------------------------
+
+def _anthropic_stop_reason(meta) -> str:
+    fr = meta.get("finish_reason") or {}
+    t = fr.get("type") if isinstance(fr, dict) else None
+    if t == "length":
+        return "max_tokens"
+    if t == "stop" and isinstance(fr, dict) and fr.get("matched") is not None:
+        return "stop_sequence"
+    return "end_turn"
+
+
+def _chat_msgs(dicts):
+    """dict messages → protocol ChatMessage objects for the template."""
+    return [
+        ChatMessage(role=m["role"], content=m.get("content", ""))
+        for m in dicts
+    ]
+
+
+def _content_to_text(content) -> str:
+    """Anthropic content blocks | plain string → text."""
+    if isinstance(content, str):
+        return content
+    parts = []
+    for block in content or []:
+        if isinstance(block, dict) and block.get("type") == "text":
+            parts.append(block.get("text", ""))
+        elif isinstance(block, str):
+            parts.append(block)
+    return "".join(parts)
+
+
+class _ProtocolAdapters:
+    """Mixed into HttpServer: alternative wire protocols over the same
+    engine (reference entrypoints/anthropic/, entrypoints/ollama/, and the
+    /v1/responses route of http_server.py)."""
+
+    async def anthropic_messages(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        messages = [
+            {"role": m["role"], "content": _content_to_text(m.get("content"))}
+            for m in body.get("messages", [])
+        ]
+        if body.get("system"):
+            messages.insert(
+                0, {"role": "system",
+                    "content": _content_to_text(body["system"])}
+            )
+        sp = {
+            "max_new_tokens": body.get("max_tokens",
+                                       self.server_args.max_new_tokens_default),
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+            "top_k": body.get("top_k", -1),
+            "stop": body.get("stop_sequences") or [],
+        }
+        prompt = apply_chat_template(
+            self.tokenizer, _chat_msgs(messages), self.server_args.chat_template
+        )
+        mid = f"msg_{uuid.uuid4().hex[:24]}"
+
+        if body.get("stream"):
+            gen = await self.engine.async_generate(
+                prompt=prompt, sampling_params=sp, stream=True
+            )
+            resp = self._sse(request)
+            await resp.prepare(request)
+
+            async def ev(event, data):
+                payload = json.dumps({"type": event, **data})
+                await resp.write(
+                    f"event: {event}\ndata: {payload}\n\n".encode()
+                )
+
+            await ev("message_start", {"message": {
+                "id": mid, "type": "message", "role": "assistant",
+                "model": self.model_name, "content": [],
+                "usage": {"input_tokens": 0, "output_tokens": 0}}})
+            await ev("content_block_start", {
+                "index": 0, "content_block": {"type": "text", "text": ""}})
+            sent = 0
+            last_meta = {}
+            async for out in gen:
+                text = out["text"]
+                delta, sent = text[sent:], len(text)
+                last_meta = out["meta_info"]
+                if delta:
+                    await ev("content_block_delta", {
+                        "index": 0,
+                        "delta": {"type": "text_delta", "text": delta}})
+            await ev("content_block_stop", {"index": 0})
+            await ev("message_delta", {
+                "delta": {"stop_reason": _anthropic_stop_reason(last_meta)},
+                "usage": {
+                    "output_tokens": last_meta.get("completion_tokens", 0)}})
+            await ev("message_stop", {})
+            await resp.write_eof()
+            return resp
+
+        out = await self.engine.async_generate(prompt=prompt, sampling_params=sp)
+        meta = out["meta_info"]
+        return web.json_response({
+            "id": mid,
+            "type": "message",
+            "role": "assistant",
+            "model": self.model_name,
+            "content": [{"type": "text", "text": out["text"]}],
+            "stop_reason": _anthropic_stop_reason(meta),
+            "stop_sequence": (meta.get("finish_reason") or {}).get("matched"),
+            "usage": {
+                "input_tokens": meta.get("prompt_tokens", 0),
+                "output_tokens": meta.get("completion_tokens", 0),
+            },
+        })
+
+    async def openai_responses(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        inp = body.get("input", "")
+        messages = []
+        if body.get("instructions"):
+            messages.append({"role": "system", "content": body["instructions"]})
+        if isinstance(inp, str):
+            messages.append({"role": "user", "content": inp})
+        else:
+            for m in inp:
+                messages.append({
+                    "role": m.get("role", "user"),
+                    "content": _content_to_text(m.get("content")),
+                })
+        sp = {
+            "max_new_tokens": body.get(
+                "max_output_tokens", self.server_args.max_new_tokens_default),
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+        }
+        prompt = apply_chat_template(
+            self.tokenizer, _chat_msgs(messages), self.server_args.chat_template
+        )
+        rid = f"resp_{uuid.uuid4().hex[:24]}"
+        msg_id = f"msg_{uuid.uuid4().hex[:24]}"
+
+        if body.get("stream"):
+            gen = await self.engine.async_generate(
+                prompt=prompt, sampling_params=sp, stream=True
+            )
+            resp = self._sse(request)
+            await resp.prepare(request)
+            await self._write_sse(resp, {
+                "type": "response.created",
+                "response": {"id": rid, "object": "response",
+                             "status": "in_progress"}})
+            sent = 0
+            last_meta = {}
+            full = ""
+            async for out in gen:
+                text = out["text"]
+                delta, sent = text[sent:], len(text)
+                full = text
+                last_meta = out["meta_info"]
+                if delta:
+                    await self._write_sse(resp, {
+                        "type": "response.output_text.delta",
+                        "item_id": msg_id, "output_index": 0,
+                        "content_index": 0, "delta": delta})
+            await self._write_sse(resp, {
+                "type": "response.completed",
+                "response": {
+                    "id": rid, "object": "response", "status": "completed",
+                    "output": [{
+                        "type": "message", "id": msg_id, "role": "assistant",
+                        "content": [{"type": "output_text", "text": full}]}],
+                    "usage": {
+                        "input_tokens": last_meta.get("prompt_tokens", 0),
+                        "output_tokens": last_meta.get("completion_tokens", 0),
+                        "total_tokens": last_meta.get("prompt_tokens", 0)
+                        + last_meta.get("completion_tokens", 0)}}})
+            await resp.write_eof()
+            return resp
+
+        out = await self.engine.async_generate(prompt=prompt, sampling_params=sp)
+        meta = out["meta_info"]
+        return web.json_response({
+            "id": rid,
+            "object": "response",
+            "status": "completed",
+            "model": self.model_name,
+            "output": [{
+                "type": "message", "id": msg_id, "role": "assistant",
+                "content": [{"type": "output_text", "text": out["text"]}],
+            }],
+            "output_text": out["text"],
+            "usage": {
+                "input_tokens": meta.get("prompt_tokens", 0),
+                "output_tokens": meta.get("completion_tokens", 0),
+                "total_tokens": meta.get("prompt_tokens", 0)
+                + meta.get("completion_tokens", 0),
+            },
+        })
+
+    # ------------------------------------------------------------- ollama
+    def _ollama_sp(self, body) -> dict:
+        opts = body.get("options") or {}
+        return {
+            "max_new_tokens": opts.get(
+                "num_predict", self.server_args.max_new_tokens_default),
+            "temperature": opts.get("temperature", 0.8),
+            "top_p": opts.get("top_p", 0.9),
+            "top_k": opts.get("top_k", -1),
+            "stop": opts.get("stop") or [],
+        }
+
+    async def _ollama_stream(self, request, gen, wrap):
+        resp = web.StreamResponse(
+            headers={"Content-Type": "application/x-ndjson"}
+        )
+        await resp.prepare(request)
+        sent = 0
+        last_meta = {}
+        async for out in gen:
+            text = out["text"]
+            delta, sent = text[sent:], len(text)
+            last_meta = out["meta_info"]
+            if delta:
+                await resp.write(
+                    (json.dumps(wrap(delta, False, last_meta)) + "\n").encode()
+                )
+        await resp.write(
+            (json.dumps(wrap("", True, last_meta)) + "\n").encode()
+        )
+        await resp.write_eof()
+        return resp
+
+    async def ollama_generate(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        sp = self._ollama_sp(body)
+        prompt = body.get("prompt", "")
+        stream = body.get("stream", True)
+
+        def wrap(delta, done, meta):
+            d = {"model": self.model_name, "response": delta, "done": done}
+            if done:
+                d.update(
+                    prompt_eval_count=meta.get("prompt_tokens", 0),
+                    eval_count=meta.get("completion_tokens", 0),
+                    done_reason="stop",
+                )
+            return d
+
+        if stream:
+            gen = await self.engine.async_generate(
+                prompt=prompt, sampling_params=sp, stream=True
+            )
+            return await self._ollama_stream(request, gen, wrap)
+        out = await self.engine.async_generate(prompt=prompt, sampling_params=sp)
+        d = wrap(out["text"], True, out["meta_info"])
+        d["response"] = out["text"]
+        return web.json_response(d)
+
+    async def ollama_chat(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        sp = self._ollama_sp(body)
+        messages = [
+            {"role": m["role"], "content": _content_to_text(m.get("content"))}
+            for m in body.get("messages", [])
+        ]
+        prompt = apply_chat_template(
+            self.tokenizer, _chat_msgs(messages), self.server_args.chat_template
+        )
+        stream = body.get("stream", True)
+
+        def wrap(delta, done, meta):
+            d = {
+                "model": self.model_name,
+                "message": {"role": "assistant", "content": delta},
+                "done": done,
+            }
+            if done:
+                d.update(
+                    prompt_eval_count=meta.get("prompt_tokens", 0),
+                    eval_count=meta.get("completion_tokens", 0),
+                    done_reason="stop",
+                )
+            return d
+
+        if stream:
+            gen = await self.engine.async_generate(
+                prompt=prompt, sampling_params=sp, stream=True
+            )
+            return await self._ollama_stream(request, gen, wrap)
+        out = await self.engine.async_generate(prompt=prompt, sampling_params=sp)
+        d = wrap(out["text"], True, out["meta_info"])
+        return web.json_response(d)
+
+    async def ollama_tags(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "models": [{
+                "name": self.model_name, "model": self.model_name,
+                "details": {"family": "sglang-tpu"}}]})
+
+    async def ollama_show(self, request: web.Request) -> web.Response:
+        cfg = self.engine.scheduler.runner.model_config
+        return web.json_response({
+            "details": {"family": "sglang-tpu"},
+            "model_info": {
+                "general.architecture": (cfg.architectures or [""])[0],
+                "context_length": cfg.context_length,
+                "vocab_size": cfg.vocab_size,
+            },
+        })
+
+    async def ollama_version(self, request: web.Request) -> web.Response:
+        import sglang_tpu
+
+        return web.json_response({"version": sglang_tpu.__version__})
+
+
+# graft the adapters onto HttpServer
+for _name in (
+    "anthropic_messages", "openai_responses", "ollama_generate",
+    "ollama_chat", "ollama_tags", "ollama_show", "ollama_version",
+    "_ollama_sp", "_ollama_stream",
+):
+    setattr(HttpServer, _name, getattr(_ProtocolAdapters, _name))

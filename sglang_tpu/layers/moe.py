@@ -91,8 +91,13 @@ def moe_block(
     routed_scaling_factor: float = 1.0,
     n_group: int = 1,
     topk_group: int = 1,
+    mesh=None,
+    expert_parallel: bool = False,
 ) -> jnp.ndarray:
-    """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families)."""
+    """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families).
+
+    With ``expert_parallel`` (and a mesh), the grouped GEMMs run
+    expert-sharded over the tp axis (see :func:`ep_grouped_mlp`)."""
     B, L, H = hidden.shape
     E = gate_w.shape[-1]
     T = B * L
@@ -119,13 +124,81 @@ def moe_block(
     group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
 
     xs = x[sorted_token]  # [N, H]
-    h1 = jax.lax.ragged_dot(xs, w1, group_sizes)  # [N, I]
-    h3 = jax.lax.ragged_dot(xs, w3, group_sizes)
-    inter = get_act_fn(hidden_act)(h1) * h3
-    out_s = jax.lax.ragged_dot(
-        inter.astype(w2.dtype), w2, group_sizes
-    )  # [N, H]
+    if expert_parallel and mesh is not None:
+        out_s = ep_grouped_mlp(
+            xs, w1, w3, w2, group_sizes, mesh, hidden_act
+        )  # [N, H]
+    else:
+        h1 = jax.lax.ragged_dot(xs, w1, group_sizes)  # [N, I]
+        h3 = jax.lax.ragged_dot(xs, w3, group_sizes)
+        inter = get_act_fn(hidden_act)(h1) * h3
+        out_s = jax.lax.ragged_dot(
+            inter.astype(w2.dtype), w2, group_sizes
+        )  # [N, H]
 
     out_s = out_s.astype(jnp.float32) * flat_w[order][:, None]
     out = jnp.zeros((T, H), jnp.float32).at[sorted_token].add(out_s)
     return out.reshape(B, L, H).astype(hidden.dtype)
+
+
+# --------------------------------------------------------------------------
+# Expert parallelism (experts sharded over the tp mesh axis)
+# --------------------------------------------------------------------------
+
+def ep_grouped_mlp(
+    xs: jnp.ndarray,  # [N, H] tokens sorted by expert (replicated over tp)
+    w1: jnp.ndarray,  # [E, H, I] sharded on E over tp
+    w3: jnp.ndarray,
+    w2: jnp.ndarray,  # [E, I, H]
+    group_sizes: jnp.ndarray,  # [E] i32 (replicated)
+    mesh,
+    hidden_act: str,
+) -> jnp.ndarray:
+    """Expert-parallel grouped MLP via shard_map (reference
+    ``layers/moe/ep_moe/layer.py`` + ``token_dispatcher/``, TPU-native):
+
+    Each shard owns a contiguous expert range.  Tokens are already sorted
+    by expert, so a shard's tokens form one contiguous span — a roll
+    brings them to row 0, the local ragged grouped GEMM runs over just
+    that span, and a psum combines shard outputs (lossless: no capacity
+    cap / token dropping; the all-to-all of the CUDA reference becomes
+    replicate + psum, the right trade at inference token counts).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sglang_tpu.parallel.mesh import AXIS_TP
+
+    E = group_sizes.shape[0]
+    ep = mesh.shape[AXIS_TP]
+    assert E % ep == 0, (E, ep)
+    E_local = E // ep
+    act = get_act_fn(hidden_act)
+
+    def fn(xs, gs, w1l, w3l, w2l):
+        r = jax.lax.axis_index(AXIS_TP)
+        start = r * E_local
+        csum = jnp.cumsum(gs)
+        offset = jnp.where(start == 0, 0, csum[jnp.maximum(start - 1, 0)])
+        xl = jnp.roll(xs, -offset, axis=0)
+        gsl = jax.lax.dynamic_slice(gs, (start,), (E_local,))
+        h1 = jax.lax.ragged_dot(xl, w1l, gsl)
+        h3 = jax.lax.ragged_dot(xl, w3l, gsl)
+        inter = act(h1) * h3
+        out = jax.lax.ragged_dot(inter.astype(w2l.dtype), w2l, gsl)
+        n_local = jnp.sum(gsl)
+        rows = jnp.arange(xs.shape[0], dtype=jnp.int32)[:, None]
+        out = jnp.where(rows < n_local, out, 0.0)
+        out = jnp.roll(out, offset, axis=0)
+        # psum in f32: XLA-CPU's AllReducePromotion pass crashes on the
+        # bf16 collective this otherwise produces, and f32 accumulation
+        # is numerically right anyway.
+        return jax.lax.psum(out.astype(jnp.float32), AXIS_TP)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_TP), P(AXIS_TP), P(AXIS_TP)),
+        out_specs=P(),
+        axis_names={AXIS_TP},  # manual over tp only; dp/pp stay automatic
+        check_vma=False,
+    )(xs, group_sizes, w1, w3, w2)

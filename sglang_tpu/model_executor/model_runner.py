@@ -56,6 +56,31 @@ logger = get_logger(__name__)
 
 DEFAULT_HBM_BYTES = 16 * (1 << 30)  # v5e
 
+_compile_cache_enabled = False
+
+
+def _enable_persistent_compile_cache():
+    """Persist XLA executables across processes (CUDA-graph-cache analogue
+    at the process level; first flagship compile is minutes over a
+    tunneled link, subsequent launches replay from disk)."""
+    global _compile_cache_enabled
+    if _compile_cache_enabled:
+        return
+    _compile_cache_enabled = True
+    import os
+
+    cache_dir = os.environ.get(
+        "SGLANG_TPU_COMPILE_CACHE", "/tmp/sglang_tpu_jit_cache"
+    )
+    if cache_dir.lower() in ("0", "off", "none"):
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without these flags
+        pass
+
 
 def _device_hbm_bytes(device) -> int:
     try:
@@ -81,6 +106,7 @@ class ModelRunner:
         devices=None,
     ):
         self.server_args = server_args
+        _enable_persistent_compile_cache()
         if model_config is None:
             model_config = ModelConfig.from_model_path(
                 server_args.model_path,
@@ -101,6 +127,7 @@ class ModelRunner:
                 dp_size=server_args.dp_size,
                 pp_size=server_args.pp_size,
                 ep_size=server_args.ep_size,
+                dp_attention=getattr(server_args, "enable_dp_attention", False),
             ),
             devices=devices,
         )
@@ -269,20 +296,49 @@ class ModelRunner:
             )  # [2 + 2k, B]
         return out, kv_cache
 
-    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, tl_k=0):
-        """K fused decode steps; tokens chain on device via lax.scan."""
+    def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, chain_tokens, fsm_parts, fsm_state, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_chain=False, use_fsm=False, fsm_bucket=0, tl_k=0):
+        """K fused decode steps; tokens chain on device via lax.scan.
+
+        With ``use_chain`` the first input token comes from the PREVIOUS
+        window's device-resident last-token array instead of the packed
+        host buffer — windows chain device-to-device so the scheduler can
+        dispatch window N+1 before fetching window N's result (the host
+        fetch round-trip hides under device compute; reference overlap
+        contract, overlap_utils.py:128).
+
+        With ``use_fsm`` the grammar advances ON DEVICE each fused step:
+        ``fsm_parts`` is a tuple of per-grammar (mask_bits [Si, W],
+        next_state [Si, V]) tables (uploaded once, concatenated here with
+        state offsets already applied by the host in ``fsm_state``);
+        structured output keeps K>1 windows instead of one dispatch per
+        token."""
         first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
+        if use_chain:
+            first_tokens = chain_tokens
         st = unpack_sampling_params(st_packed)
         rng = jax.random.fold_in(rng, step)
         pen_state = None
         if use_pen:
             V = self.model_config.vocab_size
             pen_state = build_penalty_state(pen, V)
+        if use_fsm:
+            # combined table, padded to the bucket; the LAST row is the
+            # free/sentinel state: all tokens allowed, self-loop.
+            Sb = fsm_bucket
+            masks = jnp.concatenate([m for m, _ in fsm_parts], axis=0)
+            nexts = jnp.concatenate([n for _, n in fsm_parts], axis=0)
+            Sr = masks.shape[0]
+            W = masks.shape[1]
+            V = nexts.shape[1]
+            mask_full = jnp.full((Sb, W), 0xFFFFFFFF, jnp.uint32)
+            mask_full = mask_full.at[:Sr].set(masks)
+            next_full = jnp.full((Sb, V), Sb - 1, jnp.int32)
+            next_full = next_full.at[:Sr].set(nexts)
 
         lora = (lora_tree, adapter_idx) if use_lora else None
 
         def body(carry, k):
-            kv, tokens, pstate = carry
+            kv, tokens, pstate, gstate = carry
             batch = decode_step_batch(
                 tokens, seq_lens0, page_table, k, self.kv_pool.page_size
             )
@@ -291,9 +347,11 @@ class ModelRunner:
             if use_pen:
                 counts, appeared = pstate
                 logits = apply_penalties(logits, counts, appeared, st)
-            if use_mask:
-                # Grammar batches run K=1 windows (the mask depends on the
-                # host-side FSM state after every token).
+            if use_fsm:
+                logits = apply_vocab_mask(logits, mask_full[gstate])
+            elif use_mask:
+                # large-FSM grammar batches run K=1 windows (the mask
+                # depends on the host-side FSM state after every token)
                 logits = apply_vocab_mask(logits, vmask)
             logits = suppress_eos(
                 logits, st.min_new_remaining - k, self._eos_mask
@@ -303,6 +361,11 @@ class ModelRunner:
             )
             if use_pen:
                 pstate = update_penalty_state(counts, appeared, new_tokens)
+            if use_fsm:
+                nxt = jnp.take_along_axis(
+                    next_full[gstate], new_tokens[:, None], axis=-1
+                )[:, 0]
+                gstate = jnp.where(nxt < 0, fsm_bucket - 1, nxt)
             if tl_k > 0:
                 tv, ti = jax.lax.approx_max_k(
                     logits, tl_k, recall_target=1.0
@@ -311,11 +374,12 @@ class ModelRunner:
                 extra = (tv - lse, ti)
             else:
                 extra = (jnp.zeros((B, 0)), jnp.zeros((B, 0), jnp.int32))
-            return (kv, new_tokens, pstate), (new_tokens, logprobs, extra)
+            return (kv, new_tokens, pstate, gstate), (new_tokens, logprobs, extra)
 
-        (kv_cache, _, _), (all_tokens, all_logprobs, tl) = jax.lax.scan(
+        g0 = fsm_state if use_fsm else jnp.zeros((B,), jnp.int32)
+        (kv_cache, last_tokens, _, _), (all_tokens, all_logprobs, tl) = jax.lax.scan(
             body,
-            (kv_cache, first_tokens, pen_state),
+            (kv_cache, first_tokens, pen_state, g0),
             np.arange(K, dtype=np.int32),
         )
         out = jnp.stack(
@@ -324,7 +388,7 @@ class ModelRunner:
         if tl_k > 0:
             # tl = (vals [K, B, k], ids [K, B, k])
             out = (out, tl[0], tl[1].astype(jnp.float32))
-        return out, kv_cache
+        return out, last_tokens.astype(jnp.int32), kv_cache
 
     def _verify_impl(self, params, kv_cache, packed, rng, step, *, B, L, P):
         """Speculative verify: one extend forward over [last_token, drafts],
@@ -478,19 +542,22 @@ class ModelRunner:
             self._extend_fns[key] = fn
         return fn
 
-    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask, use_lora=False, tl_k=0):
-        key = (B, P, K, all_greedy, use_pen, use_mask, use_lora, tl_k)
+    def _get_decode_fn(self, B, P, K, all_greedy, use_pen, use_mask, use_lora=False, use_chain=False, use_fsm=False, fsm_bucket=0, n_fsm=0, tl_k=0):
+        key = (B, P, K, all_greedy, use_pen, use_mask, use_lora, use_chain,
+               use_fsm, fsm_bucket, n_fsm, tl_k)
         fn = self._decode_fns.get(key)
         if fn is None:
             logger.info(
-                "compiling decode: B=%d P=%d K=%d greedy=%s pen=%s mask=%s",
-                B, P, K, all_greedy, use_pen, use_mask,
+                "compiling decode: B=%d P=%d K=%d greedy=%s pen=%s mask=%s chain=%s fsm=%s",
+                B, P, K, all_greedy, use_pen, use_mask, use_chain, use_fsm,
             )
             fn = jax.jit(
                 functools.partial(
                     self._decode_impl,
                     B=B, P=P, K=K, all_greedy=all_greedy, use_pen=use_pen,
-                    use_mask=use_mask, use_lora=use_lora, tl_k=tl_k,
+                    use_mask=use_mask, use_lora=use_lora,
+                    use_chain=use_chain, use_fsm=use_fsm,
+                    fsm_bucket=fsm_bucket, tl_k=tl_k,
                 ),
                 donate_argnums=(1,),
             )
@@ -539,7 +606,7 @@ class ModelRunner:
             )
         return tokens, logprobs, toplp
 
-    def decode_window(
+    def decode_window_async(
         self,
         packed: np.ndarray,
         st_packed: np.ndarray,
@@ -550,15 +617,32 @@ class ModelRunner:
         vmask: Optional[np.ndarray] = None,
         adapter_idx: Optional[np.ndarray] = None,
         tl_k: int = 0,
+        chain_tokens=None,  # device [B] i32 from the previous window
+        fsm=None,  # (parts tuple, state0 [B] i32, S_bucket) — device FSM
     ):
-        """Run K fused decode steps; returns (tokens [K, B],
-        logprobs [K, B], top_logprobs or None)."""
+        """Dispatch K fused decode steps WITHOUT fetching the result.
+
+        JAX async dispatch returns device futures immediately; the
+        scheduler overlaps host bookkeeping of the previous window with
+        this window's device execution (the reference's overlap-scheduler
+        contract, ``managers/overlap_utils.py:128``, without streams:
+        the device is simply never waited on until the result is needed).
+        With ``chain_tokens`` the window's first input token comes from
+        the previous window's device-resident output, so it can be
+        dispatched BEFORE that window's result is fetched.
+        """
         self._step_counter += 1
+        use_chain = chain_tokens is not None
+        use_fsm = fsm is not None
+        fsm_parts, fsm_state, fsm_bucket = (
+            fsm if use_fsm else ((), np.zeros((B,), np.int32), 0)
+        )
         fn = self._get_decode_fn(
             B, P, K, bool((st_packed[:, 0] <= 0).all()), pen is not None,
-            vmask is not None, adapter_idx is not None, tl_k,
+            vmask is not None, adapter_idx is not None, use_chain,
+            use_fsm, fsm_bucket, len(fsm_parts), tl_k,
         )
-        out, self.kv_cache = fn(
+        out, last_tokens, self.kv_cache = fn(
             self.params,
             self.kv_cache,
             packed,
@@ -567,9 +651,21 @@ class ModelRunner:
             vmask if vmask is not None else np.zeros((B, 1), np.uint32),
             self._lora_tree() if adapter_idx is not None else {},
             adapter_idx if adapter_idx is not None else np.zeros((B,), np.int32),
+            chain_tokens
+            if chain_tokens is not None
+            else np.zeros((B,), np.int32),
+            fsm_parts,
+            fsm_state,
             self._base_rng,
             np.int32(self._step_counter),
         )
+        return (out, tl_k, last_tokens)
+
+    @staticmethod
+    def decode_window_fetch(handle):
+        """Block on a decode_window_async handle; returns (tokens [K, B],
+        logprobs [K, B], top_logprobs or None)."""
+        out, tl_k, _last = handle
         if tl_k > 0:
             out, tv, ti = out
             out = np.asarray(out)
@@ -580,6 +676,12 @@ class ModelRunner:
             )
         out = np.asarray(out)
         return out[0].astype(np.int64), out[1], None
+
+    def decode_window(self, *args, **kwargs):
+        """Synchronous decode window (dispatch + fetch)."""
+        return self.decode_window_fetch(
+            self.decode_window_async(*args, **kwargs)
+        )
 
     # ---------------------------------------------------------------- lora
     lora_manager = None  # set by the engine when --enable-lora
@@ -694,3 +796,282 @@ class ModelRunner:
                     f"shape mismatch for {path}: {arr.shape} vs {old.shape}"
                 )
             _tree_set(params, path, arr)
+
+    # ------------------------------------------------------------- EAGLE
+    # Chain-draft speculative decoding with device rejection sampling
+    # (reference speculative/eagle_worker_v2.py:505 draft, :1538 verify,
+    # reject_sampling.py). See speculative/eagle.py for the design.
+    eagle = None  # EagleDraft after init_eagle()
+
+    def init_eagle(self, k: int, spec_slots: int):
+        from sglang_tpu.speculative.eagle import EagleDraft
+
+        self.eagle = EagleDraft(self.model_config)
+        self.eagle_k = k
+        dtype = self.model_config.dtype
+        self.eagle_params = self.eagle.load_params(
+            self.server_args.speculative_draft_model_path, dtype
+        )
+        g = self.kv_pool.geometry
+        # 1-layer paged KV over the SAME page table as the target pool.
+        self.eagle_kv = jnp.zeros(
+            (g.num_pages, g.page_size, 2, self.kv_cache.shape[-1]),
+            self.kv_cache.dtype,
+        )
+        H = self.model_config.hidden_size
+        self.eagle_feats = jnp.zeros((spec_slots, k + 1, H), dtype)
+        self._eagle_extend_fns: Dict[Tuple, Callable] = {}
+        self._eagle_draft_fns: Dict[Tuple, Callable] = {}
+        self._eagle_verify_fns: Dict[Tuple, Callable] = {}
+        logger.info("EAGLE enabled: k=%d, %d spec slots", k, spec_slots)
+
+    def _head_logits(self, params, features):
+        """lm_head(final_norm(features)) — draft/verify token dists."""
+        from sglang_tpu.layers.norm import rms_norm
+
+        normed = rms_norm(
+            features, params["final_ln"], self.model_config.rms_norm_eps
+        )
+        return self.model.compute_logits(
+            params, normed.reshape(-1, normed.shape[-1])
+        ).reshape(*features.shape[:-1], -1)
+
+    def _eagle_extend_impl(
+        self, params, kv_cache, dparams, draft_kv, feats_pool,
+        packed, st_packed, slot_idx, rng, step, *, B, L, P, all_greedy,
+    ):
+        """Prefill with feature capture + draft-KV prefill (the draft
+        layer runs over the same chunk with target features shifted by
+        one; reference eagle 'draft prefill')."""
+        batch = unpack_extend_batch(packed, B, L, P)
+        hidden, kv_cache, feats = self.model.forward(
+            params, kv_cache, batch,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
+            capture_features=True,
+        )
+        logits = self.model.compute_logits(params, hidden)
+        st = unpack_sampling_params(st_packed)
+        logits = suppress_eos(logits, st.min_new_remaining, self._eos_mask)
+        tokens, logprobs = sample(
+            logits, st, jax.random.fold_in(rng, step), all_greedy=all_greedy
+        )
+        out = jnp.stack([tokens.astype(jnp.float32), logprobs])
+
+        # draft prefill: feat_prev[i] = target feature at i-1; the first
+        # chunk token uses last chunk's stored feature (zeros at pos 0).
+        f_carry = feats_pool[slot_idx, 0]  # [B, H]
+        f_carry = jnp.where(
+            (batch.positions[:, :1] == 0), 0.0, f_carry
+        )
+        feat_prev = jnp.concatenate(
+            [f_carry[:, None], feats[:, :-1]], axis=1
+        )
+        _, draft_kv = self.eagle.forward(
+            dparams, params["embed"], draft_kv, batch, feat_prev,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
+        )
+        # store the feature at each req's last real position into row 0
+        lr = batch.logits_idx  # [B] flat index into [B*L]
+        f_last = feats.reshape(B * L, -1)[lr]
+        S = feats_pool.shape[0]
+        safe_slot = jnp.where(slot_idx >= 0, slot_idx, S)
+        feats_pool = feats_pool.at[safe_slot, 0].set(
+            f_last.astype(feats_pool.dtype), mode="drop"
+        )
+        return out, kv_cache, draft_kv, feats_pool
+
+    def eagle_extend_step(
+        self, packed, st_packed, slot_idx, B, L, P,
+    ):
+        key = (B, L, P, bool((st_packed[:, 0] <= 0).all()))
+        fn = self._eagle_extend_fns.get(key)
+        if fn is None:
+            logger.info("compiling eagle extend: B=%d L=%d P=%d", B, L, P)
+            fn = jax.jit(
+                functools.partial(
+                    self._eagle_extend_impl, B=B, L=L, P=P,
+                    all_greedy=key[3],
+                ),
+                donate_argnums=(1, 3, 4),
+            )
+            self._eagle_extend_fns[key] = fn
+        self._step_counter += 1
+        out, self.kv_cache, self.eagle_kv, self.eagle_feats = fn(
+            self.params, self.kv_cache, self.eagle_params, self.eagle_kv,
+            self.eagle_feats, packed, st_packed,
+            slot_idx.astype(np.int32), self._base_rng,
+            np.int32(self._step_counter),
+        )
+        out = np.asarray(out)
+        return out[0].astype(np.int64), out[1], None
+
+    # Draft-window packed layout (int32):
+    #   [B*A ext_tokens | B ext_lens | B base_pos | B slot_idx | B*P pages]
+    def _eagle_draft_impl(
+        self, params, dparams, draft_kv, feats_pool, dpacked, st_packed,
+        rng, step, *, B, A, P, K,
+    ):
+        from sglang_tpu.model_executor.forward_batch import DeviceBatch
+
+        ps = self.kv_pool.page_size
+        o = 0
+        ext_tokens = dpacked[o : o + B * A].reshape(B, A); o += B * A
+        ext_lens = dpacked[o : o + B]; o += B
+        base_pos = dpacked[o : o + B]; o += B
+        slot_idx = dpacked[o : o + B]; o += B
+        page_table = dpacked[o:].reshape(B, P)
+        st = unpack_sampling_params(st_packed)
+        rng = jax.random.fold_in(rng, step)
+
+        # ---- phase 1: draft-extend over last round's emitted tokens with
+        # TRUE target features (reference draft_extend :760) ----
+        ji = np.arange(A, dtype=np.int32)[None, :]
+        valid = ji < ext_lens[:, None]
+        pos = jnp.where(valid, base_pos[:, None] + ji, 0)
+        page = jnp.take_along_axis(page_table, pos // ps, axis=1)
+        out_slots = jnp.where(valid, page * ps + pos % ps, 0)
+        batch = DeviceBatch(
+            input_ids=jnp.where(valid, ext_tokens, 0),
+            positions=pos,
+            seq_lens=jnp.where(ext_lens > 0, base_pos + ext_lens, 0),
+            page_table=page_table,
+            out_slots=out_slots,
+            logits_idx=(
+                np.arange(B, dtype=np.int32) * A
+                + jnp.maximum(ext_lens - 1, 0)
+            ),
+        )
+        feat_prev = feats_pool[slot_idx][:, :A]  # [B, A, H] rows j=f_{base+j-1}
+        g, draft_kv = self.eagle.forward(
+            dparams, params["embed"], draft_kv, batch, feat_prev,
+            num_slots=self.kv_pool.num_slots, page_size=ps,
+            attn_backend=self.attn_backend,
+        )
+        g_last = g.reshape(B * A, -1)[batch.logits_idx]  # [B, H] f̂_m
+
+        # ---- phase 2: chain K draft steps ----
+        greedy = st.temperature <= 0.0
+        temp = jnp.where(greedy, 1.0, st.temperature)[:, None]
+
+        def chain(carry, j):
+            feat, dkv = carry
+            q_logits = self._head_logits(params, feat[:, None])[:, 0]
+            d = jnp.where(
+                greedy,
+                jnp.argmax(q_logits, axis=-1),
+                jax.random.categorical(
+                    jax.random.fold_in(rng, j),
+                    q_logits.astype(jnp.float32) / temp,
+                    axis=-1,
+                ),
+            ).astype(jnp.int32)
+            # run the draft layer on (d, feat) at position m+j+1
+            p1 = base_pos + ext_lens + j
+            pg = jnp.take_along_axis(page_table, (p1 // ps)[:, None], axis=1)[:, 0]
+            slot1 = jnp.where(ext_lens > 0, pg * ps + p1 % ps, 0)
+            b1 = DeviceBatch(
+                input_ids=d[:, None],
+                positions=jnp.where(ext_lens > 0, p1, 0)[:, None],
+                seq_lens=jnp.where(ext_lens > 0, p1 + 1, 0),
+                page_table=page_table,
+                out_slots=slot1[:, None],
+                logits_idx=np.arange(B, dtype=np.int32),
+            )
+            feat2, dkv = self.eagle.forward(
+                dparams, params["embed"], dkv, b1,
+                feat[:, None],
+                num_slots=self.kv_pool.num_slots, page_size=ps,
+                attn_backend=self.attn_backend,
+            )
+            return (feat2[:, 0], dkv), (d, q_logits)
+
+        (_, draft_kv), (drafts, q_logits) = jax.lax.scan(
+            chain, (g_last, draft_kv), np.arange(K, dtype=np.int32)
+        )
+        # [K, B] → [B, K];  q_logits [K, B, V] → [B, K, V] stays on device
+        return drafts.T, jnp.swapaxes(q_logits, 0, 1), draft_kv
+
+    def eagle_draft_window(self, dpacked, st_packed, B, A, P):
+        key = (B, A, P)
+        fn = self._eagle_draft_fns.get(key)
+        if fn is None:
+            logger.info("compiling eagle draft: B=%d A=%d P=%d", B, A, P)
+            fn = jax.jit(
+                functools.partial(
+                    self._eagle_draft_impl, B=B, A=A, P=P, K=self.eagle_k
+                ),
+                donate_argnums=(2,),
+            )
+            self._eagle_draft_fns[key] = fn
+        self._step_counter += 1
+        drafts, q_logits, self.eagle_kv = fn(
+            self.params, self.eagle_params, self.eagle_kv, self.eagle_feats,
+            dpacked, st_packed, self._base_rng, np.int32(self._step_counter),
+        )
+        return np.asarray(drafts).astype(np.int64), q_logits
+
+    def _eagle_verify_impl(
+        self, params, kv_cache, feats_pool, packed, st_packed, q_logits,
+        drafts, slot_idx, bootstrap, rng, step, *, B, L, P,
+    ):
+        """Target extend over [e, d_1..d_K] + device rejection sampling +
+        feature-pool refresh (reference verify :1538 + reject_sampling)."""
+        from sglang_tpu.speculative.eagle import chain_rejection_sample
+
+        batch = unpack_extend_batch(packed, B, L, P)
+        hidden, kv_cache, feats = self.model.forward(
+            params, kv_cache, batch,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
+            return_all_hidden=True,
+            capture_features=True,
+        )
+        p_logits = self.model.compute_logits(params, hidden).reshape(B, L, -1)
+        st = unpack_sampling_params(st_packed)
+        tokens, accept_len, lp = chain_rejection_sample(
+            p_logits, q_logits, drafts, st.temperature,
+            jax.random.fold_in(rng, step), bootstrap=bootstrap > 0,
+        )
+        S = feats_pool.shape[0]
+        safe_slot = jnp.where(slot_idx >= 0, slot_idx, S)
+        feats_pool = feats_pool.at[safe_slot].set(
+            feats.astype(feats_pool.dtype), mode="drop"
+        )
+        out = jnp.concatenate(
+            [
+                tokens.astype(jnp.float32),
+                accept_len[:, None].astype(jnp.float32),
+                lp,
+            ],
+            axis=1,
+        )  # [B, 2L+1]
+        return out, kv_cache, feats_pool
+
+    def eagle_verify_step(self, packed, st_packed, q_logits, drafts, slot_idx, bootstrap, B, L, P):
+        key = (B, L, P)
+        fn = self._eagle_verify_fns.get(key)
+        if fn is None:
+            logger.info("compiling eagle verify: B=%d L=%d P=%d", B, L, P)
+            fn = jax.jit(
+                functools.partial(self._eagle_verify_impl, B=B, L=L, P=P),
+                donate_argnums=(1, 2),
+            )
+            self._eagle_verify_fns[key] = fn
+        self._step_counter += 1
+        out, self.kv_cache, self.eagle_feats = fn(
+            self.params, self.kv_cache, self.eagle_feats, packed, st_packed,
+            q_logits, jnp.asarray(drafts.astype(np.int32)),
+            slot_idx.astype(np.int32), bootstrap.astype(np.int32),
+            self._base_rng, np.int32(self._step_counter),
+        )
+        out = np.asarray(out)
+        K = L - 1
+        tokens = out[:, : K + 1].astype(np.int64)
+        accept_len = out[:, K + 1].astype(np.int64)
+        lp = out[:, K + 2 :]
+        return tokens, accept_len, lp

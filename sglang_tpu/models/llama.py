@@ -38,7 +38,7 @@ from sglang_tpu.layers.quantization import (
 )
 from sglang_tpu.layers.rotary import compute_inv_freq
 from sglang_tpu.model_executor.forward_batch import DeviceBatch
-from sglang_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from sglang_tpu.parallel.mesh import AXIS_DP, AXIS_PP, AXIS_TP
 
 
 def _round_up(x: int, m: int) -> int:
@@ -170,14 +170,30 @@ class LlamaForCausalLM:
             shapes["lm_head"] = (V, H)
         return shapes
 
+    def _dp_attention(self) -> bool:
+        return (
+            self.mesh_ctx is not None
+            and getattr(self.mesh_ctx.parallel, "dp_attention", False)
+        )
+
+    def _mlp_tp_axes(self):
+        """MLP feature-sharding axes: plain TP, or the fused (dp, tp)
+        axis pair under DP-attention (reference dp_attention.py:103 —
+        attention data-parallel, MLP TP across ALL devices)."""
+        return (AXIS_DP, AXIS_TP) if self._dp_attention() else AXIS_TP
+
     def _proj_spec(self, name: str, col_sharded: bool) -> Any:
         """Spec for one projection: plain weight or quant dict. Quant
         leaves are [L, in(ish), out(ish)]; a row-sharded (in-dim) spec
         falls back to replicated for leaves whose in-ish dim is 1
         (per-channel fp8/int8 scales)."""
-        spec = (
-            P(None, None, AXIS_TP) if col_sharded else P(None, AXIS_TP, None)
-        )
+        attn_proj = name in ("q_proj", "k_proj", "v_proj", "o_proj")
+        if self._dp_attention() and attn_proj:
+            # attention weights replicate; batch shards over dp instead
+            spec = P(None, None, None)
+        else:
+            ax = self._mlp_tp_axes() if not attn_proj else AXIS_TP
+            spec = P(None, None, ax) if col_sharded else P(None, ax, None)
         if not self._is_quantized_proj(name):
             return spec
         qc = self.config.quant_config
@@ -217,6 +233,14 @@ class LlamaForCausalLM:
         if self.has_post_norms:
             layers["post_attn_ln"] = P(None, None)
             layers["post_ffw_ln"] = P(None, None)
+        if self.mesh_ctx is not None and self.mesh_ctx.parallel.pp_size > 1:
+            # layer stacks shard their leading [L] axis over pp stages
+            def _pp(spec):
+                if isinstance(spec, dict):
+                    return {k: _pp(v) for k, v in spec.items()}
+                return P(AXIS_PP, *tuple(spec)[1:])
+
+            layers = {k: _pp(v) for k, v in layers.items()}
         specs = {
             "embed": P(AXIS_TP, None),
             "layers": layers,
@@ -363,10 +387,14 @@ class LlamaForCausalLM:
         attn_backend: str = "xla",
         return_all_hidden: bool = False,
         lora=None,  # (LoRAManager.device_tree(), adapter_idx [B] i32)
+        capture_features: bool = False,
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
         ``return_all_hidden``, (hidden [B*Lq, H], kv_cache) for
-        speculative verify (logits needed at every position)."""
+        speculative verify (logits needed at every position).  With
+        ``capture_features`` a third value is returned: the PRE-final-norm
+        last-layer hidden [B, Lq, H] (EAGLE draft features, reference
+        speculative/eagle_worker_v2.py draft input)."""
         c = self.config
         B, Lq = batch.input_ids.shape
         hidden = params["embed"][batch.input_ids]  # [B, Lq, H]
@@ -445,9 +473,10 @@ class LlamaForCausalLM:
             if self.has_qk_norm:
                 q = self._norm(q, w["q_norm"])
                 k = self._norm(k, w["k_norm"])
-            q = self._shard(q, AXIS_DP, None, AXIS_TP, None)
-            k = self._shard(k, AXIS_DP, None, AXIS_TP, None)
-            v = self._shard(v, AXIS_DP, None, AXIS_TP, None)
+            head_ax = None if self._dp_attention() else AXIS_TP
+            q = self._shard(q, AXIS_DP, None, head_ax, None)
+            k = self._shard(k, AXIS_DP, None, head_ax, None)
+            v = self._shard(v, AXIS_DP, None, head_ax, None)
             q, k = rope(q, cos, sin), rope(k, cos, sin)
             attn_out, kv = paged_attention(
                 q,
@@ -478,30 +507,66 @@ class LlamaForCausalLM:
             h = self._shard(h, AXIS_DP, None, None)
             return (h, kv, li + 1), None
 
-        (hidden, kv_cache, _), _ = jax.lax.scan(
-            layer_fn,
-            (hidden, kv_cache, np.int32(0)),
-            (
-                params["layers"],
-                self.per_layer_inv_freq(),
-                self.per_layer_window(),
-                lora_a,
-                lora_b,
-            ),
+        pp = (
+            self.mesh_ctx.parallel.pp_size if self.mesh_ctx is not None else 1
         )
+        xs_all = (
+            params["layers"],
+            self.per_layer_inv_freq(),
+            self.per_layer_window(),
+            lora_a,
+            lora_b,
+        )
+        if pp <= 1:
+            (hidden, kv_cache, _), _ = jax.lax.scan(
+                layer_fn, (hidden, kv_cache, np.int32(0)), xs_all
+            )
+        else:
+            # Pipeline parallelism (reference scheduler_pp_mixin.py:68):
+            # layer stacks are sharded over the pp mesh axis; each stage's
+            # sub-scan computes on its own devices, and GSPMD moves only
+            # the hidden state between stages.  (Micro-batch wavefront
+            # overlap — stage s on micro-batch m while s+1 runs m-1 — is
+            # a scheduler concern XLA handles when batches split; the
+            # memory scaling of weight/KV sharding is what pp buys here.)
+            L = c.num_hidden_layers
+            assert L % pp == 0, (L, pp)
+            Lpp = L // pp
+            for s in range(pp):
+                xs_s = jax.tree_util.tree_map(
+                    lambda x: x[s * Lpp : (s + 1) * Lpp], xs_all
+                )
+                (hidden, kv_cache, _), _ = jax.lax.scan(
+                    layer_fn, (hidden, kv_cache, np.int32(s * Lpp)), xs_s
+                )
 
+        features = hidden  # pre-final-norm last-layer output
         hidden = self._norm(hidden, params["final_ln"])
         flat = hidden.reshape(B * Lq, -1)
         if return_all_hidden:
+            if capture_features:
+                return flat, kv_cache, features
             return flat, kv_cache
         # Gather the last real token of each request (logits positions).
         last_hidden = flat[batch.logits_idx]  # [B, H]
+        if capture_features:
+            return last_hidden, kv_cache, features
         return last_hidden, kv_cache
 
     def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
         c = self.config
         if proj is None:
             proj = lambda x, name: x @ w[name]  # noqa: E731
+        if self._dp_attention():
+            # gather tokens across dp for the (dp, tp)-wide MLP; GSPMD
+            # inserts the all-gather here and the reduce-scatter at the
+            # residual (reference communicator.py:192 ScatterMode FULL)
+            normed = self._shard(normed, None, None, None)
+            gate = proj(normed, "gate_proj")
+            up = proj(normed, "up_proj")
+            inter = act_and_mul(c.hidden_act, gate, up)
+            inter = self._shard(inter, None, None, (AXIS_DP, AXIS_TP))
+            return proj(inter, "down_proj")
         gate = proj(normed, "gate_proj")
         up = proj(normed, "up_proj")
         inter = act_and_mul(c.hidden_act, gate, up)

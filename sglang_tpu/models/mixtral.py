@@ -55,7 +55,22 @@ class MixtralForCausalLM(LlamaForCausalLM):
             "moe_w2": (L, E, MI, H),
         }
 
+    def _expert_parallel(self) -> bool:
+        return (
+            self.mesh_ctx is not None
+            and self.mesh_ctx.parallel.ep_size > 1
+            and self.num_experts % self.mesh_ctx.tp_size == 0
+        )
+
     def _mlp_specs(self) -> Dict[str, Any]:
+        if self._expert_parallel():
+            # experts sharded over the tp axis (reference ep_moe/layer.py)
+            return {
+                "moe_gate": P(None, None, None),
+                "moe_w1": P(None, AXIS_TP, None, None),
+                "moe_w3": P(None, AXIS_TP, None, None),
+                "moe_w2": P(None, AXIS_TP, None, None),
+            }
         return {
             "moe_gate": P(None, None, None),
             "moe_w1": P(None, None, None, AXIS_TP),
@@ -75,6 +90,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
             top_k=self.top_k,
             norm_topk_prob=self.config.norm_topk_prob,
             hidden_act=self.config.hidden_act,
+            mesh=self.mesh_ctx.mesh if self.mesh_ctx is not None else None,
+            expert_parallel=self._expert_parallel(),
         )
 
     # ------------------------------------------------------- weight loading

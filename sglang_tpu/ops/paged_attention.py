@@ -142,11 +142,13 @@ def _decode_kernel(
     def _():
         start_group(first_group, first_group % 2)
 
-    qb = qb_ref[...].reshape(RB * hq, HD).astype(jnp.float32)
+    # [RB, Hq, HD]; heads stay block-diagonal over lane segments, but rows
+    # are a BATCH dim of the dot — MXU FLOPs no longer scale with RB
+    # (the old combined [RB*Hq, RB*T] matmul wasted RB× on cross-row
+    # blocks, which dominated at large batch).
+    qb = qb_ref[...].astype(jnp.float32)
 
-    # Combined mask helpers: rows r*Hq..(r+1)*Hq attend only to column
-    # segment r*T..(r+1)*T (block diagonal), within seq_len / window.
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, RB * T), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
 
     def body(g, carry):
         m_prev, l_prev, acc = carry
@@ -158,33 +160,29 @@ def _decode_kernel(
 
         wait_group(g, slot_idx)
         kv = kv_buf[slot_idx]  # [RB, PB, ps, 2, HD]
-        k_flat = kv[:, :, :, 0].reshape(RB * T, HD)
-        v_flat = kv[:, :, :, 1].reshape(RB * T, HD)
+        k3 = kv[:, :, :, 0].reshape(RB, T, HD)
+        v3 = kv[:, :, :, 1].reshape(RB, T, HD)
 
-        # [RB*Hq, RB*T]; cross-row blocks are masked below.
+        # [RB, Hq, T] batched over rows
         scores = jax.lax.dot_general(
             qb,
-            k_flat.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            k3.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         if logit_cap is not None and logit_cap > 0:
             scores = logit_cap * jnp.tanh(scores / logit_cap)
 
-        # column validity per row segment
-        colmask = jnp.zeros((1, RB * T), jnp.bool_)
+        # per-row column validity [RB, 1, T]
+        rows_ok = []
         for r in range(RB):
-            pos = g * T + col - r * T  # position within row r's context
-            ok = jnp.logical_and(col >= r * T, col < (r + 1) * T)
-            ok = jnp.logical_and(ok, pos < seq_lens[r])
+            pos = g * T + col  # [1, T] absolute context position
+            ok = pos < seq_lens[r]
             in_win = jnp.logical_or(
                 window <= 0, pos > seq_lens[r] - 1 - window
             )
-            ok = jnp.logical_and(ok, in_win)
-            colmask = jnp.logical_or(colmask, ok)
-        rowblk = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, RB * T), 0) // hq
-        colblk = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, RB * T), 1) // T
-        mask = jnp.logical_and(rowblk == colblk, colmask)
+            rows_ok.append(jnp.logical_and(ok, in_win))
+        mask = jnp.stack(rows_ok, axis=0)  # [RB, 1, T]
         scores = jnp.where(mask, scores, NEG_INF)
 
         m_cur = jnp.max(scores, axis=-1, keepdims=True)
@@ -194,23 +192,23 @@ def _decode_kernel(
         p = jnp.where(mask, p, 0.0)  # fully-masked group → p 0, l 0
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        pv = jax.lax.dot_general(  # [RB*Hq, HD]
+        pv = jax.lax.dot_general(  # [RB, Hq, HD] batched over rows
             p,
-            v_flat.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            v3.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc * alpha + pv
 
     init = (
-        jnp.full((RB * hq, 1), NEG_INF, jnp.float32),
-        jnp.zeros((RB * hq, 1), jnp.float32),
-        jnp.zeros((RB * hq, HD), jnp.float32),
+        jnp.full((RB, hq, 1), NEG_INF, jnp.float32),
+        jnp.zeros((RB, hq, 1), jnp.float32),
+        jnp.zeros((RB, hq, HD), jnp.float32),
     )
     _, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
 
     l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows
-    out_all = acc / l  # [RB*Hq, HD]
+    out_all = (acc / l).reshape(RB * hq, HD)
     # Select each query head's own kv segment: roll segment (h//G)*D down
     # to lane 0, pick rows belonging to that kv head.
     row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)

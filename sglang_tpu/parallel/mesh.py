@@ -35,6 +35,12 @@ class ParallelConfig:
     dp_size: int = 1
     pp_size: int = 1
     ep_size: int = 1  # experts sharded over the tp axis (ep_size must divide tp*dp)
+    # DP-attention (reference layers/dp_attention.py:103): attention runs
+    # data-parallel (weights replicated over tp, batch sharded over dp)
+    # while the MLP is tensor-parallel over the FUSED (dp, tp) axes; GSPMD
+    # inserts the gather/reduce-scatter at the layer boundary
+    # (reference layers/communicator.py:192 ScatterMode transitions).
+    dp_attention: bool = False
 
     @property
     def world_size(self) -> int:
@@ -99,7 +105,10 @@ class MeshContext:
     # lane axis shards into contiguous per-head blocks across tp.
     @cached_property
     def kv_cache_sharding(self) -> NamedSharding:
-        return self.sharding(None, None, None, AXIS_TP)
+        # Under pp, the [L*NP, ...] row axis shards by stage (layer rows
+        # are contiguous per layer, so stage boundaries are page-aligned).
+        row_ax = AXIS_PP if self.parallel.pp_size > 1 else None
+        return self.sharding(row_ax, None, None, AXIS_TP)
 
     # Activations: tokens replicated across tp, hidden replicated (GSPMD
     # decides intermediates); batch sharded over dp when dp>1.

@@ -17,6 +17,13 @@ SAME jitted computation each step, so:
   broadcast and invoking the same jit — the collective inserted by GSPMD
   pairs up across hosts.
 
+Protocol v2 broadcasts the FULL step argument set: penalty state,
+grammar vocab bitmasks, LoRA adapter indices (+ adapter load/unload
+control messages), and the chained-decode flag — every single-host
+feature works identically across hosts.  Chained decode windows work
+per-host: sampling is deterministic given the shared seed, so each
+host's device-resident chain tokens are identical by construction.
+
 ``jax.experimental.multihost_utils.broadcast_one_to_all`` carries the
 metadata (it requires identical pytree shapes on all hosts — descriptor
 fields are fixed-size, buffer shapes derive from the descriptor).
@@ -33,8 +40,12 @@ from sglang_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 # step kinds
-K_EXTEND, K_DECODE, K_VERIFY, K_SCORE, K_EMBED, K_STOP = range(6)
-DESC_LEN = 12  # kind, B, L_or_K, P, all_greedy, use_pen, use_mask, tl_k, penW, spare…
+(
+    K_EXTEND, K_DECODE, K_VERIFY, K_SCORE, K_EMBED, K_STOP,
+    K_LORA_LOAD, K_LORA_UNLOAD, K_DECODE_ASYNC,
+) = range(9)
+DESC_LEN = 12  # kind, B, L_or_K, P, use_pen+penW, use_mask, use_lora, tl_k, use_chain, …
+NAME_LEN = 256  # fixed-size utf-8 buffer for lora name/path broadcasts
 
 
 def maybe_init_distributed(server_args) -> bool:
@@ -64,8 +75,26 @@ def _bcast(value, is_source: bool):
     return multihost_utils.broadcast_one_to_all(value, is_source=is_source)
 
 
+def _encode_str(s: str) -> np.ndarray:
+    b = s.encode()[: NAME_LEN - 1]
+    arr = np.zeros(NAME_LEN, np.uint8)
+    arr[: len(b)] = np.frombuffer(b, np.uint8)
+    return arr
+
+
+def _decode_str(arr: np.ndarray) -> str:
+    b = bytes(arr.astype(np.uint8))
+    return b.split(b"\x00", 1)[0].decode()
+
+
+def _mask_width(runner) -> int:
+    return (runner.model_config.vocab_size + 31) // 32
+
+
 class LeaderRunner:
     """ModelRunner proxy for node 0: broadcast, then execute."""
+
+    is_multihost_leader = True
 
     def __init__(self, runner):
         self.runner = runner
@@ -78,24 +107,72 @@ class LeaderRunner:
         for b in bufs:
             _bcast(b, True)
 
+    def _opt_bufs(self, B, pen, vmask, adapter_idx):
+        """Optional v2 buffers in a fixed order (desc flags tell the
+        follower which to expect; pen width rides the descriptor)."""
+        bufs = []
+        if pen is not None:
+            bufs.append(pen.astype(np.int32))
+        if vmask is not None:
+            bufs.append(vmask.astype(np.uint32))
+        if adapter_idx is not None:
+            bufs.append(adapter_idx.astype(np.int32))
+        return bufs
+
+    @staticmethod
+    def _flags(pen, vmask, adapter_idx, tl_k, use_chain=0):
+        pen_w = 0 if pen is None else pen.shape[1]
+        return (
+            (1 if pen is not None else 0) + (pen_w << 1),
+            1 if vmask is not None else 0,
+            1 if adapter_idx is not None else 0,
+            tl_k,
+            use_chain,
+        )
+
     def extend_step(self, packed, st_packed, B, L, P, pen=None, vmask=None,
                     adapter_idx=None, tl_k=0):
-        assert pen is None and vmask is None and adapter_idx is None, (
-            "multi-host v1 broadcasts the base step set; penalties/grammar/"
-            "LoRA buffers land with the follower protocol v2"
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[:9] = (K_EXTEND, B, L, P,
+                    *self._flags(pen, vmask, adapter_idx, tl_k))
+        self._send(
+            desc,
+            [packed.astype(np.int32), st_packed]
+            + self._opt_bufs(B, pen, vmask, adapter_idx),
+        )
+        return self.runner.extend_step(
+            packed, st_packed, B, L, P, pen=pen, vmask=vmask,
+            adapter_idx=adapter_idx, tl_k=tl_k,
+        )
+
+    def decode_window_async(self, packed, st_packed, B, P, K, pen=None,
+                            vmask=None, adapter_idx=None, tl_k=0,
+                            chain_tokens=None, fsm=None):
+        assert fsm is None, (
+            "device-FSM grammar is single-host; the scheduler falls back "
+            "to CPU mask fill under a multi-host leader"
         )
         desc = np.zeros(DESC_LEN, np.int32)
-        desc[:8] = (K_EXTEND, B, L, P, 0, 0, 0, tl_k)
-        self._send(desc, [packed.astype(np.int32), st_packed])
-        return self.runner.extend_step(packed, st_packed, B, L, P, tl_k=tl_k)
+        desc[:9] = (K_DECODE_ASYNC, B, K, P,
+                    *self._flags(pen, vmask, adapter_idx, tl_k,
+                                 use_chain=1 if chain_tokens is not None else 0))
+        self._send(
+            desc,
+            [packed.astype(np.int32), st_packed]
+            + self._opt_bufs(B, pen, vmask, adapter_idx),
+        )
+        return self.runner.decode_window_async(
+            packed, st_packed, B, P, K, pen=pen, vmask=vmask,
+            adapter_idx=adapter_idx, tl_k=tl_k, chain_tokens=chain_tokens,
+        )
 
-    def decode_window(self, packed, st_packed, B, P, K, pen=None, vmask=None,
-                      adapter_idx=None, tl_k=0):
-        assert pen is None and vmask is None and adapter_idx is None
-        desc = np.zeros(DESC_LEN, np.int32)
-        desc[:8] = (K_DECODE, B, K, P, 0, 0, 0, tl_k)
-        self._send(desc, [packed.astype(np.int32), st_packed])
-        return self.runner.decode_window(packed, st_packed, B, P, K, tl_k=tl_k)
+    def decode_window_fetch(self, handle):
+        return self.runner.decode_window_fetch(handle)
+
+    def decode_window(self, *args, **kwargs):
+        return self.decode_window_fetch(
+            self.decode_window_async(*args, **kwargs)
+        )
 
     def verify_step(self, packed, B, L, P):
         desc = np.zeros(DESC_LEN, np.int32)
@@ -115,6 +192,19 @@ class LeaderRunner:
         self._send(desc, [packed.astype(np.int32)])
         return self.runner.embed_step(packed, B, L, P)
 
+    # ---- LoRA control plane (adapters must load on every host; the
+    # checkpoint path must exist on all nodes — shared FS, as in the
+    # reference's multi-node LoRA) ----
+    def broadcast_lora_load(self, name: str, path: str):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[0] = K_LORA_LOAD
+        self._send(desc, [_encode_str(name), _encode_str(path)])
+
+    def broadcast_lora_unload(self, name: str):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[0] = K_LORA_UNLOAD
+        self._send(desc, [_encode_str(name)])
+
     def stop_followers(self):
         _bcast(np.full(DESC_LEN, K_STOP, np.int32), True)
 
@@ -127,23 +217,47 @@ def follower_loop(runner):
         extend_packed_size,
     )
 
-    logger.info("follower loop started")
+    logger.info("follower loop started (protocol v2)")
+    mask_w = _mask_width(runner)
+    last_handle = None
     while True:
         desc = np.asarray(_bcast(np.zeros(DESC_LEN, np.int32), False))
-        kind, B, LK, P, _ag, _up, _um, tl_k = (int(x) for x in desc[:8])
+        kind, B, LK, P, penf, um, ul, tl_k, uc = (int(x) for x in desc[:9])
+        use_pen, pen_w = penf & 1, penf >> 1
         if kind == K_STOP:
             logger.info("follower loop stopping")
             return
-        if kind == K_EXTEND:
-            packed = np.asarray(_bcast(
-                np.zeros(extend_packed_size(B, LK, P), np.int32), False))
+
+        if kind in (K_EXTEND, K_DECODE, K_DECODE_ASYNC):
+            size = (
+                extend_packed_size(B, LK, P)
+                if kind == K_EXTEND
+                else decode_packed_size(B, P)
+            )
+            packed = np.asarray(_bcast(np.zeros(size, np.int32), False))
             st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
-            runner.extend_step(packed, st, B, LK, P, tl_k=tl_k)
-        elif kind == K_DECODE:
-            packed = np.asarray(_bcast(
-                np.zeros(decode_packed_size(B, P), np.int32), False))
-            st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
-            runner.decode_window(packed, st, B, P, LK, tl_k=tl_k)
+            pen = vmask = adapter_idx = None
+            if use_pen:
+                pen = np.asarray(_bcast(
+                    np.zeros((B, pen_w, 2), np.int32), False))
+            if um:
+                vmask = np.asarray(_bcast(
+                    np.zeros((B, mask_w), np.uint32), False))
+            if ul:
+                adapter_idx = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            if kind == K_EXTEND:
+                runner.extend_step(
+                    packed, st, B, LK, P, pen=pen, vmask=vmask,
+                    adapter_idx=adapter_idx, tl_k=tl_k,
+                )
+            else:
+                chain = (
+                    last_handle[2] if (uc and last_handle is not None) else None
+                )
+                last_handle = runner.decode_window_async(
+                    packed, st, B, P, LK, pen=pen, vmask=vmask,
+                    adapter_idx=adapter_idx, tl_k=tl_k, chain_tokens=chain,
+                )
         elif kind == K_VERIFY:
             packed = np.asarray(_bcast(
                 np.zeros(extend_packed_size(B, LK, P), np.int32), False))
@@ -157,6 +271,13 @@ def follower_loop(runner):
             packed = np.asarray(_bcast(
                 np.zeros(extend_packed_size(B, LK, P), np.int32), False))
             runner.embed_step(packed, B, LK, P)
+        elif kind == K_LORA_LOAD:
+            name = _decode_str(np.asarray(_bcast(np.zeros(NAME_LEN, np.uint8), False)))
+            path = _decode_str(np.asarray(_bcast(np.zeros(NAME_LEN, np.uint8), False)))
+            runner.lora_manager.load_adapter(name, path)
+        elif kind == K_LORA_UNLOAD:
+            name = _decode_str(np.asarray(_bcast(np.zeros(NAME_LEN, np.uint8), False)))
+            runner.lora_manager.unload_adapter(name)
         else:
             raise RuntimeError(f"unknown step kind {kind}")
 
@@ -168,6 +289,10 @@ def run_node(server_args, model_config=None):
     import jax
 
     maybe_init_distributed(server_args)
+    if server_args.nnodes > 1 and (
+        server_args.speculative_algorithm or ""
+    ).lower() == "eagle":
+        raise NotImplementedError("EAGLE is single-host for now")
     from sglang_tpu.entrypoints.engine import Engine
     from sglang_tpu.model_executor.model_runner import ModelRunner
 

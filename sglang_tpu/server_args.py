@@ -84,9 +84,13 @@ class ServerArgs:
     max_new_tokens_default: int = 128
 
     # ---- speculative decoding ----
-    speculative_algorithm: Optional[str] = None  # NGRAM
+    speculative_algorithm: Optional[str] = None  # NGRAM | EAGLE
     speculative_num_draft_tokens: int = 4
     speculative_ngram_n: int = 3
+    speculative_draft_model_path: Optional[str] = None  # EAGLE draft ckpt
+
+    # ---- dp attention ----
+    enable_dp_attention: bool = False
 
     # ---- lora ----
     enable_lora: bool = False
@@ -117,7 +121,7 @@ class ServerArgs:
         assert self.tp_size >= 1 and self.dp_size >= 1 and self.pp_size >= 1
         if self.schedule_policy not in ("fcfs", "lpm", "lof", "random", "dfs-weight"):
             raise ValueError(f"Unknown schedule policy {self.schedule_policy!r}")
-        if self.speculative_algorithm not in (None, "NGRAM", "ngram"):
+        if self.speculative_algorithm not in (None, "NGRAM", "ngram", "EAGLE", "eagle"):
             raise ValueError(
                 f"Unknown speculative algorithm {self.speculative_algorithm!r}"
             )

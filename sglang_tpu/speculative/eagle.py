@@ -1,0 +1,319 @@
+"""EAGLE speculative decoding (chain drafts, device rejection sampling).
+
+Equivalent role to the reference's EAGLE stack
+(``speculative/eagle_worker_v2.py`` — draft :505, verify :1538;
+``reject_sampling.py``; draft models ``models/llama_eagle.py``) —
+TPU-native design:
+
+* The draft model is ONE llama-style decoder layer plus an ``fc`` that
+  fuses [token embedding, target feature] → hidden (EAGLE-1 topology).
+  Embedding / final norm / lm_head are shared with the target.
+* "Features" are the target's PRE-final-norm last-layer hiddens.  A
+  device-resident **feature pool** [S, K+1, H] (S = spec slots, one per
+  running request) carries them between rounds — they never cross the
+  host link.
+* The draft keeps its OWN 1-layer paged KV cache over the SAME page
+  table as the target (same page geometry, so no extra allocator).
+* Per round, two fused device programs run:
+    1. ``draft window``: draft-extend over last round's accepted tokens
+       with TRUE target features (the reference's draft_extend, :760),
+       then chain k draft steps sampling with the request temperature.
+       Draft q-logits stay on device for the verifier.
+    2. ``verify``: one target extend over [last_token, drafts] +
+       **device rejection sampling** (accept d_i w.p. min(1, p_i/q_i),
+       residual-sample on first reject, bonus-sample if all accepted —
+       reference speculative_sampling.cu semantics), and feature-pool
+       refresh.  Greedy rows use exact argmax-prefix acceptance.
+
+Checkpoint mapping follows HF EAGLE draft releases: ``fc.weight``
+(+optional bias), ``layers.0.*`` decoder tensors, optional
+``embed_tokens.weight`` (else the target's embedding is shared), and an
+optional ``layers.0.input_layernorm`` (EAGLE-1 omits it — identity).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.layers.activation import act_and_mul
+from sglang_tpu.layers.attention import paged_attention
+from sglang_tpu.layers.norm import rms_norm
+from sglang_tpu.layers.rotary import compute_inv_freq
+from sglang_tpu.model_executor.forward_batch import DeviceBatch
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+NEG_INF = -1e30
+
+
+class EagleDraft:
+    """Draft-model definition: params schema + one-layer forward."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        c = config
+        self.hq = c.num_attention_heads
+        self.hkv = c.num_key_value_heads
+        self.hd = c.head_dim
+        self.sm_scale = 1.0 / float(np.sqrt(c.head_dim))
+        self.inv_freq = compute_inv_freq(
+            c.head_dim, c.rope_theta, c.rope_scaling, c.partial_rotary_factor
+        )
+        self.rot_half = int(self.inv_freq.shape[0])
+
+    # ------------------------------------------------------------- params
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H, I = c.hidden_size, c.intermediate_size
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        return {
+            "fc": (2 * H, H),
+            "fc_bias": (H,),
+            "input_ln": (H,),  # identity (ones) when absent from ckpt
+            "q_proj": (H, hq * d),
+            "k_proj": (H, hkv * d),
+            "v_proj": (H, hkv * d),
+            "o_proj": (hq * d, H),
+            "post_ln": (H,),
+            "gate_proj": (H, I),
+            "up_proj": (H, I),
+            "down_proj": (I, H),
+        }
+
+    def param_specs(self) -> Dict[str, Any]:
+        from jax.sharding import PartitionSpec as P
+
+        from sglang_tpu.parallel.mesh import AXIS_TP
+
+        col, row = P(None, AXIS_TP), P(AXIS_TP, None)
+        return {
+            "fc": P(None, None),
+            "fc_bias": P(None),
+            "input_ln": P(None),
+            "q_proj": col,
+            "k_proj": col,
+            "v_proj": col,
+            "o_proj": row,
+            "post_ln": P(None),
+            "gate_proj": col,
+            "up_proj": col,
+            "down_proj": row,
+        }
+
+    def hf_weight_mapping(self):
+        """EAGLE draft checkpoint names → our paths (input_ln/fc_bias are
+        optional in released checkpoints; absent → identity/zero)."""
+
+        def mapping(name: str):
+            name = name.removeprefix("model.")
+            table = {
+                "fc.weight": ("fc", "t"),
+                "fc.bias": ("fc_bias", None),
+                "layers.0.input_layernorm.weight": ("input_ln", None),
+                "layers.0.self_attn.q_proj.weight": ("q_proj", "t"),
+                "layers.0.self_attn.k_proj.weight": ("k_proj", "t"),
+                "layers.0.self_attn.v_proj.weight": ("v_proj", "t"),
+                "layers.0.self_attn.o_proj.weight": ("o_proj", "t"),
+                "layers.0.post_attention_layernorm.weight": ("post_ln", None),
+                "layers.0.mlp.gate_proj.weight": ("gate_proj", "t"),
+                "layers.0.mlp.up_proj.weight": ("up_proj", "t"),
+                "layers.0.mlp.down_proj.weight": ("down_proj", "t"),
+            }
+            if name in table:
+                path, tf = table[name]
+                return (path, None, tf)
+            return None
+
+        return mapping
+
+    def load_params(self, draft_path: Optional[str], dtype) -> Dict[str, Any]:
+        """Load from a draft checkpoint dir; dummy random when absent."""
+        shapes = self.param_shapes()
+        if draft_path:
+            import glob
+            import os
+
+            from sglang_tpu.model_loader.loader import SafetensorsFile
+
+            host = {
+                k: np.zeros(v, np.float32) for k, v in shapes.items()
+            }
+            host["input_ln"][:] = 1.0  # identity default
+            mapping = self.hf_weight_mapping()
+            n = 0
+            for f in sorted(
+                glob.glob(os.path.join(draft_path, "*.safetensors"))
+            ):
+                st = SafetensorsFile(f)
+                for name in st.keys():
+                    m = mapping(name)
+                    if m is None:
+                        continue
+                    path, _, tf = m
+                    t = st.get_tensor(name)
+                    if tf == "t":
+                        t = t.T
+                    np.copyto(host[path], t.astype(np.float32))
+                    n += 1
+            if n == 0:
+                raise ValueError(f"no EAGLE draft tensors in {draft_path}")
+            logger.info("EAGLE draft: loaded %d tensors", n)
+            return {k: jnp.asarray(v, dtype) for k, v in host.items()}
+        # dummy: random per-leaf (norms = 1)
+        rng = np.random.RandomState(1234)
+        out = {}
+        for k, shape in shapes.items():
+            if k.endswith("_ln"):
+                out[k] = jnp.ones(shape, dtype)
+            elif k == "fc_bias":
+                out[k] = jnp.zeros(shape, dtype)
+            else:
+                out[k] = jnp.asarray(
+                    rng.randn(*shape) / np.sqrt(shape[0]), dtype
+                )
+        return out
+
+    # ------------------------------------------------------------ forward
+    def _rope(self, x, positions):
+        half = self.rot_half
+        angles = (
+            positions[..., None].astype(jnp.float32) * self.inv_freq
+        )  # [B, L, rot/2]
+        cos = jnp.cos(angles)[..., None, :]
+        sin = jnp.sin(angles)[..., None, :]
+        xf = x.astype(jnp.float32)
+        x1, x2 = xf[..., :half], xf[..., half:]
+        return jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).astype(x.dtype)
+
+    def forward(
+        self,
+        dp: Dict[str, Any],  # draft params
+        embed: jnp.ndarray,  # target embedding [V, H]
+        draft_kv: jnp.ndarray,  # [NP, ps, 2, Hkv*D] (1-layer pool)
+        batch: DeviceBatch,
+        feat_prev: jnp.ndarray,  # [B, L, H] feature of the PREVIOUS position
+        *,
+        num_slots: int,
+        page_size: int,
+        attn_backend: str = "xla",
+    ):
+        """One draft-layer forward; returns (features [B, L, H], draft_kv)."""
+        c = self.config
+        B, L = batch.input_ids.shape
+        hq, hkv, d = self.hq, self.hkv, self.hd
+
+        x_emb = embed[batch.input_ids]  # [B, L, H]
+        h = jnp.concatenate(
+            [x_emb, feat_prev.astype(x_emb.dtype)], axis=-1
+        ) @ dp["fc"] + dp["fc_bias"]
+        residual = h
+        normed = rms_norm(h, dp["input_ln"], c.rms_norm_eps)
+        q = (normed @ dp["q_proj"]).reshape(B, L, hq, d)
+        k = (normed @ dp["k_proj"]).reshape(B, L, hkv, d)
+        v = (normed @ dp["v_proj"]).reshape(B, L, hkv, d)
+        q = self._rope(q, batch.positions)
+        k = self._rope(k, batch.positions)
+        attn_out, draft_kv = paged_attention(
+            q, k, v, draft_kv, batch, jnp.int32(0),
+            num_slots=num_slots, page_size=page_size,
+            sm_scale=self.sm_scale, backend=attn_backend,
+        )
+        h = residual + (attn_out.reshape(B, L, hq * d) @ dp["o_proj"])
+        normed2 = rms_norm(h, dp["post_ln"], c.rms_norm_eps)
+        inter = act_and_mul(
+            c.hidden_act, normed2 @ dp["gate_proj"], normed2 @ dp["up_proj"]
+        )
+        h = h + inter @ dp["down_proj"]
+        return h, draft_kv
+
+
+def chain_rejection_sample(
+    p_logits: jnp.ndarray,  # [B, K+1, V] target logits (pos m..m+K)
+    q_logits: jnp.ndarray,  # [B, K, V] draft logits for d_1..d_K
+    drafts: jnp.ndarray,  # [B, K] int32 draft tokens
+    temperature: jnp.ndarray,  # [B] f32 (0 = greedy)
+    rng: jax.Array,
+    bootstrap: Optional[jnp.ndarray] = None,  # [B] bool: ignore drafts
+):
+    """Vectorized chain speculative sampling (speculative_sampling.cu).
+
+    Returns (tokens [B, K+1], accept_len [B], logprobs [B, K+1]):
+    accept_len a = number of accepted drafts; emitted tokens are
+    tokens[:, :a+1] (accepted drafts + residual/bonus sample).
+    Greedy rows (temperature 0) take exact argmax-prefix acceptance.
+    ``bootstrap`` rows reject everything and sample straight from p_0
+    (exact plain decode — used when the draft state is stale).
+    """
+    B, K1, V = p_logits.shape
+    K = K1 - 1
+    greedy = temperature <= 0.0
+    temp = jnp.where(greedy, 1.0, temperature)[:, None, None]
+    p = jax.nn.softmax(p_logits.astype(jnp.float32) / temp, axis=-1)
+    q = jax.nn.softmax(q_logits.astype(jnp.float32) / temp, axis=-1)
+
+    p_d = jnp.take_along_axis(
+        p[:, :K], drafts[..., None], axis=-1
+    ).squeeze(-1)  # [B, K] p_i(d_i)
+    q_d = jnp.take_along_axis(q, drafts[..., None], axis=-1).squeeze(-1)
+
+    r_accept, r_resid, r_bonus = jax.random.split(rng, 3)
+    u = jax.random.uniform(r_accept, (B, K))
+    ok_sample = u * q_d < p_d  # accept w.p. min(1, p/q)
+    argmax_p = jnp.argmax(p_logits, axis=-1).astype(jnp.int32)  # [B, K+1]
+    ok_greedy = argmax_p[:, :K] == drafts
+    ok = jnp.where(greedy[:, None], ok_greedy, ok_sample)
+    if bootstrap is not None:
+        ok = jnp.logical_and(ok, jnp.logical_not(bootstrap)[:, None])
+
+    # accept_len = index of first False (K if none)
+    not_ok = jnp.logical_not(ok)
+    any_rej = jnp.any(not_ok, axis=-1)
+    first_rej = jnp.argmax(not_ok, axis=-1)  # 0 if none rejected
+    a = jnp.where(any_rej, first_rej, K)  # [B]
+
+    # Correction token: residual max(p - q, 0) at the reject position, or
+    # bonus from p_K when everything was accepted.
+    pos = jnp.minimum(a, K - 1) if K > 0 else jnp.zeros_like(a)
+    p_at = jnp.take_along_axis(p, pos[:, None, None], axis=1)[:, 0]  # [B, V]
+    q_at = jnp.take_along_axis(q, pos[:, None, None], axis=1)[:, 0] if K > 0 else jnp.zeros_like(p_at)
+    resid = jnp.maximum(p_at - q_at, 0.0)
+    resid_sum = jnp.sum(resid, axis=-1, keepdims=True)
+    # degenerate (p==q): fall back to p
+    resid = jnp.where(resid_sum > 1e-9, resid, p_at)
+    if bootstrap is not None:
+        resid = jnp.where(bootstrap[:, None], p_at, resid)
+    resid_tok = jax.random.categorical(
+        r_resid, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
+    ).astype(jnp.int32)
+    bonus_tok = jax.random.categorical(
+        r_bonus, jnp.log(jnp.maximum(p[:, K], 1e-30)), axis=-1
+    ).astype(jnp.int32)
+    correction = jnp.where(any_rej, resid_tok, bonus_tok)
+    correction = jnp.where(
+        greedy,
+        jnp.take_along_axis(argmax_p, a[:, None], axis=1)[:, 0],
+        correction,
+    )
+
+    # tokens[:, j] = draft j for j < a, correction at j == a
+    tokens = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (B, K1), 1) < a[:, None],
+        jnp.pad(drafts, ((0, 0), (0, 1))),
+        correction[:, None],
+    )
+    # logprob of each emitted token under (temperature-scaled) p
+    lp_all = jnp.log(
+        jnp.maximum(
+            jnp.take_along_axis(p, tokens[..., None], axis=-1).squeeze(-1),
+            1e-30,
+        )
+    )
+    return tokens, a.astype(jnp.int32), lp_all

@@ -215,3 +215,20 @@ def test_engine_mixed_grammar_batch(tiny_engine):
         t.join(timeout=180)
     assert results["re"]["text"].isdigit() and len(results["re"]["text"]) == 4
     assert len(results["free"]["output_ids"]) == 8
+
+
+def test_grammar_decodes_with_fused_windows(tiny_engine):
+    """Small-FSM grammars must keep K>1 fused decode windows (device-side
+    FSM advance) instead of one dispatch per token."""
+    out = tiny_engine.generate(
+        prompt="q",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 24,
+                         "regex": "(ab|cd){8}"},
+    )
+    import re
+    assert re.fullmatch("(ab|cd){8}", out["text"]) is not None
+    sched = tiny_engine.scheduler
+    # far fewer steps than generated tokens → fused windows were used
+    n_tok = out["meta_info"]["completion_tokens"]
+    assert n_tok >= 16
+    assert sched.num_steps < n_tok, (sched.num_steps, n_tok)

@@ -1,0 +1,205 @@
+"""EAGLE speculative decoding: exactness + rejection-sampling parity.
+
+The self-consistency harness builds a 1-layer target and a draft whose
+fc picks the token embedding and whose layer weights ARE the target's
+layer — the draft then reproduces the target's computation exactly, so
+greedy chain acceptance must be k/k every round and outputs must match
+the non-speculative engine token-for-token.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+ONE_LAYER_HF = dict(TINY_HF_CONFIG, num_hidden_layers=1)
+
+
+def _make_engine(spec=None, seed_cfg=ONE_LAYER_HF, **extra):
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    args = make_server_args(
+        speculative_algorithm=spec,
+        speculative_num_draft_tokens=4,
+        **extra,
+    )
+    cfg = ModelConfig.from_hf_dict(
+        seed_cfg, model_path="test://tiny", dtype="float32"
+    )
+    runner = ModelRunner(args, model_config=cfg)
+    return Engine(server_args=args, model_runner=runner)
+
+
+def _self_consistent_draft(runner):
+    """Draft params replicating the 1-layer target exactly."""
+    import jax.numpy as jnp
+
+    p = runner.params
+    H = runner.model_config.hidden_size
+    lay = p["layers"]
+    fc = np.zeros((2 * H, H), np.float32)
+    fc[:H] = np.eye(H)  # pick the embedding half; ignore the feature half
+    d = {
+        "fc": jnp.asarray(fc),
+        "fc_bias": jnp.zeros((H,), jnp.float32),
+        "input_ln": lay["input_ln"][0],
+        "q_proj": lay["q_proj"][0],
+        "k_proj": lay["k_proj"][0],
+        "v_proj": lay["v_proj"][0],
+        "o_proj": lay["o_proj"][0],
+        "post_ln": lay["post_ln"][0],
+        "gate_proj": lay["gate_proj"][0],
+        "up_proj": lay["up_proj"][0],
+        "down_proj": lay["down_proj"][0],
+    }
+    return d
+
+
+def test_eagle_self_consistent_draft_accepts_everything():
+    eagle = _make_engine("EAGLE")
+    plain = _make_engine(None)
+    try:
+        runner = eagle.scheduler.runner
+        runner.eagle_params = _self_consistent_draft(runner)
+        prompt = [5, 99, 203, 17, 42, 7, 310, 8]
+        sp = {"max_new_tokens": 24, "temperature": 0.0, "ignore_eos": True}
+        oe = eagle.generate(input_ids=prompt, sampling_params=sp)
+        op = plain.generate(input_ids=prompt, sampling_params=sp)
+        assert oe["output_ids"] == op["output_ids"], (
+            oe["output_ids"], op["output_ids"])
+        sched = eagle.scheduler
+        assert sched.num_spec_drafted > 0
+        # perfect draft → every draft accepted
+        assert sched.num_spec_accepted == sched.num_spec_drafted, (
+            sched.num_spec_accepted, sched.num_spec_drafted)
+    finally:
+        eagle.shutdown()
+        plain.shutdown()
+
+
+def test_eagle_random_draft_still_exact_greedy():
+    """A garbage draft must not change greedy outputs (rejection keeps
+    target distribution; greedy = argmax-prefix acceptance)."""
+    eagle = _make_engine("EAGLE")
+    plain = _make_engine(None)
+    try:
+        prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+        sp = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+        oe = eagle.generate(input_ids=prompt, sampling_params=sp)
+        op = plain.generate(input_ids=prompt, sampling_params=sp)
+        assert oe["output_ids"] == op["output_ids"]
+    finally:
+        eagle.shutdown()
+        plain.shutdown()
+
+
+def test_eagle_batch_mixed_lengths():
+    eagle = _make_engine("EAGLE")
+    try:
+        runner = eagle.scheduler.runner
+        runner.eagle_params = _self_consistent_draft(runner)
+        prompts = [[5, 9, 9], [1, 2, 3, 4, 5, 6], [7] * 10]
+        outs = eagle.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 12, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        assert all(len(o["output_ids"]) == 12 for o in outs)
+    finally:
+        eagle.shutdown()
+
+
+def test_chain_rejection_sample_distribution():
+    """Spec sampling must preserve the target distribution p exactly
+    regardless of the draft q (reference reject_sampling.py contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.speculative.eagle import chain_rejection_sample
+
+    rng = np.random.RandomState(0)
+    V, K, N = 8, 3, 30000
+    p_logits = jnp.asarray(rng.randn(1, K + 1, V).astype(np.float32) * 1.5)
+    q_logits = jnp.asarray(rng.randn(1, K, V).astype(np.float32) * 1.5)
+    q0 = np.asarray(jax.nn.softmax(q_logits[0, 0]))
+    p0 = np.asarray(jax.nn.softmax(p_logits[0, 0]))
+    temp = jnp.ones((1,), jnp.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(key):
+        d = jax.random.categorical(key, q_logits[:, 0], axis=-1)
+        drafts = jnp.stack(
+            [d, jnp.zeros_like(d), jnp.zeros_like(d)], axis=1
+        ).astype(jnp.int32)
+        toks, a, _ = chain_rejection_sample(
+            p_logits, q_logits, drafts, temp, jax.random.fold_in(key, 1)
+        )
+        return toks[0, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(42), N)
+    first = np.asarray(jax.vmap(run)(keys))
+    freq = np.bincount(first, minlength=V) / N
+    # total-variation distance to p must be small (sampling noise ~1/sqrt(N))
+    tv = 0.5 * np.abs(freq - p0).sum()
+    assert tv < 0.02, (tv, freq, p0)
+
+
+def test_chain_rejection_greedy_prefix():
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.speculative.eagle import chain_rejection_sample
+
+    V, K = 16, 4
+    rng = np.random.RandomState(1)
+    p_logits = jnp.asarray(rng.randn(2, K + 1, V).astype(np.float32))
+    q_logits = jnp.asarray(rng.randn(2, K, V).astype(np.float32))
+    am = np.asarray(jnp.argmax(p_logits, axis=-1))
+    # row 0: drafts match argmax for first 2, then diverge
+    drafts = np.zeros((2, K), np.int32)
+    drafts[0, :2] = am[0, :2]
+    drafts[0, 2] = (am[0, 2] + 1) % V
+    drafts[1, 0] = (am[1, 0] + 1) % V
+    toks, a, lp = chain_rejection_sample(
+        p_logits, q_logits, jnp.asarray(drafts),
+        jnp.zeros((2,), jnp.float32), jax.random.PRNGKey(0),
+    )
+    a = np.asarray(a)
+    toks = np.asarray(toks)
+    assert a[0] == 2 and a[1] == 0
+    np.testing.assert_array_equal(toks[0, :3], am[0, :3])
+    assert toks[1, 0] == am[1, 0]
+
+
+def test_chain_rejection_bootstrap_rows():
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.speculative.eagle import chain_rejection_sample
+
+    V, K = 8, 2
+    rng = np.random.RandomState(2)
+    p_logits = jnp.asarray(rng.randn(1, K + 1, V).astype(np.float32))
+    q_logits = jnp.asarray(np.zeros((1, K, V), np.float32))
+    drafts = jnp.asarray(np.zeros((1, K), np.int32))
+    # bootstrap row with temp>0: first token ~ p_0 exactly
+    N = 20000
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+
+    def run(key):
+        t, a, _ = chain_rejection_sample(
+            p_logits, q_logits, drafts, jnp.ones((1,), jnp.float32), key,
+            bootstrap=jnp.ones((1,), bool),
+        )
+        return t[0, 0], a[0]
+
+    toks, accepts = jax.vmap(run)(keys)
+    assert int(np.max(np.asarray(accepts))) == 0
+    p0 = np.asarray(jax.nn.softmax(p_logits[0, 0]))
+    freq = np.bincount(np.asarray(toks), minlength=V) / N
+    tv = 0.5 * np.abs(freq - p0).sum()
+    assert tv < 0.02, tv

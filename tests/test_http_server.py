@@ -326,3 +326,74 @@ def test_openai_completions_echo_with_prompt_logprobs(server):
     assert len(lp["token_logprobs"]) == 9
     assert lp["token_logprobs"][0] is None
     assert all(isinstance(x, float) for x in lp["token_logprobs"][1:])
+
+
+def test_anthropic_messages(server):
+    r = httpx.post(server + "/v1/messages", json={
+        "model": "m", "max_tokens": 8,
+        "messages": [{"role": "user", "content": "hi"}],
+        "temperature": 0.0,
+    }, timeout=60)
+    assert r.status_code == 200
+    d = r.json()
+    assert d["type"] == "message" and d["role"] == "assistant"
+    assert d["content"][0]["type"] == "text"
+    assert d["usage"]["output_tokens"] > 0
+    assert d["stop_reason"] in ("end_turn", "max_tokens", "stop_sequence")
+
+
+def test_anthropic_messages_stream(server):
+    r = httpx.post(server + "/v1/messages", json={
+        "model": "m", "max_tokens": 8, "stream": True,
+        "messages": [{"role": "user",
+                      "content": [{"type": "text", "text": "hello"}]}],
+        "temperature": 0.0,
+    }, timeout=60)
+    assert r.status_code == 200
+    body = r.text
+    assert "event: message_start" in body
+    assert "content_block_delta" in body
+    assert "event: message_stop" in body
+
+
+def test_openai_responses(server):
+    r = httpx.post(server + "/v1/responses", json={
+        "model": "m", "input": "hello", "max_output_tokens": 8,
+        "temperature": 0.0,
+    }, timeout=60)
+    assert r.status_code == 200
+    d = r.json()
+    assert d["object"] == "response" and d["status"] == "completed"
+    assert d["output"][0]["content"][0]["type"] == "output_text"
+    assert d["usage"]["total_tokens"] > 0
+
+
+def test_openai_responses_stream(server):
+    r = httpx.post(server + "/v1/responses", json={
+        "model": "m", "input": "hello", "max_output_tokens": 6,
+        "temperature": 0.0, "stream": True,
+    }, timeout=60)
+    assert r.status_code == 200
+    assert "response.created" in r.text
+    assert "response.completed" in r.text
+
+
+def test_ollama_generate_and_chat(server):
+    r = httpx.post(server + "/api/generate", json={
+        "model": "m", "prompt": "hi", "stream": False,
+        "options": {"num_predict": 6, "temperature": 0.0},
+    }, timeout=60)
+    assert r.status_code == 200
+    d = r.json()
+    assert d["done"] is True and "response" in d
+
+    r = httpx.post(server + "/api/chat", json={
+        "model": "m", "messages": [{"role": "user", "content": "hi"}],
+        "options": {"num_predict": 6, "temperature": 0.0},
+    }, timeout=60)
+    assert r.status_code == 200
+    lines = [json.loads(x) for x in r.text.splitlines() if x.strip()]
+    assert lines[-1]["done"] is True
+
+    assert httpx.get(server + "/api/tags", timeout=30).json()["models"]
+    assert "version" in httpx.get(server + "/api/version", timeout=30).json()

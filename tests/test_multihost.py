@@ -49,7 +49,21 @@ if rank == 0:
         sampling_params={"temperature": 0.0, "max_new_tokens": 8,
                          "ignore_eos": True},
     )
-    print("RESULT " + json.dumps(out["output_ids"]), flush=True)
+    # protocol v2: penalties + grammar buffers broadcast to followers
+    out_pen = eng.generate(
+        input_ids=[9, 8, 7, 6, 5],
+        sampling_params={"temperature": 0.0, "max_new_tokens": 8,
+                         "ignore_eos": True, "repetition_penalty": 1.5,
+                         "frequency_penalty": 0.2},
+    )
+    out_gram = eng.generate(
+        prompt="x",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 8,
+                         "regex": "(ab|cd)+"},
+    )
+    print("RESULT " + json.dumps(
+        [out["output_ids"], out_pen["output_ids"], out_gram["text"]]
+    ), flush=True)
     eng.scheduler.runner.stop_followers()
     eng.shutdown()
 """
@@ -94,7 +108,9 @@ def test_multihost_leader_follower(tmp_path):
     assert procs[1].returncode == 0, out1[-2000:]
     line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
     assert line, out0[-2000:]
-    multihost_ids = json.loads(line[0][len("RESULT "):])
+    multihost_ids, mh_pen_ids, mh_gram_text = json.loads(
+        line[0][len("RESULT "):]
+    )
 
     # single-process TP=1 reference
     import jax
@@ -117,6 +133,19 @@ def test_multihost_leader_follower(tmp_path):
             sampling_params={"temperature": 0.0, "max_new_tokens": 8,
                              "ignore_eos": True},
         )
+        ref_pen = eng.generate(
+            input_ids=[9, 8, 7, 6, 5],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 8,
+                             "ignore_eos": True, "repetition_penalty": 1.5,
+                             "frequency_penalty": 0.2},
+        )
+        ref_gram = eng.generate(
+            prompt="x",
+            sampling_params={"temperature": 0.0, "max_new_tokens": 8,
+                             "regex": "(ab|cd)+"},
+        )
     finally:
         eng.shutdown()
     assert multihost_ids == ref["output_ids"]
+    assert mh_pen_ids == ref_pen["output_ids"]
+    assert mh_gram_text == ref_gram["text"]
