@@ -38,6 +38,10 @@ class PageAllocator:
         pages.reverse()
         return pages
 
+    def free_pages_view(self) -> List[int]:
+        """Snapshot of the free list (invariant checks / KV canary)."""
+        return list(self._free)
+
     def free(self, pages: List[int]):
         for p in pages:
             assert 0 < p < self.num_pages, f"bad page id {p}"

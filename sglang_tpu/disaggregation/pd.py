@@ -52,19 +52,34 @@ class PDCoordinator:
                                       sampling_params=p_sp)
         first_token = first["output_ids"][0]
 
-        # ---- phase 2: extract this prompt's KV pages and ship them
+        # ---- phase 2: extract this prompt's KV pages and ship them.
+        # With a pipelining-capable transport, chunk i+1's device→host
+        # extraction overlaps chunk i's network send (reference
+        # layer-overlapped KV send, scheduler.py:3231).
         sched = self.prefill.scheduler
         m = sched.radix.match_prefix(list(input_ids) + [first_token])
         n_tokens = m.matched_tokens
         pages = m.pages
         room = new_room()
-        payload = {
+        meta = {
             "input_ids": list(input_ids),
             "first_token": int(first_token),
             "kv_tokens": int(n_tokens),
-            "page_data": sched.runner.extract_pages(pages) if pages else None,
         }
-        self.transfer.send(room, payload)
+        if pages and hasattr(self.transfer, "send_pipelined"):
+            self.transfer.send_pipelined(
+                room, meta,
+                lambda start, count: sched.runner.extract_pages(
+                    pages[start : start + count]
+                ),
+                len(pages),
+            )
+        else:
+            payload = dict(meta)
+            payload["page_data"] = (
+                sched.runner.extract_pages(pages) if pages else None
+            )
+            self.transfer.send(room, payload)
         self.num_transferred_pages += len(pages)
 
         # ---- phase 3: decode engine receives and continues

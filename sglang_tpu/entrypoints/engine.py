@@ -93,6 +93,16 @@ class Engine:
         )
         self._states: Dict[str, _ReqState] = {}
         self._states_lock = threading.Lock()
+        # request tracing + /start_profile → jax.profiler bridge
+        # (reference observability/trace.py, profiler_manager.py)
+        self._tracer = None
+        if server_args.enable_request_tracing:
+            from sglang_tpu.observability.trace import get_tracer
+
+            self._tracer = get_tracer()
+        from sglang_tpu.observability.trace import ProfilerController
+
+        self.profiler = ProfilerController()
         # multi-turn sessions: sid → token history (KV reuse comes from the
         # radix cache; reference session_controller keeps KV explicitly)
         self._sessions: Dict[str, List[int]] = {}
@@ -167,6 +177,11 @@ class Engine:
                 raise ValueError("constrained decoding requires a tokenizer")
             req.grammar = self.grammar_manager.create_state(sp)
         state = _ReqState(req, self.tokenizer, sp)
+        if self._tracer is not None:
+            state.span = self._tracer.start_span(
+                "request", trace_id=rid,
+                prompt_tokens=len(req.origin_input_ids),
+            )
         with self._states_lock:
             self._states[rid] = state
         return state
@@ -201,6 +216,12 @@ class Engine:
             state.finished = finished
             state.push(out)
             if finished:
+                if self._tracer is not None and getattr(state, "span", None):
+                    self._tracer.end_span(
+                        state.span,
+                        completion_tokens=upd.get("completion_tokens", 0),
+                        finish_reason=upd.get("finish_reason"),
+                    )
                 with self._states_lock:
                     self._states.pop(rid, None)
 

@@ -142,6 +142,9 @@ class HttpServer:
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
+        r.add_get("/get_trace", self.get_trace)
         # Anthropic-compatible messages API (reference entrypoints/anthropic/)
         r.add_post("/v1/messages", self.anthropic_messages)
         # OpenAI Responses API (reference /v1/responses route)
@@ -250,6 +253,34 @@ class HttpServer:
         body = await request.json()
         self.engine.abort_request(body.get("rid", ""))
         return web.Response(text="ok")
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """Start a jax.profiler trace (reference /start_profile →
+        profiler_manager.py:63)."""
+        body = {}
+        if request.can_read_body:
+            try:
+                body = await request.json()
+            except Exception:
+                body = {}
+        out = self.engine.profiler.start(
+            output_dir=body.get("output_dir"),
+            duration_s=body.get("duration_s"),
+        )
+        return web.json_response({"success": True, "output_dir": out})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        self.engine.profiler.stop()
+        return web.json_response({"success": True})
+
+    async def get_trace(self, request: web.Request) -> web.Response:
+        """Export recorded request spans (OTel span model as JSON)."""
+        if self.engine._tracer is None:
+            return _error("request tracing is off (--enable-request-tracing)")
+        return web.json_response(
+            {"spans": self.engine._tracer.export(
+                request.query.get("trace_id"))}
+        )
 
     async def metrics(self, request: web.Request) -> web.Response:
         from prometheus_client import generate_latest
@@ -626,6 +657,10 @@ def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
     """Blocking server entry (reference http_server.py:2479)."""
     if engine is None:
         engine = Engine(server_args=server_args)
+    if server_args.grpc_port:
+        from sglang_tpu.grpc import SglangGrpcServer
+
+        SglangGrpcServer(engine, server_args).start()
     app = build_app(engine, server_args)
     logger.info(
         "HTTP server listening on http://%s:%d",

@@ -89,6 +89,12 @@ class ServerArgs:
     speculative_ngram_n: int = 3
     speculative_draft_model_path: Optional[str] = None  # EAGLE draft ckpt
 
+    # ---- observability ----
+    enable_request_tracing: bool = False  # per-request span recording
+
+    # ---- grpc ----
+    grpc_port: Optional[int] = None  # serve sglang.runtime.v1 when set
+
     # ---- dp attention ----
     enable_dp_attention: bool = False
 

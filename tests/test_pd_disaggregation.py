@@ -70,3 +70,36 @@ def test_pd_transfer_degrades_gracefully_without_pages():
         prefill.shutdown()
         decode.shutdown()
         unified.shutdown()
+
+
+def test_pd_over_tcp_bootstrap():
+    """PD with a REAL byte-stream transport: prefill extracts page slabs
+    and streams them in chunks over a socket to the decode side's
+    bootstrap server (extraction of chunk i+1 overlaps the send of i);
+    output must match a single engine exactly."""
+    from sglang_tpu.disaggregation.conn import (
+        KVBootstrapServer,
+        RemoteKVTransfer,
+    )
+    from sglang_tpu.disaggregation.pd import PDCoordinator
+
+    prefill, decode, single = _engine(), _engine(), _engine()
+    bootstrap = KVBootstrapServer()
+    try:
+        coord = PDCoordinator(
+            prefill, decode,
+            transfer=RemoteKVTransfer(bootstrap, chunk_pages=2),
+        )
+        prompt = list(range(3, 45))  # 42 tokens → 5 pages → 3 chunks
+        sp = {"temperature": 0.0, "max_new_tokens": 10, "ignore_eos": True}
+        out_pd = coord.generate(input_ids=list(prompt),
+                                sampling_params=dict(sp))
+        out_ref = single.generate(input_ids=list(prompt),
+                                  sampling_params=dict(sp))
+        assert out_pd["output_ids"] == out_ref["output_ids"]
+        assert coord.num_transferred_pages > 2  # multiple chunks flowed
+    finally:
+        bootstrap.close()
+        prefill.shutdown()
+        decode.shutdown()
+        single.shutdown()
