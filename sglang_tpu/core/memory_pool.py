@@ -42,6 +42,14 @@ class KVCacheGeometry:
     num_kv_heads: int
     head_dim: int
     dtype: object
+    # MLA (single latent "head"): the folded lane axis pads up to a
+    # multiple of 128 so Mosaic DMA slicing works (e.g. DeepSeek's
+    # 512+64=576 latent pads to 640); writers pad, readers slice.
+    padded_head_dim: int = 0
+
+    def __post_init__(self):
+        if self.padded_head_dim == 0:
+            object.__setattr__(self, "padded_head_dim", self.head_dim)
 
     @property
     def num_slots(self) -> int:
@@ -55,7 +63,7 @@ class KVCacheGeometry:
             * self.num_slots
             * 2
             * self.num_kv_heads
-            * self.head_dim
+            * self.padded_head_dim
             * itemsize
         )
 
@@ -104,6 +112,14 @@ class KVCachePool:
         num_pages = compute_num_pages(
             config, page_size, kv_dtype, max_total_tokens, hbm_budget_bytes
         )
+        from sglang_tpu.configs.model_config import AttentionArch
+
+        padded_hd = config.head_dim
+        if (
+            config.attention_arch == AttentionArch.MLA
+            and config.num_key_value_heads == 1
+        ):
+            padded_hd = -(-config.head_dim // 128) * 128
         self.geometry = KVCacheGeometry(
             num_layers=config.num_hidden_layers,
             num_pages=num_pages,
@@ -111,6 +127,7 @@ class KVCachePool:
             num_kv_heads=config.num_key_value_heads,
             head_dim=config.head_dim,
             dtype=kv_dtype,
+            padded_head_dim=padded_hd,
         )
         g = self.geometry
         logger.info(
@@ -126,7 +143,7 @@ class KVCachePool:
             g.num_layers * g.num_pages,
             g.page_size,
             2,
-            g.num_kv_heads * g.head_dim,
+            g.num_kv_heads * g.padded_head_dim,
         )
         if sharding is not None:
             self.kv_cache = jax.device_put(

@@ -227,15 +227,16 @@ class ModelRunner:
         from sglang_tpu.configs.model_config import AttentionArch
 
         if mc.attention_arch == AttentionArch.MLA:
-            # MLA attends in latent space with different K/V dims; the
-            # GQA kernels don't apply (absorbed-MLA kernel: next round).
-            return "xla"
-        # Mosaic sliced HBM DMA requires a 128-aligned lane dim (Hkv*D).
-        hd = (
-            mc.num_key_value_heads
-            // max(self.mesh_ctx.tp_size, 1)
-            * mc.head_dim
-        )
+            # Absorbed-MLA decode runs the fused kernel as MQA over the
+            # (128-padded) latent lane span; the pool pads for Mosaic.
+            hd = self.kv_pool.geometry.padded_head_dim
+        else:
+            # Mosaic sliced HBM DMA requires a 128-aligned lane dim (Hkv*D).
+            hd = (
+                mc.num_key_value_heads
+                // max(self.mesh_ctx.tp_size, 1)
+                * mc.head_dim
+            )
         if hd % 128 != 0:
             logger.info(
                 "Pallas attention disabled: kv_heads*head_dim per shard "

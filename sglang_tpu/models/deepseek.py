@@ -32,7 +32,7 @@ from jax.sharding import PartitionSpec as P
 
 from sglang_tpu.configs.model_config import ModelConfig
 from sglang_tpu.layers.activation import act_and_mul
-from sglang_tpu.layers.attention import gather_kv, write_kv
+from sglang_tpu.layers.attention import gather_kv, paged_attention, write_kv
 from sglang_tpu.layers.moe import moe_block
 from sglang_tpu.layers.norm import rms_norm
 from sglang_tpu.layers.rotary import compute_inv_freq
@@ -245,14 +245,47 @@ class DeepseekV2ForCausalLM:
         c_kv = rms_norm(kv_a[..., :rank], w["kv_a_ln"], c.rms_norm_eps)
         k_pe = self._rope(kv_a[..., None, rank:], cos, sin)  # [B, Lq, 1, rope]
         latent = jnp.concatenate([c_kv[..., None, :], k_pe], axis=-1)
-        # write latent as the single "kv head"; V slot mirrors it (unused)
-        kv = write_kv(kv, latent, latent, batch.out_slots, li, num_slots)
+        HDp = kv.shape[-1]  # pool lane dim (rank+rope padded to 128-mult)
+        lat_pad = jnp.pad(latent, ((0, 0),) * 3 + ((0, HDp - (rank + rope)),))
 
-        # gather latent context and decompress (naive MLA path)
+        if Lq == 1:
+            # ---- absorbed-MLA decode (reference flashmla/cutlass_mla
+            # backends): attend in LATENT space.  q_eff = q_nope @ W_kc
+            # folds the key decompression into the query; the output
+            # projects back through W_vc — the per-token context
+            # decompression (O(C·hq·(nope+vd)·rank) FLOPs + a huge
+            # [B, C, hq, nope+vd] buffer) disappears entirely.
+            w_kcvc = w["kv_b"].reshape(rank, hq, nope + vd)
+            w_kc, w_vc = w_kcvc[..., :nope], w_kcvc[..., nope:]
+            q_eff = jnp.einsum(
+                "blhn,rhn->blhr", q_nope.astype(jnp.float32),
+                w_kc.astype(jnp.float32),
+            )
+            q_lat = jnp.concatenate(
+                [q_eff, q_pe.astype(jnp.float32)], axis=-1
+            )  # [B, 1, hq, rank+rope]
+            q_lat = jnp.pad(
+                q_lat, ((0, 0),) * 3 + ((0, HDp - (rank + rope)),)
+            ).astype(h.dtype)
+            out_lat, kv = paged_attention(
+                q_lat, lat_pad, lat_pad, kv, batch, li,
+                num_slots=num_slots, page_size=page_size,
+                sm_scale=self.sm_scale, backend=attn_backend,
+            )  # [B, 1, hq, HDp] — PV over the latent "V"
+            lat_o = out_lat[..., :rank].astype(jnp.float32)
+            out = jnp.einsum(
+                "blhr,rhv->blhv", lat_o, w_vc.astype(jnp.float32)
+            ).astype(h.dtype)  # [B, 1, hq, vd]
+            out = out.reshape(B, Lq, hq * vd)
+            return h + out @ w["o_proj"], kv
+
+        # ---- extend/prefill: naive decompress (decompression amortizes
+        # over the chunk; absorbed math would recompute per query token)
+        kv = write_kv(kv, lat_pad, lat_pad, batch.out_slots, li, num_slots)
         lat_ctx, _ = gather_kv(
-            kv, batch.page_table, li, num_slots, page_size, rank + rope
-        )  # [B, C, 1, rank+rope]
-        lat_ctx = lat_ctx[:, :, 0]
+            kv, batch.page_table, li, num_slots, page_size, HDp
+        )  # [B, C, 1, HDp]
+        lat_ctx = lat_ctx[:, :, 0, : rank + rope]
         ckv_ctx, kpe_ctx = lat_ctx[..., :rank], lat_ctx[..., rank:]
         kv_dec = jnp.einsum(
             "bcr,rm->bcm", ckv_ctx.astype(w["kv_b"].dtype), w["kv_b"]

@@ -209,6 +209,11 @@ def _decode_kernel(
 
     l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows
     out_all = (acc / l).reshape(RB * hq, HD)
+    if hkv == 1:
+        # MQA / absorbed-MLA: every query head attends the full lane span
+        # (latent width can exceed one 128-lane tile) — no segment select.
+        o_ref[...] = out_all.reshape(RB, hq, HD).astype(o_ref.dtype)
+        return
     # Select each query head's own kv segment: roll segment (h//G)*D down
     # to lane 0, pick rows belonging to that kv head.
     row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
@@ -304,6 +309,7 @@ def fused_paged_decode_attention(
         d=D,
         logit_cap=logit_cap,
     )
+    lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B // RB,),
@@ -322,7 +328,8 @@ def fused_paged_decode_attention(
         ],
         out_specs=(
             pl.BlockSpec(
-                (RB, Hq, LANE), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (RB, Hq, lane_out), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
@@ -335,7 +342,7 @@ def fused_paged_decode_attention(
     out, kv_out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq, LANE), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, lane_out), q.dtype),
             jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
         ),
         grid_spec=grid_spec,

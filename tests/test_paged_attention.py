@@ -139,3 +139,54 @@ def test_decode_logit_cap_and_padded_rows():
     np.testing.assert_allclose(
         np.asarray(out)[:3], np.asarray(ref)[:3], rtol=2e-3, atol=2e-3
     )
+
+
+def test_decode_kernel_mqa_wide_latent():
+    """hkv=1 with a multi-tile lane span (absorbed-MLA shape): the kernel
+    must return the full latent-width output (no head-segment select)."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.layers.attention import attention_xla, gather_kv, write_kv
+    from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
+
+    rng = np.random.RandomState(0)
+    B, hq, HD, ps, P = 4, 8, 256, 8, 4  # HD = 2 lane tiles, 1 kv head
+    num_pages, L = 16, 1
+    num_slots = num_pages * ps
+    kv_cache = jnp.asarray(
+        rng.randn(L * num_pages, ps, 2, HD).astype(np.float32) * 0.3
+    )
+    page_table = np.zeros((B, P), np.int32)
+    perm = rng.permutation(np.arange(1, num_pages))
+    k = 0
+    seq_lens = np.asarray([5, 11, 17, 25], np.int32)
+    for b in range(B):
+        n = -(-int(seq_lens[b]) // ps)
+        page_table[b, :n] = perm[k : k + n]
+        k += n
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = seq_lens[b] - 1
+        out_slots[b, 0] = page_table[b, pos // ps] * ps + pos % ps
+    q = jnp.asarray(rng.randn(B, 1, hq, HD).astype(np.float32) * 0.2)
+    k_new = jnp.asarray(rng.randn(B, 1, 1, HD).astype(np.float32) * 0.3)
+    v_new = jnp.asarray(rng.randn(B, 1, 1, HD).astype(np.float32) * 0.3)
+
+    out_p, kv_p = fused_paged_decode_attention(
+        q, k_new, v_new, kv_cache, jnp.asarray(page_table),
+        jnp.asarray(out_slots), jnp.asarray(seq_lens), jnp.int32(0),
+        num_slots=num_slots, page_size=ps, sm_scale=0.1, interpret=True,
+    )
+    # reference: write then dense attention
+    kv_ref = write_kv(kv_cache, k_new, v_new, jnp.asarray(out_slots),
+                      jnp.int32(0), num_slots)
+    k_ctx, v_ctx = gather_kv(kv_ref, jnp.asarray(page_table), jnp.int32(0),
+                             num_slots, ps, HD)
+    positions = jnp.asarray((seq_lens - 1)[:, None])
+    out_ref = attention_xla(q, k_ctx, v_ctx, positions,
+                            jnp.asarray(seq_lens), 0.1)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(kv_p), np.asarray(kv_ref),
+                               rtol=1e-5, atol=1e-6)
