@@ -51,9 +51,10 @@ class GrammarManager:
             pattern = build_regex_from_schema(sp.json_schema)
             fsm = self._get_fsm("json:" + sp.json_schema, pattern)
         elif sp.ebnf:
-            raise ValueError(
-                "EBNF grammars are not supported yet; use regex or json_schema"
-            )
+            from sglang_tpu.constrained.ebnf import compile_ebnf_to_regex
+
+            pattern = compile_ebnf_to_regex(sp.ebnf)
+            fsm = self._get_fsm("ebnf:" + sp.ebnf, pattern)
         else:
             return None
         return GrammarState(fsm)

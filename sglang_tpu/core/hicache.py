@@ -58,6 +58,7 @@ class HiRadixCache(RadixCache):
         extract_pages: Callable[[List[int]], np.ndarray],
         inject_pages: Callable[[List[int], np.ndarray], None],
         disable: bool = False,
+        storage=None,  # KVStorageBackend — 3rd tier (file/shared-FS)
     ):
         super().__init__(page_size=page_size, disable=disable)
         self.host_pool = host_pool
@@ -67,6 +68,13 @@ class HiRadixCache(RadixCache):
         self.host_tree = RadixCache(page_size=page_size, disable=disable)
         self.num_backups = 0
         self.num_promotions = 0
+        self.storage = storage
+        self.storage_writer = None
+        if storage is not None:
+            from sglang_tpu.core.kv_storage import AsyncStorageWriter
+
+            self.storage_writer = AsyncStorageWriter(storage)
+        self.num_storage_hits = 0
 
     # ---------------------------------------------------------------- evict
     def _node_prefix_tokens(self, node: TreeNode) -> List[int]:
@@ -134,6 +142,22 @@ class HiRadixCache(RadixCache):
         if extra:  # tail already present → free duplicate host pages
             self.host_pool.free(host_pages[:extra])
         self.num_backups += n
+        # 3rd tier: write-behind to storage, one blob per PAGE keyed by
+        # the hash of its token-prefix chain (the reference's per-page
+        # hash keys in mooncake_store; lookups walk the chain forward).
+        # Disk IO never blocks the scheduler loop.
+        if self.storage_writer is not None:
+            from sglang_tpu.core.kv_storage import prefix_key
+
+            ps = self.page_size
+            start_page = (len(tokens) - len(node.key)) // ps
+            for j in range(n):
+                end = (start_page + j + 1) * ps
+                if end > len(tokens):
+                    break
+                self.storage_writer.put_async(
+                    prefix_key(tokens[:end]), data[j]
+                )
 
     def _collect_pages_for(self, tokens: List[int]) -> Optional[List[int]]:
         if not tokens:
@@ -157,6 +181,59 @@ class HiRadixCache(RadixCache):
             return 0, []
         start = device_matched_tokens // self.page_size
         return extra_tokens, m.pages[start:]
+
+    def match_storage_extension(
+        self, key: List[int], matched_tokens: int, max_pages: int = 64
+    ):
+        """Walk the per-page hash chain forward from the current match;
+        returns (extra_tokens, [storage page keys]) — each probe is one
+        metadata stat against the backend."""
+        if self.storage is None or self.disable:
+            return 0, []
+        from sglang_tpu.core.kv_storage import prefix_key
+
+        ps = self.page_size
+        start = matched_tokens // ps * ps
+        keys = []
+        end = start + ps
+        while end <= len(key) and len(keys) < max_pages:
+            k = prefix_key(key[:end])
+            if (
+                self.storage_writer is not None
+                and self.storage_writer.in_flight(k)
+            ):
+                break  # still being written; pick it up next request
+            if not self.storage.exists(k):
+                break
+            keys.append(k)
+            end += ps
+        return len(keys) * ps, keys
+
+    def promote_from_storage(
+        self, key: List[int], storage_keys: List[str],
+        device_pages_prefix: List[int], new_device_pages: List[int],
+        matched_tokens: int,
+    ) -> bool:
+        """Load per-page storage blobs into fresh device pages and insert
+        the extended prefix (reference prefetch_from_storage :1585)."""
+        blobs = []
+        for k in storage_keys[: len(new_device_pages)]:
+            b = self.storage.get(k)
+            if b is None:
+                return False
+            blobs.append(b)
+        if len(blobs) < len(new_device_pages):
+            return False
+        self.inject_pages(list(new_device_pages), np.stack(blobs))
+        total_tokens = (
+            len(device_pages_prefix) + len(new_device_pages)
+        ) * self.page_size
+        self.insert(
+            key[:total_tokens], device_pages_prefix + new_device_pages
+        )
+        self.num_promotions += len(new_device_pages)
+        self.num_storage_hits += len(new_device_pages)
+        return True
 
     def promote(
         self,

@@ -136,12 +136,22 @@ class Scheduler:
                 "Radix cache backend: hicache (host tier: %d pages, %.2f GiB)",
                 host_pages, pool.buf.nbytes / (1 << 30),
             )
+            storage = None
+            if server_args.hicache_storage_dir:
+                from sglang_tpu.core.kv_storage import FileKVStorage
+
+                storage = FileKVStorage(server_args.hicache_storage_dir)
+                logger.info(
+                    "HiCache storage tier: %s",
+                    server_args.hicache_storage_dir,
+                )
             return HiRadixCache(
                 page_size=self.page_size,
                 host_pool=pool,
                 extract_pages=self.runner.extract_pages,
                 inject_pages=self.runner.inject_pages,
                 disable=server_args.disable_radix_cache,
+                storage=storage,
             )
         backend = server_args.radix_cache_backend
         if backend in ("auto", "cpp"):
@@ -347,6 +357,21 @@ class Scheduler:
                 if new_pages is not None:
                     self.radix.promote(key, m.pages, new_pages, host_pages)
                     m = self.radix.match_prefix(key)
+            elif hasattr(self.radix, "match_storage_extension"):
+                # 3rd tier: a longer prefix may live in storage
+                s_extra, s_keys = self.radix.match_storage_extension(
+                    key, m.matched_tokens
+                )
+                if s_extra > 0 and s_keys:
+                    new_pages = self._alloc_pages(len(s_keys))
+                    if new_pages is not None:
+                        if self.radix.promote_from_storage(
+                            key, s_keys, m.pages, new_pages,
+                            m.matched_tokens,
+                        ):
+                            m = self.radix.match_prefix(key)
+                        else:
+                            self.allocator.free(new_pages)
         req.pages = list(m.pages)
         req.prefix_pages_len = len(m.pages)
         req.cached_len = m.matched_tokens

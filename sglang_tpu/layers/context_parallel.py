@@ -1,0 +1,162 @@
+"""Long-context sequence parallelism: prefill CP and decode CP (DCP).
+
+Equivalent role to the reference's ``layers/cp/`` (zigzag prefill
+context parallelism, ``cp/zigzag.py:15–29``: the sequence splits into
+2·cp blocks and rank i owns block i and block 2cp−1−i, balancing causal
+work) and ``layers/dcp/`` (decode context parallelism,
+``dcp/comm.py`` ``cp_lse_ag_out_rs_mha``: KV sharded across ranks, each
+rank computes partial attention over its shard, partials merge by
+log-sum-exp correction).
+
+TPU-native: both are shard_map programs over the ``tp`` mesh axis with
+XLA collectives riding ICI — no custom comm kernels:
+
+* :func:`zigzag_split` / :func:`zigzag_merge` — host/device index maps
+  for the balanced split (pure layout; the reference's exact scheme).
+* :func:`dcp_attention` — query replicated, context sharded on the
+  sequence axis; per-shard flash-style partials (m, l, acc) merge with
+  one ``psum`` after LSE renormalization.  This is the decode-side
+  primitive; chunked-prefill reuse follows the same contract with
+  per-query-block masks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+# ------------------------------------------------------------- zigzag maps
+def zigzag_split(seq_len: int, cp: int) -> np.ndarray:
+    """Position permutation for the zigzag split: returns ``order`` such
+    that ``x[order]`` lists rank 0's tokens first, then rank 1's, …
+    Rank i owns chunk i and chunk 2cp-1-i of the 2cp-chunked sequence
+    (reference cp/zigzag.py:15 — balances causal attention FLOPs)."""
+    assert seq_len % (2 * cp) == 0, (seq_len, cp)
+    chunk = seq_len // (2 * cp)
+    order = []
+    for r in range(cp):
+        order.extend(range(r * chunk, (r + 1) * chunk))
+        hi = 2 * cp - 1 - r
+        order.extend(range(hi * chunk, (hi + 1) * chunk))
+    return np.asarray(order, np.int32)
+
+
+def zigzag_merge(seq_len: int, cp: int) -> np.ndarray:
+    """Inverse permutation of :func:`zigzag_split`."""
+    order = zigzag_split(seq_len, cp)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(seq_len, dtype=np.int32)
+    return inv
+
+
+# --------------------------------------------------------- DCP attention
+def _partial_attention(q, k, v, mask, sm_scale):
+    """Flash-style partial: returns (acc [.., D], m, l) for LSE merge."""
+    scores = jnp.einsum(
+        "bhd,bchd->bhc", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)  # [B, H, 1]
+    m_safe = jnp.maximum(m, -1e20)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(mask[:, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum(
+        "bhc,bchd->bhd", p, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return acc, m_safe, l
+
+
+def dcp_attention(
+    q: jnp.ndarray,  # [B, H, D] one query per request (decode)
+    k_ctx: jnp.ndarray,  # [B, C, H, D] context, sharded on C over `axis`
+    v_ctx: jnp.ndarray,  # [B, C, H, D]
+    ctx_valid: jnp.ndarray,  # [B, C] bool validity (sharded with C)
+    sm_scale: float,
+    mesh,
+    axis: str = "tp",
+) -> jnp.ndarray:
+    """Decode attention with the KV context sharded across ``axis``.
+
+    Each shard computes a flash partial over its C/cp slice; partials
+    combine exactly via the log-sum-exp correction
+    (``sum_i exp(m_i - m*) * acc_i / sum_i exp(m_i - m*) * l_i``) with
+    ``psum`` collectives — the reference's allgather-LSE + reduce-scatter
+    merge (dcp/comm.py) expressed as two psums over ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    def fn(q, k, v, valid):
+        acc, m, l = _partial_attention(q, k, v, valid, sm_scale)
+        m_star = jax.lax.pmax(m, axis)  # global row max
+        scale = jnp.exp(m - m_star)
+        num = jax.lax.psum(acc * scale, axis)
+        den = jax.lax.psum(l * scale, axis)
+        den = jnp.where(den == 0.0, 1.0, den)
+        return (num / den).astype(q.dtype)
+
+    other = frozenset(n for n in mesh.axis_names if n != axis)
+    del other
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None), P(None, axis, None, None),
+                  P(None, axis)),
+        out_specs=P(),
+        axis_names={axis},
+        check_vma=False,
+    )(q, k_ctx, v_ctx, ctx_valid)
+
+
+def cp_prefill_attention(
+    q: jnp.ndarray,  # [B, L, H, D] queries in ZIGZAG order, sharded on L
+    k: jnp.ndarray,  # [B, L, H, D] keys in zigzag order, sharded on L
+    v: jnp.ndarray,
+    positions: jnp.ndarray,  # [B, L] ORIGINAL positions (zigzag order)
+    sm_scale: float,
+    mesh,
+    axis: str = "tp",
+) -> jnp.ndarray:
+    """Causal self-attention with the sequence zigzag-sharded over
+    ``axis`` (prefill CP).  Every shard allgathers K/V (ICI ring under
+    XLA) and attends its local query block against the full sequence
+    with the causal mask taken from original positions — the zigzag
+    layout balances the causal FLOPs across shards (reference
+    cp/zigzag.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    def fn(q, k, v, pos):
+        k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+        pos_full = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+        scores = jnp.einsum(
+            "blhd,bchd->bhlc", q, k_full,
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        causal = pos_full[:, None, None, :] <= pos[:, None, :, None]
+        scores = jnp.where(causal, scores, NEG_INF)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = jnp.where(jnp.isnan(p), 0.0, p)
+        out = jnp.einsum(
+            "bhlc,bchd->blhd", p, v_full.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q.dtype)
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None, None), P(None, axis, None, None),
+            P(None, axis, None, None), P(None, axis),
+        ),
+        out_specs=P(None, axis, None, None),
+        axis_names={axis},
+        check_vma=False,
+    )(q, k, v, positions)

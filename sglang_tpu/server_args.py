@@ -89,6 +89,9 @@ class ServerArgs:
     speculative_ngram_n: int = 3
     speculative_draft_model_path: Optional[str] = None  # EAGLE draft ckpt
 
+    # ---- hicache storage tier ----
+    hicache_storage_dir: Optional[str] = None  # file/shared-FS 3rd tier
+
     # ---- observability ----
     enable_request_tracing: bool = False  # per-request span recording
 

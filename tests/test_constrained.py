@@ -232,3 +232,38 @@ def test_grammar_decodes_with_fused_windows(tiny_engine):
     n_tok = out["meta_info"]["completion_tokens"]
     assert n_tok >= 16
     assert sched.num_steps < n_tok, (sched.num_steps, n_tok)
+
+
+def test_ebnf_compiles_and_constrains(tiny_engine):
+    """EBNF grammar (GBNF-style) through the native DFA engine."""
+    grammar = '''
+# a tiny command grammar
+root   ::= verb " " noun ("!" | ".")
+verb   ::= "go" | "stop"
+noun   ::= [a-c]+
+'''
+    out = tiny_engine.generate(
+        prompt="x",
+        sampling_params={"temperature": 0.0, "max_new_tokens": 16,
+                         "ebnf": grammar},
+    )
+    import re as _re
+    assert _re.fullmatch(r"(go|stop) [a-c]+[!.]", out["text"]), out["text"]
+
+
+def test_ebnf_repetition_and_ranges():
+    from sglang_tpu.constrained.ebnf import compile_ebnf_to_regex
+    import re as _re
+
+    rx = compile_ebnf_to_regex('root ::= "a" [0-9]{2,3} "b"?')
+    assert _re.fullmatch(rx, "a12")
+    assert _re.fullmatch(rx, "a123b")
+    assert not _re.fullmatch(rx, "a1")
+
+
+def test_ebnf_recursion_raises():
+    from sglang_tpu.constrained.ebnf import EbnfError, compile_ebnf_to_regex
+    import pytest as _pytest
+
+    with _pytest.raises(EbnfError, match="recursive"):
+        compile_ebnf_to_regex('root ::= "(" root ")" | "x"')

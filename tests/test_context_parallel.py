@@ -1,0 +1,84 @@
+"""CP (zigzag prefill) + DCP (decode KV sharding, LSE merge) on the mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sglang_tpu.layers.context_parallel import (
+    cp_prefill_attention,
+    dcp_attention,
+    zigzag_merge,
+    zigzag_split,
+)
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} virtual devices")
+    return Mesh(np.asarray(jax.devices()[:n]), ("tp",))
+
+
+def _ref_attention(q, k, v, valid, scale):
+    scores = np.einsum("bhd,bchd->bhc", q, k) * scale
+    scores = np.where(valid[:, None, :], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = np.where(valid[:, None, :], p, 0.0)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhc,bchd->bhd", p, v)
+
+
+def test_zigzag_split_roundtrip():
+    order = zigzag_split(16, 2)
+    inv = zigzag_merge(16, 2)
+    x = np.arange(16)
+    np.testing.assert_array_equal(x[order][inv], x)
+    # rank 0 owns chunks 0 and 3; rank 1 owns 1 and 2
+    np.testing.assert_array_equal(order[:8], [0, 1, 2, 3, 12, 13, 14, 15])
+
+
+def test_dcp_attention_matches_dense():
+    mesh = _mesh(4)
+    rng = np.random.RandomState(0)
+    B, C, H, D = 2, 32, 4, 16
+    q = rng.randn(B, H, D).astype(np.float32) * 0.3
+    k = rng.randn(B, C, H, D).astype(np.float32) * 0.3
+    v = rng.randn(B, C, H, D).astype(np.float32) * 0.3
+    valid = np.zeros((B, C), bool)
+    valid[0, :19] = True
+    valid[1, :5] = True
+    out = dcp_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(valid),
+        0.25, mesh,
+    )
+    ref = _ref_attention(q, k, v, valid, 0.25)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_cp_prefill_matches_dense_causal():
+    mesh = _mesh(2)
+    cp = 2
+    rng = np.random.RandomState(1)
+    B, L, H, D = 1, 16, 2, 8
+    q = rng.randn(B, L, H, D).astype(np.float32) * 0.4
+    k = rng.randn(B, L, H, D).astype(np.float32) * 0.4
+    v = rng.randn(B, L, H, D).astype(np.float32) * 0.4
+    # dense causal reference in original order
+    scores = np.einsum("blhd,bchd->bhlc", q, k) * 0.35
+    causal = np.tril(np.ones((L, L), bool))
+    scores = np.where(causal[None, None], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = np.where(causal[None, None], p, 0.0)
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhlc,bchd->blhd", p, v)
+
+    order = zigzag_split(L, cp)
+    inv = zigzag_merge(L, cp)
+    pos = np.broadcast_to(order[None, :], (B, L)).astype(np.int32)
+    out_z = cp_prefill_attention(
+        jnp.asarray(q[:, order]), jnp.asarray(k[:, order]),
+        jnp.asarray(v[:, order]), jnp.asarray(pos), 0.35, mesh,
+    )
+    out = np.asarray(out_z)[:, inv]
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
