@@ -295,7 +295,7 @@ class HttpServer:
         body = await request.json()
         stream = bool(body.get("stream", False))
         kwargs = dict(
-            prompt=body.get("text"),
+            prompt=body.get("text", body.get("prompt")),
             input_ids=body.get("input_ids"),
             sampling_params=body.get("sampling_params"),
             rid=body.get("rid"),

@@ -1,0 +1,89 @@
+"""C++ model gateway: build + launch helper.
+
+Equivalent role to the reference's ``sgl-model-gateway`` (Rust) launch
+path — the data plane lives in ``gateway.cpp`` (cache-aware LB over an
+approximate prefix tree, worker registry, HTTP/SSE relay); this module
+compiles it with the system g++ on first use and manages the process.
+
+Usage:
+    python -m sglang_tpu.gateway --port 8080 \
+        --worker 127.0.0.1:9001 --worker 127.0.0.1:9002
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+from typing import List, Optional
+
+from sglang_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def build_gateway() -> str:
+    """Compile gateway.cpp (cached by source digest); returns binary path."""
+    src = os.path.join(os.path.dirname(__file__), "gateway.cpp")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    build_dir = os.path.join(os.path.dirname(src), "build")
+    os.makedirs(build_dir, exist_ok=True)
+    binary = os.path.join(build_dir, f"gateway_{digest}")
+    if not os.path.exists(binary):
+        cmd = ["g++", "-O2", "-std=c++17", "-pthread", "-o", binary, src]
+        logger.info("building gateway: %s", " ".join(cmd))
+        subprocess.run(cmd, check=True)
+    return binary
+
+
+class GatewayProcess:
+    """Owns a running gateway subprocess (tests / embedded launch)."""
+
+    def __init__(self, port: int, workers: List[str],
+                 policy: str = "cache_aware",
+                 cache_threshold: float = 0.5):
+        binary = build_gateway()
+        args = [binary, "--port", str(port), "--policy", policy,
+                "--cache-threshold", str(cache_threshold)]
+        for w in workers:
+            args += ["--worker", w]
+        self.proc = subprocess.Popen(
+            args, stderr=subprocess.PIPE, text=True
+        )
+        # wait for the listen banner (also captures the bound port)
+        line = self.proc.stderr.readline()
+        if "listening on port" not in line:
+            raise RuntimeError(f"gateway failed to start: {line!r}")
+        self.port = int(line.split("port")[1].split()[0])
+
+    def stop(self):
+        self.proc.terminate()
+        try:
+            self.proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="sglang-tpu model gateway")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--worker", action="append", default=[],
+                    help="host:port of an engine HTTP server (repeat)")
+    ap.add_argument("--policy", default="cache_aware",
+                    choices=["cache_aware", "round_robin", "shortest_queue"])
+    ap.add_argument("--cache-threshold", type=float, default=0.5)
+    args = ap.parse_args(argv)
+    binary = build_gateway()
+    cmd = [binary, "--port", str(args.port), "--policy", args.policy,
+           "--cache-threshold", str(args.cache_threshold)]
+    for w in args.worker:
+        cmd += ["--worker", w]
+    os.execv(binary, cmd)
+
+
+if __name__ == "__main__":
+    main()

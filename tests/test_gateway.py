@@ -1,0 +1,139 @@
+"""C++ gateway: proxying, LB policies, cache-aware stickiness, SSE relay."""
+
+import json
+import socket
+import threading
+import time
+
+import httpx
+import pytest
+
+from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def two_workers():
+    """Two engine HTTP servers on distinct ports."""
+    import asyncio
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.entrypoints.http_server import build_app
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from aiohttp import web
+
+    servers = []
+    for _ in range(2):
+        args = make_server_args(host="127.0.0.1", port=_free_port())
+        runner = ModelRunner(
+            args, model_config=ModelConfig.from_hf_dict(
+                TINY_HF_CONFIG, dtype="float32")
+        )
+        eng = Engine(server_args=args, model_runner=runner)
+        app = build_app(eng, args)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+
+        def run(loop=loop, app=app, args=args, started=started):
+            asyncio.set_event_loop(loop)
+
+            async def start():
+                r = web.AppRunner(app)
+                await r.setup()
+                await web.TCPSite(r, args.host, args.port).start()
+                started.set()
+
+            loop.run_until_complete(start())
+            loop.run_forever()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(15)
+        servers.append((eng, loop, args))
+    # wait healthy
+    for _, _, args in servers:
+        for _ in range(50):
+            try:
+                if httpx.get(f"http://{args.host}:{args.port}/health",
+                             timeout=2).status_code == 200:
+                    break
+            except Exception:
+                time.sleep(0.2)
+    yield [(f"{a.host}:{a.port}") for _, _, a in servers]
+    for eng, loop, _ in servers:
+        loop.call_soon_threadsafe(loop.stop)
+        eng.shutdown()
+
+
+def test_gateway_proxies_and_balances(two_workers):
+    from sglang_tpu.gateway import GatewayProcess
+
+    gw = GatewayProcess(0, two_workers, policy="round_robin")
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        assert httpx.get(base + "/gateway/health", timeout=10).text == "ok"
+        for i in range(4):
+            r = httpx.post(base + "/generate", json={
+                "input_ids": [5 + i, 6, 7],
+                "sampling_params": {"max_new_tokens": 4, "temperature": 0.0,
+                                    "ignore_eos": True},
+            }, timeout=60)
+            assert r.status_code == 200, r.text
+            assert len(r.json()["output_ids"]) == 4
+        info = httpx.get(base + "/gateway/workers", timeout=10).json()
+        totals = [w["total"] for w in info["workers"]]
+        assert sum(totals) == 4
+        assert all(t == 2 for t in totals), totals  # round robin
+    finally:
+        gw.stop()
+
+
+def test_gateway_cache_aware_stickiness(two_workers):
+    from sglang_tpu.gateway import GatewayProcess
+
+    gw = GatewayProcess(0, two_workers, policy="cache_aware",
+                        cache_threshold=0.4)
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        prompt_a = "alpha " * 20
+        prompt_b = "bravo " * 20
+        for _ in range(3):
+            for p in (prompt_a, prompt_b):
+                r = httpx.post(base + "/generate", json={
+                    "prompt": p,
+                    "sampling_params": {"max_new_tokens": 2,
+                                        "temperature": 0.0,
+                                        "ignore_eos": True},
+                }, timeout=60)
+                assert r.status_code == 200, r.text
+        info = httpx.get(base + "/gateway/workers", timeout=10).json()
+        totals = sorted(w["total"] for w in info["workers"])
+        # both prompts repeat -> each should stick to one worker (3, 3)
+        assert totals == [3, 3], totals
+    finally:
+        gw.stop()
+
+
+def test_gateway_sse_stream_relay(two_workers):
+    from sglang_tpu.gateway import GatewayProcess
+
+    gw = GatewayProcess(0, two_workers)
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        with httpx.stream("POST", base + "/generate", json={
+            "input_ids": [9, 9, 9],
+            "stream": True,
+            "sampling_params": {"max_new_tokens": 6, "temperature": 0.0,
+                                "ignore_eos": True},
+        }, timeout=60) as r:
+            assert r.status_code == 200
+            chunks = [c for c in r.iter_text() if c.strip()]
+        assert any("output_ids" in c for c in chunks)
+    finally:
+        gw.stop()
