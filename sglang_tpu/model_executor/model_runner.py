@@ -447,9 +447,16 @@ class ModelRunner:
     def _embed_impl(self, params, kv_cache, packed, *, B, L, P):
         """Embedding forward: last-token hidden state, L2-normalized
         (e5-mistral-style last-token pooling; reference: embedding models
-        served via ``is_embedding`` + ``layers/pooler.py``)."""
+        served via ``is_embedding`` + ``layers/pooler.py``).  Reward /
+        classification models override ``compute_score`` and return raw
+        score-head logits instead (reference reward-model classes)."""
         batch = unpack_extend_batch(packed, B, L, P)
         hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
+        if hasattr(self.model, "compute_score"):
+            return (
+                self.model.compute_score(params, hidden).astype(jnp.float32),
+                kv_cache,
+            )
         hf = hidden.astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(hf * hf, axis=-1, keepdims=True) + 1e-12)
         return hf / norm, kv_cache

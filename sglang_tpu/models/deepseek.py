@@ -416,4 +416,10 @@ class DeepseekV3ForCausalLM(DeepseekV2ForCausalLM):
     pass
 
 
-EntryClass = [DeepseekV2ForCausalLM, DeepseekV3ForCausalLM]
+class KimiK2ForCausalLM(DeepseekV3ForCausalLM):
+    """Kimi-K2 ships the DeepSeek-V3 architecture (reference
+    srt/models/kimi* — MLA + noaux_tc MoE); config differences are all
+    data-driven."""
+
+
+EntryClass = [DeepseekV2ForCausalLM, DeepseekV3ForCausalLM, KimiK2ForCausalLM]

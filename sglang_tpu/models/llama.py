@@ -376,6 +376,19 @@ class LlamaForCausalLM:
             x, w, self.config.rms_norm_eps, offset=self.norm_offset
         )
 
+    def _apply_rope(self, x, cos, sin, rot_half, d):
+        """Half-split rope on [B, Lq, h, d] (GLM overrides with its
+        interleaved-frequency variant)."""
+        xf = x.astype(jnp.float32)
+        x1, x2 = xf[..., :rot_half], xf[..., rot_half : 2 * rot_half]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        if 2 * rot_half < d:
+            return jnp.concatenate(
+                [o1, o2, xf[..., 2 * rot_half :]], axis=-1
+            ).astype(x.dtype)
+        return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
     def forward(
         self,
         params: Dict[str, Any],
@@ -440,16 +453,8 @@ class LlamaForCausalLM:
 
             return proj
 
-        def rope(x, cos, sin):  # [B, Lq, h, d] half-split layout
-            xf = x.astype(jnp.float32)
-            x1, x2 = xf[..., :rot_half], xf[..., rot_half : 2 * rot_half]
-            o1 = x1 * cos - x2 * sin
-            o2 = x2 * cos + x1 * sin
-            if 2 * rot_half < d:
-                return jnp.concatenate(
-                    [o1, o2, xf[..., 2 * rot_half :]], axis=-1
-                ).astype(x.dtype)
-            return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        def rope(x, cos, sin):
+            return self._apply_rope(x, cos, sin, rot_half, d)
 
         def layer_fn(carry, xs):
             h, kv, li = carry
