@@ -1,0 +1,83 @@
+"""EPLB placement math + debug dump/compare utilities."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_server_args
+
+
+def test_balanced_placement_reduces_imbalance():
+    from sglang_tpu.eplb import balanced_placement, placement_imbalance
+
+    rng = np.random.RandomState(0)
+    L, E, ep = 4, 16, 4
+    counts = (rng.zipf(1.5, size=(L, E)) * 100).astype(np.int64)
+    identity = np.tile(np.arange(E), (L, 1))
+    before = placement_imbalance(counts, identity, ep)
+    perm = balanced_placement(counts, ep)
+    after = placement_imbalance(counts, perm, ep)
+    assert after <= before
+    # without replication the floor is the single hottest expert's share
+    lb = max(
+        counts[l].max() / max(counts[l].sum() / ep, 1) for l in range(L)
+    )
+    assert after <= max(lb * 1.05, 1.25), (after, lb)
+    # every permutation row is a true permutation
+    for l in range(L):
+        assert sorted(perm[l]) == list(range(E))
+
+
+def test_expert_permutation_preserves_outputs():
+    """Permuting expert placement (weights + gate columns together) must
+    not change model outputs — the core EPLB invariant."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.eplb import apply_expert_permutation
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_moe import TINY_MOE_HF
+
+    cfg = ModelConfig.from_hf_dict(TINY_MOE_HF, dtype="float32")
+    args = make_server_args()
+    runner = ModelRunner(args, model_config=cfg)
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+        base = eng.generate(input_ids=[4, 5, 6, 7], sampling_params=dict(sp))
+
+        E = cfg.num_experts
+        L = cfg.num_hidden_layers
+        rng = np.random.RandomState(1)
+        perm = np.stack([rng.permutation(E) for _ in range(L)])
+        runner.params = apply_expert_permutation(runner.params, perm)
+        eng.flush_cache()
+        out = eng.generate(input_ids=[4, 5, 6, 7], sampling_params=dict(sp))
+        assert out["output_ids"] == base["output_ids"]
+    finally:
+        eng.shutdown()
+
+
+def test_dump_and_compare(tmp_path):
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.debug_utils import TensorDumper, compare_dumps
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import make_tiny_config
+
+    outs = []
+    for run in ("a", "b"):
+        args = make_server_args()
+        runner = ModelRunner(args, model_config=make_tiny_config())
+        TensorDumper.attach(runner, str(tmp_path / run))
+        eng = Engine(server_args=args, model_runner=runner)
+        try:
+            outs.append(eng.generate(
+                input_ids=[1, 2, 3, 4],
+                sampling_params={"max_new_tokens": 6, "temperature": 0.0,
+                                 "ignore_eos": True},
+            ))
+        finally:
+            eng.shutdown()
+    assert outs[0]["output_ids"] == outs[1]["output_ids"]
+    reports = compare_dumps(str(tmp_path / "a"), str(tmp_path / "b"))
+    assert reports, "no dumps recorded"
+    assert all(r["status"] == "match" for r in reports), reports
