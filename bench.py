@@ -19,12 +19,17 @@ import time
 
 import numpy as np
 
-from __graft_entry__ import FLAGSHIP_HF, TINY_HF
+from __graft_entry__ import FLAGSHIP8B_HF, FLAGSHIP_HF, TINY_HF
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["flagship", "tiny"], default="flagship")
+    ap.add_argument(
+        "--model",
+        choices=["flagship", "tiny", "8b-awq", "8b-fp8", "1b-fp8",
+                 "8b-int8", "1b-int8"],
+        default="flagship",
+    )
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--gen-len", type=int, default=128)
@@ -36,7 +41,33 @@ def main():
     from sglang_tpu.model_executor.model_runner import ModelRunner
     from sglang_tpu.server_args import ServerArgs
 
-    hf = FLAGSHIP_HF if args.model == "flagship" else TINY_HF
+    hf = {
+        "flagship": FLAGSHIP_HF,
+        "tiny": TINY_HF,
+        "8b-awq": dict(
+            FLAGSHIP8B_HF,
+            quantization_config={"quant_method": "awq", "bits": 4,
+                                 "group_size": 128},
+        ),
+        "8b-fp8": dict(
+            FLAGSHIP8B_HF,
+            quantization_config={"quant_method": "fp8",
+                                 "activation_scheme": "dynamic"},
+        ),
+        "1b-fp8": dict(
+            FLAGSHIP_HF,
+            quantization_config={"quant_method": "fp8",
+                                 "activation_scheme": "dynamic"},
+        ),
+        "8b-int8": dict(
+            FLAGSHIP8B_HF,
+            quantization_config={"quant_method": "w8a8_int8"},
+        ),
+        "1b-int8": dict(
+            FLAGSHIP_HF,
+            quantization_config={"quant_method": "w8a8_int8"},
+        ),
+    }[args.model]
     total_tokens = args.batch * (args.prompt_len + args.gen_len + 64)
     server_args = ServerArgs(
         model_path=f"dummy://{args.model}",
@@ -85,7 +116,7 @@ def main():
     eng.shutdown()
 
     result = {
-        "metric": f"offline_decode_throughput_{args.model}_bf16_bs{args.batch}_1chip",
+        "metric": f"offline_decode_throughput_{args.model}_bs{args.batch}_1chip",
         "value": round(value, 1),
         "unit": "tok/s",
         "vs_baseline": round(value / 3800.0, 3),

@@ -300,35 +300,70 @@ def quant_linear(
     method: str,
     backend: str = "xla",
     out_features: Optional[int] = None,
+    layer_idx=None,  # set → w leaves are FULL [L, ...] stacks (no scan slice)
 ) -> jnp.ndarray:
     """Apply a quantized projection; returns [..., out_features].
 
     ``out_features`` trims the PACK_BLOCK padding (int4 layouts only).
+    With ``layer_idx``, the packed stacks are indexed INSIDE the Pallas
+    kernel via scalar prefetch — a lax.scan slice would materialize a
+    full per-layer copy of the packed weights every step.
     """
     lead = x.shape[:-1]
     xin = x.reshape(-1, x.shape[-1])
+
+    def _leaf(name):
+        if layer_idx is None:
+            return w[name]
+        return w[name]  # full stack; kernels index, fallbacks slice
+
+    def _sliced(name):
+        if layer_idx is None:
+            return w[name]
+        return jax.lax.dynamic_index_in_dim(
+            w[name], layer_idx, axis=0, keepdims=False
+        )
+
     if method in ("awq", "gptq"):
         y = None
         if backend == "pallas":
-            from sglang_tpu.ops.quant_gemm import int4_matmul
-
             try:  # trace-time shape conformance check
-                y = int4_matmul(xin, w["qw"], w["scale"], w["zero"])
+                if layer_idx is not None:
+                    from sglang_tpu.ops.quant_gemm import int4_matmul_stacked
+
+                    y = int4_matmul_stacked(
+                        xin, w["qw"], w["scale"], w["zero"],
+                        jnp.asarray(layer_idx, jnp.int32),
+                    )
+                else:
+                    from sglang_tpu.ops.quant_gemm import int4_matmul
+
+                    y = int4_matmul(xin, w["qw"], w["scale"], w["zero"])
             except ValueError:
                 y = None
         if y is None:
-            wd = dequant_int4(w["qw"], w["scale"], w["zero"], x.dtype)
+            wd = dequant_int4(
+                _sliced("qw"), _sliced("scale"), _sliced("zero"), x.dtype
+            )
             y = xin @ wd
         if out_features is not None and y.shape[-1] != out_features:
             y = y[:, :out_features]
     elif method == "fp8":
-        K, N = w["qw"].shape
+        K, N = w["qw"].shape[-2:]
         if backend == "pallas" and K % 512 == 0 and N % 512 == 0:
-            from sglang_tpu.ops.quant_gemm import fp8_matmul
+            if layer_idx is not None:
+                from sglang_tpu.ops.quant_gemm import fp8_matmul_stacked
 
-            y = fp8_matmul(xin, w["qw"], w["scale"])
+                y = fp8_matmul_stacked(
+                    xin, w["qw"], w["scale"],
+                    jnp.asarray(layer_idx, jnp.int32),
+                )
+            else:
+                from sglang_tpu.ops.quant_gemm import fp8_matmul
+
+                y = fp8_matmul(xin, w["qw"], w["scale"])
         else:
-            wd = w["qw"].astype(x.dtype) * w["scale"].astype(x.dtype)
+            wd = _sliced("qw").astype(x.dtype) * _sliced("scale").astype(x.dtype)
             y = xin @ wd
     elif method == "w8a8_int8":
         # Per-token dynamic activation quant + int8 MXU matmul (v5e runs
@@ -340,12 +375,13 @@ def quant_linear(
         ).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq,
-            w["qw"],
+            _sliced("qw"),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         y = (
-            acc.astype(jnp.float32) * x_scale * w["scale"].astype(jnp.float32)
+            acc.astype(jnp.float32) * x_scale
+            * _sliced("scale").astype(jnp.float32)
         ).astype(x.dtype)
     else:
         raise ValueError(f"unknown quant method {method!r}")

@@ -432,19 +432,28 @@ class LlamaForCausalLM:
 
         qc = c.quant_config
         proj_out = {k: v[2] for k, v in self._proj_dims().items()}
+        # Quantized [L, ...] stacks stay OUT of the scan xs — a scan
+        # slice would materialize a full per-layer copy of the packed
+        # weights every step; the Pallas kernels index the stack by the
+        # layer counter via scalar prefetch instead.
+        quant_stacks = {
+            k: v
+            for k, v in params["layers"].items()
+            if isinstance(v, dict) and "qw" in v
+        }
 
-        def make_proj(w, la, lb):
+        def make_proj(w, la, lb, li):
             def proj(x, name):
-                wn = w[name]
-                if isinstance(wn, dict) and "qw" in wn:
+                if name in quant_stacks:
                     # quantized base weight (LoRA deltas still apply in
                     # bf16 on top — S-LoRA over a quantized base)
                     y = quant_linear(
-                        x, wn, qc.method, c.quant_backend,
+                        x, quant_stacks[name], qc.method, c.quant_backend,
                         out_features=proj_out.get(name),
+                        layer_idx=li,
                     )
                 else:
-                    y = x @ wn
+                    y = x @ w[name]
                 if name in la:
                     y = y + lora_delta(
                         x, la[name], lb[name], adapter_idx, lora_scaling
@@ -459,7 +468,7 @@ class LlamaForCausalLM:
         def layer_fn(carry, xs):
             h, kv, li = carry
             w, inv_freq, window, la, lb = xs
-            proj = make_proj(w, la, lb)
+            proj = make_proj(w, la, lb, li)
             angles = pos_f * inv_freq  # [B, Lq, rot/2]
             cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
             sin = jnp.sin(angles)[..., None, :]
@@ -515,8 +524,13 @@ class LlamaForCausalLM:
         pp = (
             self.mesh_ctx.parallel.pp_size if self.mesh_ctx is not None else 1
         )
+        scan_layers = {
+            k: v
+            for k, v in params["layers"].items()
+            if not (isinstance(v, dict) and "qw" in v)
+        }
         xs_all = (
-            params["layers"],
+            scan_layers,
             self.per_layer_inv_freq(),
             self.per_layer_window(),
             lora_a,

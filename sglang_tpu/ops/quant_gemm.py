@@ -48,21 +48,33 @@ def _int4_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_scr):
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # Mosaic supports uint8→int32 casts but not uint8→float or uint8
-    # shifts; widen first, then unpack in int32.
+    # Dequantization FACTORS OUT of the matmul:
+    #   y[m,n] = Σ_g s[g,n]·(Σ_{k∈g} x[m,k]·q[k,n]) − Σ_g s[g,n]z[g,n]·xsum[m,g]
+    # so the kernel matmuls the RAW 4-bit levels per group on the MXU and
+    # applies (scale, scale·zero) in a tiny [BT, BN] epilogue — the VPU
+    # only pays unpack+convert (~3 ops/weight vs ~6 for materialized
+    # dequant), which dominated this bandwidth-bound GEMM.
+    # (Mosaic supports uint8→int32 casts but not uint8→float or uint8
+    # shifts; widen first, then unpack in int32.)
     w32 = qw_ref[...].astype(jnp.int32)  # [bk, BN/2]
     lo = w32 & 0xF
     hi = (w32 >> 4) & 0xF
-    wq = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [bk, BN]
+    wq = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # [bk, BN]
     s = s_ref[...]  # [n_groups, BN] f32
     z = z_ref[...]
-    wg = wq.reshape(n_groups, g, BN)
-    wd = ((wg - z[:, None, :]) * s[:, None, :]).astype(jnp.bfloat16)
-    acc_scr[...] += jnp.dot(
-        x_ref[...].astype(jnp.bfloat16),
-        wd.reshape(bk, BN),
-        preferred_element_type=jnp.float32,
-    )
+    x = x_ref[...].astype(jnp.bfloat16)  # [BT, bk]
+    acc = acc_scr[...]
+    for gi in range(n_groups):
+        xg = x[:, gi * g : (gi + 1) * g]
+        part = jnp.dot(
+            xg, wq[gi * g : (gi + 1) * g, :],
+            preferred_element_type=jnp.float32,
+        )  # [BT, BN]
+        xsum = jnp.sum(
+            xg.astype(jnp.float32), axis=1, keepdims=True
+        )  # [BT, 1]
+        acc = acc + part * s[gi][None, :] - xsum * (s[gi] * z[gi])[None, :]
+    acc_scr[...] = acc
 
     @pl.when(ki == nk - 1)
     def _():
@@ -127,9 +139,12 @@ def _fp8_kernel(x_ref, qw_ref, s_ref, o_ref, acc_scr):
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    wd = (
-        qw_ref[...].astype(jnp.float32) * s_ref[...].astype(jnp.float32)
-    ).astype(jnp.bfloat16)
+    # The per-out-channel scale FACTORS OUT of the contraction:
+    # y[m,n] = s[n]·Σ_k x·w8 — so the matmul runs on the raw fp8 levels
+    # (one convert per weight, the only VPU touch) and the scale lands in
+    # a [BT, BN] epilogue on the final K step.  Scaling each weight
+    # in-kernel cost 3 VPU ops/elem and made fp8 SLOWER than bf16.
+    wd = qw_ref[...].astype(jnp.bfloat16)
     acc_scr[...] += jnp.dot(
         x_ref[...].astype(jnp.bfloat16), wd,
         preferred_element_type=jnp.float32,
@@ -137,7 +152,9 @@ def _fp8_kernel(x_ref, qw_ref, s_ref, o_ref, acc_scr):
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+        o_ref[...] = (
+            acc_scr[...] * s_ref[...].astype(jnp.float32)
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -178,4 +195,127 @@ def fp8_matmul(
         ),
         interpret=interpret,
     )(x, qw, scale)
+    return out[:T] if Tp != T else out
+
+
+# ---------------------------------------------------------------------------
+# Stacked-layer variants: the [L, ...] quantized weight stacks stay OUT of
+# the lax.scan xs (scan's dynamic-slice would materialize a full copy of
+# every layer's packed weights per step — profiler-verified ~30% of the
+# 8B-AWQ decode step); the kernel indexes the layer via scalar prefetch.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_stacked(
+    x: jnp.ndarray,  # [T, K]
+    qw: jnp.ndarray,  # uint8 [L, K, N/2]
+    scale: jnp.ndarray,  # f32 [L, K/g, N]
+    zero: jnp.ndarray,  # f32 [L, K/g, N]
+    layer_idx: jnp.ndarray,  # scalar int32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, K = x.shape
+    L, _, N2 = qw.shape
+    N = N2 * 2
+    KG = scale.shape[1]
+    g = K // KG
+    n_groups = min(8, KG)
+    bk = n_groups * g
+    if K % bk or N % BN or K != KG * g:
+        raise ValueError(f"int4_matmul: non-conforming shapes K={K} N={N} g={g}")
+
+    BT = min(256, max(16, -(-T // 16) * 16))
+    Tp = -(-T // BT) * BT
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+
+    grid = (Tp // BT, N // BN, K // bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, bk), lambda t, n, k, li: (t, k)),
+            pl.BlockSpec(
+                (1, bk, BN // 2), lambda t, n, k, li: (li[0], k, n)
+            ),
+            pl.BlockSpec(
+                (1, n_groups, BN), lambda t, n, k, li: (li[0], k, n)
+            ),
+            pl.BlockSpec(
+                (1, n_groups, BN), lambda t, n, k, li: (li[0], k, n)
+            ),
+        ],
+        out_specs=pl.BlockSpec((BT, BN), lambda t, n, k, li: (t, n)),
+        scratch_shapes=[pltpu.VMEM((BT, BN), jnp.float32)],
+    )
+
+    def kern(li_ref, x_ref, qw_ref, s_ref, z_ref, o_ref, acc_scr):
+        _int4_kernel(
+            x_ref, qw_ref.at[0], s_ref.at[0], z_ref.at[0], o_ref, acc_scr
+        )
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * K * N,
+            bytes_accessed=K * N // 2 + Tp * K * 2 + Tp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_idx.reshape(1).astype(jnp.int32), x, qw, scale, zero)
+    return out[:T] if Tp != T else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fp8_matmul_stacked(
+    x: jnp.ndarray,  # [T, K]
+    qw: jnp.ndarray,  # fp8 [L, K, N]
+    scale: jnp.ndarray,  # f32 [L, 1, N]
+    layer_idx: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, K = x.shape
+    L, _, N = qw.shape
+    assert K % BK == 0 and N % BN == 0, (K, N)
+
+    BT = min(256, max(16, -(-T // 16) * 16))
+    Tp = -(-T // BT) * BT
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+
+    grid = (Tp // BT, N // BN, K // BK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, BK), lambda t, n, k, li: (t, k)),
+            pl.BlockSpec((1, BK, BN), lambda t, n, k, li: (li[0], k, n)),
+            pl.BlockSpec((1, 1, BN), lambda t, n, k, li: (li[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((BT, BN), lambda t, n, k, li: (t, n)),
+        scratch_shapes=[pltpu.VMEM((BT, BN), jnp.float32)],
+    )
+
+    def kern(li_ref, x_ref, qw_ref, s_ref, o_ref, acc_scr):
+        _fp8_kernel(x_ref, qw_ref.at[0], s_ref.at[0], o_ref, acc_scr)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * K * N,
+            bytes_accessed=K * N + Tp * K * 2 + Tp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_idx.reshape(1).astype(jnp.int32), x, qw, scale)
     return out[:T] if Tp != T else out
