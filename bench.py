@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--gen-len", type=int, default=128)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--page-size", type=int, default=32)
     args = ap.parse_args()
 
     from sglang_tpu.configs.model_config import ModelConfig
@@ -74,7 +75,7 @@ def main():
         tokenizer_path="test:byte",
         load_format="dummy",
         dtype="bfloat16",
-        page_size=32,
+        page_size=args.page_size,
         max_total_tokens=total_tokens,
         max_prefill_tokens=args.batch * args.prompt_len,
         chunked_prefill_size=args.batch * args.prompt_len,

@@ -78,6 +78,9 @@ class QuantConfig:
     desc_act: bool = False
     # fp8: per-tensor vs per-channel weight scales
     fp8_per_channel: bool = False
+    # fp8 checkpoint transcoded to int8 execution (v5e has a native int8
+    # MXU path; fp8->bf16 converts are VPU-emulated and slow)
+    src_fp8: bool = False
     modules_to_not_convert: List[str] = field(default_factory=list)
 
     @staticmethod
@@ -259,6 +262,18 @@ def make_gptq_unpack_qzeros(v2: bool):
     return tf
 
 
+def fp8_weight_to_int8(t: np.ndarray):
+    """fp8 [out, in] checkpoint tensor → int8 execution leaves:
+    transpose to [in, out], per-out-channel requant of the raw fp8
+    LEVELS (the checkpoint's own weight_scale stays in 'scale'; the
+    requant scale lands in 'scale2'; effective scale = scale·scale2)."""
+    w = np.ascontiguousarray(t.T).astype(np.float32)  # [in, out]
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    s2 = np.maximum(amax / 127.0, 1e-12)
+    qw = np.clip(np.round(w / s2), -127, 127).astype(np.int8)
+    return {"qw": qw, "scale2": s2.astype(np.float32)}
+
+
 def pad_scales(t: np.ndarray) -> np.ndarray:
     """AWQ/GPTQ scales [in/g, out] → padded to PACK_BLOCK out columns.
     Padding scale is 1.0 so padded (q=0, zero=0) columns dequant to 0."""
@@ -379,9 +394,11 @@ def quant_linear(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+        w_scale = _sliced("scale").astype(jnp.float32)
+        if "scale2" in w:  # fp8 checkpoint transcoded to int8 execution
+            w_scale = w_scale * _sliced("scale2").astype(jnp.float32)
         y = (
-            acc.astype(jnp.float32) * x_scale
-            * _sliced("scale").astype(jnp.float32)
+            acc.astype(jnp.float32) * x_scale * w_scale
         ).astype(x.dtype)
     else:
         raise ValueError(f"unknown quant method {method!r}")

@@ -132,6 +132,21 @@ class ModelRunner:
             devices=devices,
         )
 
+        # ---- quant execution rewrite (before the model builds its
+        # param schema): fp8 checkpoints can transcode to int8 exec ----
+        qc = model_config.quant_config
+        if (
+            qc is not None
+            and qc.method == "fp8"
+            and server_args.quant_execution == "int8"
+        ):
+            import dataclasses
+
+            model_config.quant_config = dataclasses.replace(
+                qc, method="w8a8_int8", src_fp8=True
+            )
+            logger.info("fp8 checkpoint will execute as per-channel int8")
+
         # ---- model + weights ----
         model_cls = get_model_class(model_config)
         self.model = model_cls(model_config, mesh_ctx=self.mesh_ctx)

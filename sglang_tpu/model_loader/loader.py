@@ -146,7 +146,7 @@ def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
                         sub, shape, info.min, int(info.max) + 1,
                         dtype=jnp.int32,
                     ).astype(leaf_dtype)
-                elif leaf == "scale":
+                elif leaf.startswith("scale"):
                     # dequantized std ≈ levels_std * scale; target std
                     # 1/sqrt(fan) → scale ≈ 0.3/sqrt(fan) (+jitter)
                     fan = (
@@ -252,6 +252,21 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                 tensor = tensor.T
             elif callable(transform):
                 tensor = transform(tensor)
+            if isinstance(tensor, dict):
+                # multi-leaf transform (e.g. fp8→int8 transcode emits the
+                # requantized weight AND its requant scale together)
+                for sub, arr in tensor.items():
+                    subdest = _tree_get(host, f"{path}.{sub}")
+                    if layer_idx is None:
+                        np.copyto(subdest, arr.astype(subdest.dtype, copy=False))
+                    else:
+                        np.copyto(
+                            subdest[layer_idx],
+                            arr.astype(subdest.dtype, copy=False),
+                        )
+                    seen.add((f"{path}.{sub}", layer_idx))
+                n_loaded += 1
+                continue
             dest = _tree_get(host, path)
             if layer_idx is None:
                 np.copyto(dest, tensor.astype(dest.dtype, copy=False))

@@ -118,10 +118,15 @@ class LlamaForCausalLM:
                 "scale": ParamShape((L, 1, dout), jnp.float32, fan=din),
             }
         if qc.method == "w8a8_int8":
-            return {
+            leaves = {
                 "qw": ParamShape((L, din, dout), jnp.int8, fan=din),
                 "scale": ParamShape((L, 1, dout), jnp.float32, fan=din),
             }
+            if qc.src_fp8:  # fp8 checkpoint requant factor
+                leaves["scale2"] = ParamShape(
+                    (L, 1, dout), jnp.float32, fan=din
+                )
+            return leaves
         raise ValueError(qc.method)
 
     def _proj_shape(self, name: str, L: int) -> Any:
@@ -282,6 +287,14 @@ class LlamaForCausalLM:
                 table[f"{hf_mod}.scales"] = (
                     f"layers.{name}.scale", pad_scales)
                 table[f"{hf_mod}.g_idx"] = None  # trivial order only
+            elif qc.src_fp8:  # fp8 ckpt → int8 exec: requant at load
+                from sglang_tpu.layers.quantization import fp8_weight_to_int8
+
+                table[f"{hf_mod}.weight"] = (
+                    f"layers.{name}", fp8_weight_to_int8)  # dict transform
+                table[f"{hf_mod}.weight_scale"] = (
+                    f"layers.{name}.scale", scale_row)
+                table[f"{hf_mod}.input_scale"] = None
             else:  # fp8 / w8a8_int8: plain [out,in] weight + scale
                 table[f"{hf_mod}.weight"] = (
                     f"layers.{name}.qw", t_transpose)

@@ -211,3 +211,46 @@ def test_dummy_quant_engine_serves(tmp_path):
         assert len(out["output_ids"]) == 8
     finally:
         eng.shutdown()
+
+
+def test_fp8_checkpoint_int8_execution(fp8_pair_dirs):
+    """--quant-execution int8: the fp8 checkpoint transcodes to
+    per-channel int8 at load; outputs must track the dense reference
+    closely (requant noise only)."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    df, dd = fp8_pair_dirs
+    args = make_server_args(
+        model_path=df, load_format="safetensors", dtype="float32",
+        quant_execution="int8",
+    )
+    cfg = ModelConfig.from_model_path(df, dtype="float32")
+    runner = ModelRunner(args, model_config=cfg)
+    assert runner.model_config.quant_config.method == "w8a8_int8"
+    assert runner.model_config.quant_config.src_fp8
+    ei = Engine(server_args=args, model_runner=runner)
+    ed = _make_engine(dd)
+    try:
+        prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+        sp = {"max_new_tokens": 8, "temperature": 0.0, "return_logprob": True}
+        oi = ei.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        li = [t[0] for t in oi["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        # int8 act+weight requant noise: greedy paths of a RANDOM tiny
+        # model diverge once any near-tie flips, so compare the common
+        # prefix (must be non-trivial) and its logprobs (must be close).
+        import numpy as _np
+        prefix = 0
+        for a, b in zip(oi["output_ids"], od["output_ids"]):
+            if a != b:
+                break
+            prefix += 1
+        assert prefix >= 3, (oi["output_ids"], od["output_ids"])
+        diff = _np.abs(_np.array(li[:prefix]) - _np.array(ld[:prefix]))
+        assert diff.max() < 0.35, (li, ld)
+    finally:
+        ei.shutdown()
+        ed.shutdown()
