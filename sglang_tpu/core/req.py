@@ -99,6 +99,10 @@ class Req:
         # embedding request (Engine.encode): pooled vector lands here
         self.is_embedding = False
         self.embedding = None
+        # multimodal: rows for sentinel prompt positions (fill_ids[j] < 0
+        # means "use input_embeds[-fill_ids[j] - 1]" instead of the token
+        # embedding; reference Req.input_embeds / multimodal inputs)
+        self.input_embeds = None  # Optional[np.ndarray [n_embeds, H]]
 
         # streaming bookkeeping (tokens already sent to detokenizer)
         self.sent_output_len = 0

@@ -76,6 +76,23 @@ class HostBatch:
         )
         return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
 
+    def has_input_embeds(self) -> bool:
+        return any(r.input_embeds is not None for r in self.reqs)
+
+    def pack_embeds(self, B: int, L: int, hidden_size: int) -> np.ndarray:
+        """[B, L, H] f32 rows for sentinel (negative-id) prompt positions
+        of this chunk; zero elsewhere (multimodal embedding splice)."""
+        buf = np.zeros((B, L, hidden_size), np.float32)
+        for i, (req, n_new) in enumerate(zip(self.reqs, self.extend_lens)):
+            if req.input_embeds is None:
+                continue
+            start = req.cached_len
+            toks = req.fill_ids[start : start + n_new]
+            for j, t in enumerate(toks):
+                if t < 0:
+                    buf[i, j] = req.input_embeds[-t - 1]
+        return buf
+
     # -------------------------------------------------------------- decode
     def pack_decode(
         self, page_size: int, B: int, P: int, K: int

@@ -332,9 +332,13 @@ class Scheduler:
     def _match_and_lock_prefix(self, req: Req):
         """Prefix-match the request on arrival to the batch
         (reference scheduler.py:1679 → radix_cache.py:355)."""
-        if self.radix.disable or req.lora_slot:
-            # LoRA KV differs per adapter; the tree is keyed by tokens only,
-            # so adapter requests bypass the shared prefix cache.
+        if (
+            self.radix.disable or req.lora_slot
+            or req.input_embeds is not None
+        ):
+            # LoRA KV differs per adapter, and multimodal sentinel ids
+            # would collide across different images; the tree is keyed by
+            # tokens only, so these requests bypass the shared prefix cache.
             req.pages = []
             req.prefix_pages_len = 0
             req.cached_len = 0
@@ -383,7 +387,7 @@ class Scheduler:
     def _cache_unfinished(self, req: Req):
         """Share mid-stream KV via the radix tree and adopt tree pages
         (reference cache_unfinished_req radix_cache.py:488)."""
-        if self.radix.disable or req.lora_slot:
+        if self.radix.disable or req.lora_slot or req.input_embeds is not None:
             return
         aligned = req.cached_len // self.page_size * self.page_size
         n_pages = aligned // self.page_size
@@ -416,7 +420,7 @@ class Scheduler:
         (reference cache_finished_req radix_cache.py:437)."""
         if self.spec_algo == "eagle":
             self._release_spec_slot(req)
-        if self.radix.disable or req.lora_slot:
+        if self.radix.disable or req.lora_slot or req.input_embeds is not None:
             if req.pages:
                 self.allocator.free(req.pages)
                 req.pages = []
@@ -641,7 +645,14 @@ class Scheduler:
                 and adapter_idx is None and tl_k == 0
                 and all(self._assign_spec_slot(r) for r in batch.reqs)
             )
-            if use_eagle:
+            embeds = (
+                batch.pack_embeds(
+                    B, L, self.runner.model_config.hidden_size
+                )
+                if batch.has_input_embeds()
+                else None
+            )
+            if use_eagle and embeds is None:
                 slot_idx = np.asarray(
                     [r.spec_slot for r in batch.reqs]
                     + [-1] * (B - len(batch.reqs)), np.int32,
@@ -652,7 +663,7 @@ class Scheduler:
             else:
                 tokens, logprobs, toplp = self.runner.extend_step(
                     packed, st_packed, B, L, P, pen=pen, vmask=vmask,
-                    adapter_idx=adapter_idx, tl_k=tl_k,
+                    adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
                 )
             self._process_prefill_result(
                 batch, tokens, logprobs, toplp, spec_valid=use_eagle

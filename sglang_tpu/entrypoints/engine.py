@@ -80,6 +80,11 @@ class Engine:
         else:
             self.tokenizer = None
 
+        # multimodal: vision tower + projector for VLM checkpoints
+        # (reference multimodal_processor.py); built after the scheduler
+        # exposes the model config — safetensors loads only
+        self.mm_processor = None
+
         from sglang_tpu.constrained import GrammarManager
 
         self.grammar_manager = (
@@ -118,6 +123,20 @@ class Engine:
             )
             self.scheduler.runner.lora_manager = self.lora_manager
 
+        cfg = self.scheduler.runner.model_config
+        if any("Llava" in a for a in cfg.architectures) and (
+            server_args.load_format in ("auto", "safetensors")
+        ):
+            from sglang_tpu.multimodal import MultimodalProcessor
+
+            self.mm_processor = MultimodalProcessor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info(
+                "Multimodal processor ready (%d patches per image)",
+                self.mm_processor.n_patches,
+            )
+
         self._sched_thread = threading.Thread(
             target=self.scheduler.event_loop, name="scheduler", daemon=True
         )
@@ -144,6 +163,7 @@ class Engine:
         stream: bool,
         rid: Optional[str],
         lora_path: Optional[str] = None,
+        images=None,
     ) -> _ReqState:
         if isinstance(sampling_params, SamplingParams):
             sp = sampling_params
@@ -153,6 +173,16 @@ class Engine:
             assert prompt is not None, "need prompt or input_ids"
             assert self.tokenizer is not None, "no tokenizer configured"
             input_ids = self.tokenizer.encode(prompt)
+        input_embeds = None
+        if images:
+            if self.mm_processor is None:
+                raise ValueError(
+                    "images given but the model has no vision tower"
+                )
+            input_embeds = self.mm_processor.encode_images(images)
+            input_ids = self.mm_processor.expand_prompt(
+                list(input_ids), len(images)
+            )
         if len(input_ids) == 0:
             raise ValueError("input must contain at least one token")
         if self.scheduler.dead:
@@ -172,6 +202,8 @@ class Engine:
             if self.lora_manager is None:
                 raise ValueError("lora_path given but --enable-lora is off")
             req.lora_slot = self.lora_manager.slot_of(lora_path)
+        if input_embeds is not None:
+            req.input_embeds = input_embeds
         if sp.regex or sp.json_schema or sp.ebnf:
             if self.grammar_manager is None:
                 raise ValueError("constrained decoding requires a tokenizer")
@@ -278,6 +310,7 @@ class Engine:
         stream: bool = False,
         rid: Optional[str] = None,
         lora_path: Optional[str] = None,
+        images=None,  # list of PIL images / [H, W, 3] arrays (VLMs)
     ):
         """Synchronous generation (reference Engine.generate,
         entrypoints/engine.py:247). Accepts a single prompt or a batch."""
@@ -298,7 +331,8 @@ class Engine:
             return [self._wait_final(s) for s in states]
 
         state = self._make_req(
-            prompt, input_ids, sampling_params, stream, rid, lora_path
+            prompt, input_ids, sampling_params, stream, rid, lora_path,
+            images=images,
         )
         self.scheduler.add_request(state.req)
         if stream:
@@ -327,9 +361,11 @@ class Engine:
         stream: bool = False,
         rid: Optional[str] = None,
         lora_path: Optional[str] = None,
+        images=None,
     ):
         state = self._make_req(
-            prompt, input_ids, sampling_params, stream, rid, lora_path
+            prompt, input_ids, sampling_params, stream, rid, lora_path,
+            images=images,
         )
         state.loop = asyncio.get_running_loop()
         state.async_queue = asyncio.Queue()

@@ -506,6 +506,7 @@ class HttpServer:
         if not req.messages:
             return _error("messages must be non-empty")
         sp = req.to_sampling_dict(self.server_args.max_new_tokens_default)
+        images = _extract_images([m.model_dump() if hasattr(m, "model_dump") else m for m in req.messages]) or None
         prompt = apply_chat_template(
             self.tokenizer, req.messages, self.server_args.chat_template,
             tools=req.tools,
@@ -513,7 +514,8 @@ class HttpServer:
 
         if req.stream:
             gen = await self.engine.async_generate(
-                prompt=prompt, sampling_params=sp, stream=True
+                prompt=prompt, sampling_params=sp, stream=True,
+                images=images,
             )
             resp = self._sse(request)
             await resp.prepare(request)
@@ -562,7 +564,7 @@ class HttpServer:
         outs = await asyncio.gather(
             *[
                 self.engine.async_generate(
-                    prompt=prompt, sampling_params=dict(sp)
+                    prompt=prompt, sampling_params=dict(sp), images=images
                 )
                 for _ in range(n)
             ]
@@ -685,6 +687,30 @@ def _anthropic_stop_reason(meta) -> str:
     if t == "stop" and isinstance(fr, dict) and fr.get("matched") is not None:
         return "stop_sequence"
     return "end_turn"
+
+
+def _extract_images(messages) -> list:
+    """Decode data-URL image_url content parts (reference multimodal
+    chat inputs) → list of PIL images; text parts stay in the message."""
+    import base64
+    import io
+
+    images = []
+    for m in messages:
+        content = m.content if hasattr(m, "content") else m.get("content")
+        if not isinstance(content, list):
+            continue
+        for part in content:
+            if isinstance(part, dict) and part.get("type") == "image_url":
+                url = (part.get("image_url") or {}).get("url", "")
+                if url.startswith("data:"):
+                    b64 = url.split(",", 1)[1]
+                    from PIL import Image
+
+                    images.append(
+                        Image.open(io.BytesIO(base64.b64decode(b64)))
+                    )
+    return images
 
 
 def _chat_msgs(dicts):

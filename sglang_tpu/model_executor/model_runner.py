@@ -274,22 +274,30 @@ class ModelRunner:
         return "xla"
 
     # ------------------------------------------------------------- impl fns
-    def _forward_batch(self, params, kv_cache, batch, lora=None):
+    def _forward_batch(self, params, kv_cache, batch, lora=None,
+                       input_embeds=None):
+        kw = {}
+        if input_embeds is not None:
+            kw["input_embeds"] = input_embeds
         return self.model.forward(
             params,
             kv_cache,
             batch,
+            **kw,
             num_slots=self.kv_pool.num_slots,
             page_size=self.kv_pool.page_size,
             attn_backend=self.attn_backend,
             lora=lora,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, tl_k=0):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         lora = (lora_tree, adapter_idx) if use_lora else None
-        hidden, kv_cache = self._forward_batch(params, kv_cache, batch, lora)
+        hidden, kv_cache = self._forward_batch(
+            params, kv_cache, batch, lora,
+            input_embeds=embeds if use_embeds else None,
+        )
         logits = self.model.compute_logits(params, hidden)
         st = unpack_sampling_params(st_packed)
         if use_pen:
@@ -546,8 +554,8 @@ class ModelRunner:
         return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, tl_k=0):
-        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, tl_k)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0):
+        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
@@ -558,7 +566,8 @@ class ModelRunner:
                 functools.partial(
                     self._extend_impl,
                     B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
-                    use_mask=use_mask, use_lora=use_lora, tl_k=tl_k,
+                    use_mask=use_mask, use_lora=use_lora,
+                    use_embeds=use_embeds, tl_k=tl_k,
                 ),
                 donate_argnums=(1,),
             )
@@ -597,6 +606,7 @@ class ModelRunner:
         pen: Optional[np.ndarray] = None,
         vmask: Optional[np.ndarray] = None,
         adapter_idx: Optional[np.ndarray] = None,
+        embeds: Optional[np.ndarray] = None,
         tl_k: int = 0,
     ):
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32,
@@ -605,7 +615,8 @@ class ModelRunner:
         # Static greedy hint: padded rows have temperature 0 by construction.
         fn = self._get_extend_fn(
             B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
-            vmask is not None, adapter_idx is not None, tl_k,
+            vmask is not None, adapter_idx is not None, embeds is not None,
+            tl_k,
         )
         out, self.kv_cache = fn(
             self.params,
@@ -616,6 +627,7 @@ class ModelRunner:
             vmask if vmask is not None else np.zeros((B, 1), np.uint32),
             self._lora_tree() if adapter_idx is not None else {},
             adapter_idx if adapter_idx is not None else np.zeros((B,), np.int32),
+            embeds if embeds is not None else np.zeros((B, 1, 1), np.float32),
             self._base_rng,
             np.int32(self._step_counter),
         )

@@ -414,6 +414,7 @@ class LlamaForCausalLM:
         return_all_hidden: bool = False,
         lora=None,  # (LoRAManager.device_tree(), adapter_idx [B] i32)
         capture_features: bool = False,
+        input_embeds=None,  # [B, Lq, H] rows for NEGATIVE input_ids
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
         ``return_all_hidden``, (hidden [B*Lq, H], kv_cache) for
@@ -423,7 +424,16 @@ class LlamaForCausalLM:
         speculative/eagle_worker_v2.py draft input)."""
         c = self.config
         B, Lq = batch.input_ids.shape
-        hidden = params["embed"][batch.input_ids]  # [B, Lq, H]
+        ids_safe = jnp.maximum(batch.input_ids, 0)
+        hidden = params["embed"][ids_safe]  # [B, Lq, H]
+        if input_embeds is not None:
+            # multimodal splice: negative prompt ids mark positions whose
+            # embedding comes from the request's precomputed rows
+            # (vision-tower outputs; reference multimodal embedding merge)
+            is_emb = (batch.input_ids < 0)[..., None]
+            hidden = jnp.where(
+                is_emb, input_embeds.astype(hidden.dtype), hidden
+            )
         if self.embed_scale != 1.0:
             hidden = (hidden.astype(jnp.float32) * self.embed_scale).astype(
                 hidden.dtype

@@ -221,3 +221,27 @@ def test_stream_holds_back_partial_stop_string(tiny_engine):
     for c, out_is_last in zip(chunks, [False] * (len(chunks) - 1) + [True]):
         if not out_is_last:
             assert len(c) <= max(0, len(final) + len(stop) - 1)
+
+
+def test_input_embeds_splice_matches_token_embedding(tiny_engine):
+    """Feeding a token's own embedding row through the multimodal splice
+    path must reproduce the plain-token output exactly."""
+    import numpy as np
+
+    runner = tiny_engine.scheduler.runner
+    embed = np.asarray(runner.params["embed"]).astype(np.float32)
+    prompt = [5, 9, 2, 7, 1, 3]
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+    base = tiny_engine.generate(input_ids=list(prompt), sampling_params=dict(sp))
+
+    # replace tokens 2 and 4 with sentinel ids + their own embed rows
+    from sglang_tpu.core.req import Req
+    state = tiny_engine._make_req(None, list(prompt), dict(sp), False, None)
+    req = state.req
+    req.fill_ids[2] = -1
+    req.fill_ids[4] = -2
+    req.input_embeds = np.stack([embed[prompt[2]], embed[prompt[4]]])
+    tiny_engine.scheduler.add_request(req)
+    out = tiny_engine._wait_final(state)
+    assert out["output_ids"] == base["output_ids"], (
+        out["output_ids"], base["output_ids"])
