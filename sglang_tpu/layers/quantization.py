@@ -81,6 +81,13 @@ class QuantConfig:
     # fp8 checkpoint transcoded to int8 execution (v5e has a native int8
     # MXU path; fp8->bf16 converts are VPU-emulated and slow)
     src_fp8: bool = False
+    # block-quantized fp8 checkpoint (DeepSeek-V3 style weight +
+    # weight_scale_inv [ceil(out/bo), ceil(in/bi)]): the loader
+    # dequantizes on read (block scales can't fold into a runtime
+    # per-channel epilogue), then either serves dense or requantizes
+    # per-channel int8 (src_block_fp8) for the fast MXU path.
+    src_block_fp8: bool = False
+    weight_block_size: Optional[tuple] = None
     modules_to_not_convert: List[str] = field(default_factory=list)
 
     @staticmethod
@@ -113,6 +120,16 @@ class QuantConfig:
                 modules_to_not_convert=skip,
             )
         if method in ("fp8", "fbgemm_fp8"):
+            if qc.get("weight_block_size"):
+                # DeepSeek-V3 / Kimi-K2 block-quantized fp8 (reference
+                # layers/quantization/fp8.py block_quant path)
+                return QuantConfig(
+                    method="fp8_block",
+                    bits=8,
+                    group_size=0,
+                    weight_block_size=tuple(qc["weight_block_size"]),
+                    modules_to_not_convert=skip,
+                )
             return QuantConfig(
                 method="fp8",
                 bits=8,
@@ -272,6 +289,38 @@ def fp8_weight_to_int8(t: np.ndarray):
     s2 = np.maximum(amax / 127.0, 1e-12)
     qw = np.clip(np.round(w / s2), -127, 127).astype(np.int8)
     return {"qw": qw, "scale2": s2.astype(np.float32)}
+
+
+def dense_weight_to_int8(t: np.ndarray):
+    """Dense float [out, in] (e.g. a loader-dequantized block-fp8
+    tensor) → per-out-channel int8 execution leaves {qw [in,out],
+    scale [1,out]} (reference w8a8_int8.py weight layout)."""
+    w = np.ascontiguousarray(np.asarray(t).T).astype(np.float32)  # [in, out]
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    s = np.maximum(amax / 127.0, 1e-12)
+    qw = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return {"qw": qw, "scale": s.astype(np.float32)}
+
+
+def dequant_f8_sibling(w: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Dequantize an fp8 weight [out, in] with its sibling scale tensor:
+    scalar (per-tensor), [out]/[out,1] (per-channel), or block
+    [ceil(out/bo), ceil(in/bi)] (weight_scale_inv; block dims derived
+    from the shapes, reference fp8_utils.py block_quant_dequant)."""
+    wf = np.asarray(w).astype(np.float32)
+    s = np.asarray(s, np.float32)
+    if s.size == 1:
+        return wf * float(s.reshape(-1)[0])
+    if s.size == wf.shape[0]:
+        return wf * s.reshape(-1, 1)
+    assert s.ndim == 2, (s.shape, wf.shape)
+    nbo, nbi = s.shape
+    bo = -(-wf.shape[0] // nbo)
+    bi = -(-wf.shape[1] // nbi)
+    se = np.repeat(np.repeat(s, bo, 0)[: wf.shape[0]], bi, 1)[
+        :, : wf.shape[1]
+    ]
+    return wf * se
 
 
 def pad_scales(t: np.ndarray) -> np.ndarray:

@@ -146,6 +146,26 @@ class ModelRunner:
                 qc, method="w8a8_int8", src_fp8=True
             )
             logger.info("fp8 checkpoint will execute as per-channel int8")
+        elif qc is not None and qc.method == "fp8_block":
+            # Block-fp8 (DeepSeek-V3 style): block scales can't fold into
+            # a runtime per-channel epilogue, so the loader dequantizes on
+            # read; execution is then dense bf16 or (opt-in) requantized
+            # per-channel int8 on the native MXU int8 path.
+            if server_args.quant_execution == "int8":
+                import dataclasses
+
+                model_config.quant_config = dataclasses.replace(
+                    qc, method="w8a8_int8", src_block_fp8=True
+                )
+                logger.info(
+                    "block-fp8 checkpoint will execute as per-channel int8"
+                )
+            else:
+                model_config.quant_config = None
+                logger.info(
+                    "block-fp8 checkpoint dequantizes at load "
+                    "(dense %s execution)", model_config.dtype,
+                )
 
         # ---- model + weights ----
         model_cls = get_model_class(model_config)

@@ -230,6 +230,46 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
     mapping = model.hf_weight_mapping()
     seen = set()
 
+    # ---- fp8 sibling-scale pre-pass (reference fp8.py / fp8_utils.py):
+    # block-fp8 tensors (sibling ``weight_scale_inv``, DeepSeek-V3 style)
+    # ALWAYS dequantize on read — block scales can't stay resident on the
+    # TPU fast path; per-channel fp8 (sibling ``weight_scale``)
+    # dequantizes only when the destination buffer is dense float (e.g.
+    # stacked MoE expert weights), leaving quant-schema leaves raw.
+    f8_scales: Dict[str, tuple] = {}
+    for file in files:
+        f = SafetensorsFile(file)
+        for nm in f.keys():
+            if nm.endswith(".weight_scale_inv"):
+                f8_scales[nm[: -len("_scale_inv")]] = (
+                    "block", np.asarray(f.get_tensor(nm), np.float32)
+                )
+            elif nm.endswith(".weight_scale"):
+                f8_scales[nm[: -len("_scale")]] = (
+                    "channel", np.asarray(f.get_tensor(nm), np.float32)
+                )
+
+    def _is_f8(dt) -> bool:
+        import ml_dtypes
+
+        return dt in (
+            np.dtype(ml_dtypes.float8_e4m3fn),
+            np.dtype(ml_dtypes.float8_e5m2),
+        )
+
+    def _dense_float_dest(path: str) -> bool:
+        import ml_dtypes
+
+        try:
+            d = _tree_get(host, path)
+        except (KeyError, TypeError):
+            return False
+        return isinstance(d, np.ndarray) and d.dtype in (
+            np.dtype(np.float32),
+            np.dtype(np.float16),
+            np.dtype(ml_dtypes.bfloat16),
+        )
+
     def _fit(tensor, dest_shape):
         """Pad a repacked tensor up to the (PACK_BLOCK-padded) buffer."""
         if tensor.shape == tuple(dest_shape):
@@ -248,6 +288,14 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                 continue
             path, layer_idx, transform = m
             tensor = f.get_tensor(name)
+            if name in f8_scales and _is_f8(tensor.dtype):
+                kind, sc = f8_scales[name]
+                if kind == "block" or _dense_float_dest(path):
+                    from sglang_tpu.layers.quantization import (
+                        dequant_f8_sibling,
+                    )
+
+                    tensor = dequant_f8_sibling(tensor, sc)
             if transform == "t":
                 tensor = tensor.T
             elif callable(transform):

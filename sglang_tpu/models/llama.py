@@ -295,6 +295,16 @@ class LlamaForCausalLM:
                 table[f"{hf_mod}.weight_scale"] = (
                     f"layers.{name}.scale", scale_row)
                 table[f"{hf_mod}.input_scale"] = None
+            elif qc.src_block_fp8:
+                # block-fp8 → int8 exec: the loader dequantized the
+                # weight on read (sibling weight_scale_inv); requantize
+                # per-out-channel here.
+                from sglang_tpu.layers.quantization import dense_weight_to_int8
+
+                table[f"{hf_mod}.weight"] = (
+                    f"layers.{name}", dense_weight_to_int8)
+                table[f"{hf_mod}.weight_scale_inv"] = None
+                table[f"{hf_mod}.input_scale"] = None
             else:  # fp8 / w8a8_int8: plain [out,in] weight + scale
                 table[f"{hf_mod}.weight"] = (
                     f"layers.{name}.qw", t_transpose)

@@ -254,3 +254,198 @@ def test_fp8_checkpoint_int8_execution(fp8_pair_dirs):
     finally:
         ei.shutdown()
         ed.shutdown()
+
+
+# ------------------------------------------------------------------ block-fp8
+BLOCK = 16  # tiny stand-in for DeepSeek-V3's [128, 128] weight_block_size
+
+
+def _quantize_block_fp8(w, b=BLOCK):
+    """w [out, in] → (fp8 weight, weight_scale_inv [out/b, in/b], exact
+    dequantized float weight)."""
+    import ml_dtypes
+
+    out_d, in_d = w.shape
+    wb = w.reshape(out_d // b, b, in_d // b, b)
+    s = np.maximum(np.abs(wb).max(axis=(1, 3)) / 448.0, 1e-12).astype(
+        np.float32
+    )
+    se = np.repeat(np.repeat(s, b, 0), b, 1)
+    qw = (w / se).astype(ml_dtypes.float8_e4m3fn)
+    wd = qw.astype(np.float32) * se
+    return qw, s, wd
+
+
+@pytest.fixture(scope="module")
+def block_fp8_pair_dirs(tmp_path_factory):
+    st = _tiny_hf_state(seed=2)
+    q, dense = {}, {}
+    for name, w in st.items():
+        if name.endswith(".weight") and (
+            "self_attn" in name or "mlp." in name
+        ):
+            qw, s, wd = _quantize_block_fp8(w)
+            q[name] = qw
+            q[name + "_scale_inv"] = s
+            dense[name] = wd
+        else:
+            q[name] = w
+            dense[name] = w
+    dq = str(tmp_path_factory.mktemp("blockfp8"))
+    dd = str(tmp_path_factory.mktemp("blockdense"))
+    _save_st(dq, q)
+    _save_st(dd, dense)
+    _write_cfg(dq, {"quant_method": "fp8", "activation_scheme": "dynamic",
+                    "fmt": "e4m3", "weight_block_size": [BLOCK, BLOCK]})
+    _write_cfg(dd)
+    return dq, dd
+
+
+def test_block_fp8_dense_exec_token_exact(block_fp8_pair_dirs):
+    """DeepSeek-V3-style block-fp8 checkpoint: loader dequantizes on read
+    (sibling weight_scale_inv), dense execution is bit-faithful to the
+    dequantized-dense reference."""
+    dq, dd = block_fp8_pair_dirs
+    eq = _make_engine(dq)
+    ed = _make_engine(dd)
+    try:
+        # fp8_block rewrites to dense execution (quant_config cleared)
+        assert eq.scheduler.runner.model_config.quant_config is None
+        prompt = [7, 5, 311, 42, 18, 9]
+        sp = {"max_new_tokens": 12, "temperature": 0.0, "return_logprob": True}
+        oq = eq.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        assert oq["output_ids"] == od["output_ids"]
+        lq = [t[0] for t in oq["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
+    finally:
+        eq.shutdown()
+        ed.shutdown()
+
+
+def test_block_fp8_int8_execution(block_fp8_pair_dirs):
+    """--quant-execution int8 on a block-fp8 checkpoint: dequant at load
+    then per-channel int8 requant; outputs track the dense reference."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    dq, dd = block_fp8_pair_dirs
+    args = make_server_args(
+        model_path=dq, load_format="safetensors", dtype="float32",
+        quant_execution="int8",
+    )
+    cfg = ModelConfig.from_model_path(dq, dtype="float32")
+    assert cfg.quant_config.method == "fp8_block"
+    runner = ModelRunner(args, model_config=cfg)
+    assert runner.model_config.quant_config.method == "w8a8_int8"
+    assert runner.model_config.quant_config.src_block_fp8
+    ei = Engine(server_args=args, model_runner=runner)
+    ed = _make_engine(dd)
+    try:
+        prompt = [7, 5, 311, 42, 18, 9]
+        sp = {"max_new_tokens": 8, "temperature": 0.0, "return_logprob": True}
+        oi = ei.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        li = [t[0] for t in oi["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        prefix = 0
+        for a, b in zip(oi["output_ids"], od["output_ids"]):
+            if a != b:
+                break
+            prefix += 1
+        assert prefix >= 3, (oi["output_ids"], od["output_ids"])
+        diff = np.abs(np.array(li[:prefix]) - np.array(ld[:prefix]))
+        assert diff.max() < 0.35, (li, ld)
+    finally:
+        ei.shutdown()
+        ed.shutdown()
+
+
+# -------------------------------------------------------- fp8 MoE experts
+def _tiny_moe_hf_state(seed=3):
+    from tests.test_moe import TINY_MOE_HF as c
+
+    rng = np.random.RandomState(seed)
+    H, I = c["hidden_size"], c["intermediate_size"]
+    hq = c["num_attention_heads"] * c["head_dim"]
+    hkv = c["num_key_value_heads"] * c["head_dim"]
+    V, L, E = c["vocab_size"], c["num_hidden_layers"], c["num_local_experts"]
+    st = {
+        "model.embed_tokens.weight": rng.randn(V, H).astype(np.float32) * 0.05,
+        "model.norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": rng.randn(V, H).astype(np.float32) * 0.05,
+    }
+    for li in range(L):
+        p = f"model.layers.{li}."
+        st[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        st[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for mod, (do, di) in {
+            "self_attn.q_proj": (hq, H), "self_attn.k_proj": (hkv, H),
+            "self_attn.v_proj": (hkv, H), "self_attn.o_proj": (H, hq),
+        }.items():
+            st[p + mod + ".weight"] = (
+                rng.randn(do, di).astype(np.float32) / np.sqrt(di)
+            )
+        st[p + "block_sparse_moe.gate.weight"] = (
+            rng.randn(E, H).astype(np.float32) * 0.1
+        )
+        for e in range(E):
+            ep = p + f"block_sparse_moe.experts.{e}."
+            st[ep + "w1.weight"] = rng.randn(I, H).astype(np.float32) / 8
+            st[ep + "w3.weight"] = rng.randn(I, H).astype(np.float32) / 8
+            st[ep + "w2.weight"] = rng.randn(H, I).astype(np.float32) / 8
+    return st
+
+
+def test_mixtral_fp8_expert_weights(tmp_path_factory):
+    """Per-channel fp8 MoE expert weights (+ sibling weight_scale): the
+    loader dequantizes expert tensors into the dense stacked buffers
+    (reference fp8.py Fp8MoEMethod); generation matches the
+    dequantized-dense checkpoint token-exactly."""
+    import ml_dtypes
+
+    from tests.test_moe import TINY_MOE_HF
+
+    st = _tiny_moe_hf_state()
+    q, dense = {}, {}
+    for name, w in st.items():
+        if ".experts." in name and name.endswith(".weight"):
+            s = np.maximum(
+                np.abs(w).max(axis=1, keepdims=True) / 448.0, 1e-12
+            ).astype(np.float32)
+            qw = (w / s).astype(ml_dtypes.float8_e4m3fn)
+            q[name] = qw
+            q[name + "_scale"] = s.reshape(-1)
+            dense[name] = qw.astype(np.float32) * s
+        else:
+            q[name] = w
+            dense[name] = w
+    dq = str(tmp_path_factory.mktemp("moefp8"))
+    dd = str(tmp_path_factory.mktemp("moedense"))
+    _save_st(dq, q)
+    _save_st(dd, dense)
+    cfg_q = dict(TINY_MOE_HF)
+    cfg_q["quantization_config"] = {
+        "quant_method": "fp8", "activation_scheme": "dynamic",
+        "modules_to_not_convert": ["proj"],  # experts only
+    }
+    with open(os.path.join(dq, "config.json"), "w") as f:
+        json.dump(cfg_q, f)
+    with open(os.path.join(dd, "config.json"), "w") as f:
+        json.dump(dict(TINY_MOE_HF), f)
+    eq = _make_engine(dq)
+    ed = _make_engine(dd)
+    try:
+        prompt = [11, 310, 42, 5, 99, 6]
+        sp = {"max_new_tokens": 10, "temperature": 0.0, "return_logprob": True}
+        oq = eq.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        assert oq["output_ids"] == od["output_ids"]
+        lq = [t[0] for t in oq["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
+    finally:
+        eq.shutdown()
+        ed.shutdown()
