@@ -105,6 +105,32 @@ class Scheduler:
             )
             self._spec_free_slots = list(range(n_slots))
 
+        # ---- EPLB online rebalance loop (reference eplb/eplb_manager.py:
+        # record routing counts from live traffic, periodically re-place
+        # experts; TPU-native apply = on-device expert-axis permutation) ----
+        self.eplb_recorder = None
+        self._eplb_last_check = 0
+        if server_args.enable_eplb:
+            n_exp = getattr(self.runner.model, "num_experts", 0) or getattr(
+                self.runner.model_config, "num_experts", 0
+            )
+            if n_exp and not getattr(
+                self.runner, "is_multihost_leader", False
+            ):
+                from sglang_tpu.eplb import ExpertDistributionRecorder
+
+                # layer dim comes from the first recorded batch (MoE
+                # layer count differs from num_hidden_layers on
+                # first-k-dense models like DeepSeek)
+                self.eplb_recorder = ExpertDistributionRecorder(0, n_exp)
+            elif not n_exp:
+                logger.warning("enable_eplb: model has no experts; ignored")
+            else:
+                logger.warning(
+                    "enable_eplb: multihost rebalance is not coordinated "
+                    "yet; ignored on the leader"
+                )
+
         self.metrics = None
         if server_args.enable_metrics:
             from sglang_tpu.observability.metrics import get_metrics
@@ -116,6 +142,62 @@ class Scheduler:
             timeout=server_args.watchdog_timeout, hard=True, name="scheduler"
         )
         self.watchdog.start()
+
+    # ---------------------------------------------------------------- EPLB
+    def _eplb_record(self):
+        """Fold the last extend step's expert routing counts into the
+        recorder, then run the periodic rebalance check."""
+        counts = self.runner.last_expert_counts
+        if counts is None or counts.size == 0:
+            return
+        rec = self.eplb_recorder
+        if rec.counts.shape != counts.shape:
+            rec.counts = np.zeros(counts.shape, np.int64)
+        rec.record(slice(None), counts)
+        self._maybe_eplb_rebalance()
+
+    def _maybe_eplb_rebalance(self, ep: Optional[int] = None, force=False):
+        """Re-place experts when the recorded load is imbalanced enough
+        (reference eplb/eplb_manager.py rebalance loop).  ``ep`` defaults
+        to the runner's expert-parallel degree; with ep == 1 there is
+        nothing to balance."""
+        sa = self.server_args
+        if not force and (
+            self.num_steps - self._eplb_last_check < sa.eplb_rebalance_interval
+        ):
+            return
+        self._eplb_last_check = self.num_steps
+        rec = self.eplb_recorder
+        total = int(rec.counts.sum())
+        if total < sa.eplb_min_tokens and not force:
+            return
+        if ep is None:
+            ep = 1
+            mc = self.runner.mesh_ctx
+            model = self.runner.model
+            if mc is not None and hasattr(model, "_expert_parallel"):
+                try:
+                    if model._expert_parallel():
+                        ep = mc.tp_size
+                except Exception:
+                    pass
+        if ep <= 1:
+            return
+        from sglang_tpu.eplb import balanced_placement, placement_imbalance
+
+        L, E = rec.counts.shape
+        identity = np.tile(np.arange(E, dtype=np.int64), (L, 1))
+        perm = balanced_placement(rec.counts, ep)
+        old_imb = placement_imbalance(rec.counts, identity, ep)
+        new_imb = placement_imbalance(rec.counts, perm, ep)
+        if not force and old_imb < new_imb * sa.eplb_min_gain:
+            return
+        logger.info(
+            "EPLB rebalance: imbalance %.3f -> %.3f over %d routings",
+            old_imb, new_imb, total,
+        )
+        self.runner.apply_expert_rebalance(perm)
+        rec.reset()
 
     def _make_radix_cache(self, server_args: ServerArgs):
         if server_args.enable_hierarchical_cache:
@@ -652,6 +734,9 @@ class Scheduler:
                 if batch.has_input_embeds()
                 else None
             )
+            capture_ecounts = (
+                self.eplb_recorder is not None and not self.spec_enabled
+            )
             if use_eagle and embeds is None:
                 slot_idx = np.asarray(
                     [r.spec_slot for r in batch.reqs]
@@ -664,7 +749,10 @@ class Scheduler:
                 tokens, logprobs, toplp = self.runner.extend_step(
                     packed, st_packed, B, L, P, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
+                    capture_ecounts=capture_ecounts,
                 )
+                if capture_ecounts:
+                    self._eplb_record()
             self._process_prefill_result(
                 batch, tokens, logprobs, toplp, spec_valid=use_eagle
             )

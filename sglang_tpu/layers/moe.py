@@ -93,6 +93,7 @@ def moe_block(
     topk_group: int = 1,
     mesh=None,
     expert_parallel: bool = False,
+    return_counts: bool = False,
 ) -> jnp.ndarray:
     """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families).
 
@@ -138,7 +139,13 @@ def moe_block(
 
     out_s = out_s.astype(jnp.float32) * flat_w[order][:, None]
     out = jnp.zeros((T, H), jnp.float32).at[sorted_token].add(out_s)
-    return out.reshape(B, L, H).astype(hidden.dtype)
+    out = out.reshape(B, L, H).astype(hidden.dtype)
+    if return_counts:
+        # per-(physical-)expert routed-token counts — EPLB's load signal
+        # (reference eplb/expert_distribution.py); group_sizes is already
+        # the bincount used by the grouped GEMM, so this is free.
+        return out, group_sizes
+    return out
 
 
 # --------------------------------------------------------------------------

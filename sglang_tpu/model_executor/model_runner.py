@@ -240,6 +240,7 @@ class ModelRunner:
         )
         self._step_counter = 0
         self._extend_fns: Dict[Tuple, Callable] = {}
+        self.last_expert_counts: Optional[np.ndarray] = None
         self._decode_fns: Dict[Tuple, Callable] = {}
         self._verify_fns: Dict[Tuple, Callable] = {}
         self._score_fns: Dict[Tuple, Callable] = {}
@@ -295,10 +296,12 @@ class ModelRunner:
 
     # ------------------------------------------------------------- impl fns
     def _forward_batch(self, params, kv_cache, batch, lora=None,
-                       input_embeds=None):
+                       input_embeds=None, capture_expert_counts=False):
         kw = {}
         if input_embeds is not None:
             kw["input_embeds"] = input_embeds
+        if capture_expert_counts:
+            kw["capture_expert_counts"] = True
         return self.model.forward(
             params,
             kv_cache,
@@ -310,14 +313,19 @@ class ModelRunner:
             lora=lora,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, tl_k=0):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         lora = (lora_tree, adapter_idx) if use_lora else None
-        hidden, kv_cache = self._forward_batch(
+        fwd = self._forward_batch(
             params, kv_cache, batch, lora,
             input_embeds=embeds if use_embeds else None,
+            capture_expert_counts=use_ecounts,
         )
+        if use_ecounts:
+            hidden, kv_cache, ecounts = fwd
+        else:
+            hidden, kv_cache = fwd
         logits = self.model.compute_logits(params, hidden)
         st = unpack_sampling_params(st_packed)
         if use_pen:
@@ -338,6 +346,8 @@ class ModelRunner:
             out = jnp.concatenate(
                 [out, (tv - lse).T, ti.astype(jnp.float32).T], axis=0
             )  # [2 + 2k, B]
+        if use_ecounts:
+            return out, kv_cache, ecounts
         return out, kv_cache
 
     def _decode_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, chain_tokens, fsm_parts, fsm_state, rng, step, *, B, P, K, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_chain=False, use_fsm=False, fsm_bucket=0, tl_k=0):
@@ -574,8 +584,8 @@ class ModelRunner:
         return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0):
-        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0, use_ecounts=False):
+        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k, use_ecounts)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
@@ -588,6 +598,7 @@ class ModelRunner:
                     B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
                     use_mask=use_mask, use_lora=use_lora,
                     use_embeds=use_embeds, tl_k=tl_k,
+                    use_ecounts=use_ecounts,
                 ),
                 donate_argnums=(1,),
             )
@@ -628,17 +639,20 @@ class ModelRunner:
         adapter_idx: Optional[np.ndarray] = None,
         embeds: Optional[np.ndarray] = None,
         tl_k: int = 0,
+        capture_ecounts: bool = False,
     ):
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32,
-        top_logprobs or None)."""
+        top_logprobs or None).  With ``capture_ecounts`` the MoE expert
+        routing counts [L_moe, E] land in ``self.last_expert_counts``
+        (EPLB load signal; reference eplb/expert_distribution.py)."""
         self._step_counter += 1
         # Static greedy hint: padded rows have temperature 0 by construction.
         fn = self._get_extend_fn(
             B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
             vmask is not None, adapter_idx is not None, embeds is not None,
-            tl_k,
+            tl_k, capture_ecounts,
         )
-        out, self.kv_cache = fn(
+        res = fn(
             self.params,
             self.kv_cache,
             packed,
@@ -651,6 +665,11 @@ class ModelRunner:
             self._base_rng,
             np.int32(self._step_counter),
         )
+        if capture_ecounts:
+            out, self.kv_cache, ecounts = res
+            self.last_expert_counts = np.asarray(ecounts)
+        else:
+            out, self.kv_cache = res
         out = np.asarray(out)
         tokens, logprobs = out[0].astype(np.int64), out[1]
         toplp = None
@@ -660,6 +679,29 @@ class ModelRunner:
                 out[2: 2 + tl_k].T,  # vals [B, k]
             )
         return tokens, logprobs, toplp
+
+    def apply_expert_rebalance(self, perm: np.ndarray):
+        """Permute stacked MoE expert weights (+ gate columns) by
+        ``perm`` [L_moe, E] on device — outputs are identical, per-rank
+        load under EP changes (reference eplb/expert_location_updater).
+        Jitted step fns take params as an argument, so no recompile."""
+        from sglang_tpu.eplb import apply_expert_permutation
+
+        layer_key = (
+            "moe_layers" if "moe_layers" in self.params else "layers"
+        )
+        old_params = self.params
+        new_params = apply_expert_permutation(
+            old_params, perm, layer_key=layer_key
+        )
+        # keep the original shardings (the gather may resolve replicated)
+        self.params = jax.tree_util.tree_map(
+            lambda n, o: jax.device_put(n, o.sharding)
+            if hasattr(o, "sharding") and n is not o
+            else n,
+            new_params,
+            old_params,
+        )
 
     def decode_window_async(
         self,

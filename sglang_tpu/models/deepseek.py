@@ -331,6 +331,7 @@ class DeepseekV2ForCausalLM:
         return inter @ w["down_proj"]
 
     def _moe_mlp(self, w, normed):
+        capture = getattr(self, "_ecounts_capture", False)
         routed = moe_block(
             normed,
             w["moe_gate"],
@@ -345,7 +346,10 @@ class DeepseekV2ForCausalLM:
             routed_scaling_factor=self.routed_scaling,
             n_group=self.n_group,
             topk_group=self.topk_group,
+            return_counts=capture,
         )
+        if capture:
+            routed, self._moe_counts_stash = routed
         if self.n_shared:
             shared = act_and_mul(
                 self.config.hidden_act,
@@ -357,7 +361,7 @@ class DeepseekV2ForCausalLM:
 
     def forward(self, params, kv_cache, batch: DeviceBatch, *, num_slots,
                 page_size, attn_backend="xla", return_all_hidden=False,
-                lora=None):
+                lora=None, capture_expert_counts=False):
         assert lora is None, "LoRA on MLA models lands with the absorbed path"
         c = self.config
         B, Lq = batch.input_ids.shape
@@ -386,13 +390,21 @@ class DeepseekV2ForCausalLM:
             hidden, kv_cache = run_layer(hidden, kv_cache, w, np.int32(li), True)
             li += 1
 
+        ecounts = None
         if self.n_moe_layers:
+            self._ecounts_capture = capture_expert_counts
+
             def scan_fn(carry, w):
                 h, kv, lidx = carry
                 h, kv = run_layer(h, kv, w, lidx, False)
-                return (h, kv, lidx + 1), None
+                aux = (
+                    self.__dict__.pop("_moe_counts_stash", None)
+                    if capture_expert_counts
+                    else None
+                )
+                return (h, kv, lidx + 1), aux
 
-            (hidden, kv_cache, _), _ = jax.lax.scan(
+            (hidden, kv_cache, _), ecounts = jax.lax.scan(
                 scan_fn,
                 (hidden, kv_cache, np.int32(li)),
                 params["moe_layers"],
@@ -400,9 +412,16 @@ class DeepseekV2ForCausalLM:
 
         hidden = rms_norm(hidden, params["final_ln"], c.rms_norm_eps)
         flat = hidden.reshape(B * Lq, -1)
+        extras = []
+        if capture_expert_counts:
+            extras.append(
+                ecounts
+                if ecounts is not None
+                else jnp.zeros((0, 0), jnp.int32)
+            )
         if return_all_hidden:
-            return flat, kv_cache
-        return flat[batch.logits_idx], kv_cache
+            return (flat, kv_cache, *extras)
+        return (flat[batch.logits_idx], kv_cache, *extras)
 
     def compute_logits(self, params, hidden):
         w = params["embed"] if self.config.tie_word_embeddings else params["lm_head"]

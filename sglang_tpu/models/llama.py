@@ -424,6 +424,7 @@ class LlamaForCausalLM:
         return_all_hidden: bool = False,
         lora=None,  # (LoRAManager.device_tree(), adapter_idx [B] i32)
         capture_features: bool = False,
+        capture_expert_counts: bool = False,  # MoE: EPLB load recording
         input_embeds=None,  # [B, Lq, H] rows for NEGATIVE input_ids
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
@@ -552,7 +553,15 @@ class LlamaForCausalLM:
                 mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
             h = h + mlp_out
             h = self._shard(h, AXIS_DP, None, None)
-            return (h, kv, li + 1), None
+            # EPLB load signal: MoE _mlp_forward stashes this layer's
+            # expert routing counts when capture is on (scan collects
+            # them into [L, E]; None for dense models).
+            aux = (
+                self.__dict__.pop("_moe_counts_stash", None)
+                if capture_expert_counts
+                else None
+            )
+            return (h, kv, li + 1), aux
 
         pp = (
             self.mesh_ctx.parallel.pp_size if self.mesh_ctx is not None else 1
@@ -569,8 +578,10 @@ class LlamaForCausalLM:
             lora_a,
             lora_b,
         )
+        self._ecounts_capture = capture_expert_counts
+        ecounts = None
         if pp <= 1:
-            (hidden, kv_cache, _), _ = jax.lax.scan(
+            (hidden, kv_cache, _), ecounts = jax.lax.scan(
                 layer_fn, (hidden, kv_cache, np.int32(0)), xs_all
             )
         else:
@@ -584,26 +595,36 @@ class LlamaForCausalLM:
             L = c.num_hidden_layers
             assert L % pp == 0, (L, pp)
             Lpp = L // pp
+            stage_counts = []
             for s in range(pp):
                 xs_s = jax.tree_util.tree_map(
                     lambda x: x[s * Lpp : (s + 1) * Lpp], xs_all
                 )
-                (hidden, kv_cache, _), _ = jax.lax.scan(
+                (hidden, kv_cache, _), ys = jax.lax.scan(
                     layer_fn, (hidden, kv_cache, np.int32(s * Lpp)), xs_s
                 )
+                if ys is not None:
+                    stage_counts.append(ys)
+            if stage_counts:
+                ecounts = jnp.concatenate(stage_counts, axis=0)
 
         features = hidden  # pre-final-norm last-layer output
         hidden = self._norm(hidden, params["final_ln"])
         flat = hidden.reshape(B * Lq, -1)
+        extras = []
+        if capture_features:
+            extras.append(features)
+        if capture_expert_counts:
+            extras.append(
+                ecounts
+                if ecounts is not None
+                else jnp.zeros((0, 0), jnp.int32)
+            )
         if return_all_hidden:
-            if capture_features:
-                return flat, kv_cache, features
-            return flat, kv_cache
+            return (flat, kv_cache, *extras)
         # Gather the last real token of each request (logits positions).
         last_hidden = flat[batch.logits_idx]  # [B, H]
-        if capture_features:
-            return last_hidden, kv_cache, features
-        return last_hidden, kv_cache
+        return (last_hidden, kv_cache, *extras)
 
     def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
         c = self.config

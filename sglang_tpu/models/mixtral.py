@@ -81,7 +81,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # ------------------------------------------------------------- forward
     def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
         del proj  # no LoRA on expert weights (reference likewise)
-        return moe_block(
+        capture = getattr(self, "_ecounts_capture", False)
+        out = moe_block(
             normed,
             w["moe_gate"],
             w["moe_w1"],
@@ -92,7 +93,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
             hidden_act=self.config.hidden_act,
             mesh=self.mesh_ctx.mesh if self.mesh_ctx is not None else None,
             expert_parallel=self._expert_parallel(),
+            return_counts=capture,
         )
+        if capture:
+            out, self._moe_counts_stash = out
+        return out
 
     # ------------------------------------------------------- weight loading
     def hf_weight_mapping(self):

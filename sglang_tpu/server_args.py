@@ -94,6 +94,11 @@ class ServerArgs:
     # fp8 checkpoints to per-channel int8 at load (v5e-native MXU path,
     # ~3.5x faster than emulated fp8 dequant; precision comparable)
     quant_execution: str = "native"
+    # ---- EPLB (expert-placement load balancing, MoE + EP) ----
+    enable_eplb: bool = False
+    eplb_rebalance_interval: int = 512  # scheduler steps between checks
+    eplb_min_gain: float = 1.05  # required imbalance improvement factor
+    eplb_min_tokens: int = 4096  # min recorded routings before rebalance
 
     # ---- hicache storage tier ----
     hicache_storage_dir: Optional[str] = None  # file/shared-FS 3rd tier

@@ -81,3 +81,45 @@ def test_dump_and_compare(tmp_path):
     reports = compare_dumps(str(tmp_path / "a"), str(tmp_path / "b"))
     assert reports, "no dumps recorded"
     assert all(r["status"] == "match" for r in reports), reports
+
+
+def test_eplb_online_loop_records_and_rebalances():
+    """enable_eplb: live prefill traffic feeds the recorder; a forced
+    rebalance permutes expert weights on device and generation output is
+    unchanged (output-preserving permutation, e2e)."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+    from tests.test_moe import TINY_MOE_HF
+
+    args = ServerArgs(
+        model_path="dummy://tiny-moe", tokenizer_path="test:byte",
+        load_format="dummy", dtype="float32", page_size=8,
+        max_total_tokens=4096, chunked_prefill_size=128,
+        enable_eplb=True, eplb_rebalance_interval=10**9,
+    )
+    cfg = ModelConfig.from_hf_dict(TINY_MOE_HF, dtype="float32")
+    runner = ModelRunner(args, model_config=cfg)
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        sched = eng.scheduler
+        assert sched.eplb_recorder is not None
+        prompt = [5, 9, 203, 17, 42, 7, 310, 8]
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        o1 = eng.generate(input_ids=prompt, sampling_params=sp)
+        counts = sched.eplb_recorder.counts
+        L = TINY_MOE_HF["num_hidden_layers"]
+        E = TINY_MOE_HF["num_local_experts"]
+        assert counts.shape == (L, E)
+        # every prompt token routes to top_k experts in every MoE layer
+        # (padded rows route too, so >=)
+        assert counts.sum() >= len(prompt) * TINY_MOE_HF[
+            "num_experts_per_tok"] * L
+        # force a rebalance at ep=2 and check output invariance
+        sched._maybe_eplb_rebalance(ep=2, force=True)
+        assert sched.eplb_recorder.counts.sum() == 0  # reset after apply
+        o2 = eng.generate(input_ids=prompt, sampling_params=sp)
+        assert o1["output_ids"] == o2["output_ids"]
+    finally:
+        eng.shutdown()
