@@ -68,6 +68,7 @@ class Scheduler:
         self.reqs_by_rid: Dict[str, Req] = {}
         self._abort_rids: set = set()
         self._pending_flushes: List[threading.Event] = []
+        self._pending_idle_calls: List[tuple] = []
         self._pending_emit_reqs: List[Req] = []
         # chained decode windows in flight, oldest first (each dict holds
         # its reqs snapshot, K, dispatch handle, and chain depth)
@@ -279,6 +280,32 @@ class Scheduler:
         self.input_queue.put(("flush_cache", done))
         return done
 
+    def request_idle_call(self, fn) -> "threading.Event":
+        """Run ``fn()`` on the scheduler thread once no request is in
+        flight (weight swaps must not race dispatched device steps —
+        reference pauses the event loop around update_weights).  The
+        result/exception lands in the returned holder dict."""
+        done = threading.Event()
+        holder: Dict = {}
+        self.input_queue.put(("idle_call", fn, holder, done))
+        return holder, done
+
+    def _maybe_run_idle_calls(self):
+        if not self._pending_idle_calls:
+            return
+        if (
+            self.running.reqs or self.waiting or self.chunked_req
+            or self._inflight
+        ):
+            return
+        for fn, holder, ev in self._pending_idle_calls:
+            try:
+                holder["result"] = fn()
+            except Exception as e:  # surface to the caller, keep serving
+                holder["error"] = e
+            ev.set()
+        self._pending_idle_calls = []
+
     def _maybe_flush_cache(self):
         if not self._pending_flushes:
             return
@@ -299,12 +326,15 @@ class Scheduler:
             item = self.input_queue.get(timeout=timeout)
         except queue.Empty:
             self._maybe_flush_cache()
+            self._maybe_run_idle_calls()
             return
         while True:
             if isinstance(item, tuple) and item and item[0] == "adopt":
                 self._adopt_prefilled(*item[1:])
             elif isinstance(item, tuple) and item and item[0] == "flush_cache":
                 self._pending_flushes.append(item[1])
+            elif isinstance(item, tuple) and item and item[0] == "idle_call":
+                self._pending_idle_calls.append(item[1:])
             elif item is not None:
                 self._admit_new_request(item)
             try:
@@ -314,6 +344,7 @@ class Scheduler:
         if self._abort_rids:
             self._apply_aborts()
         self._maybe_flush_cache()
+        self._maybe_run_idle_calls()
 
     def _adopt_prefilled(self, req: Req, kv_tokens: int, page_data):
         """Inject transferred KV pages into the pool + radix tree, then

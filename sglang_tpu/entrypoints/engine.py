@@ -442,9 +442,45 @@ class Engine:
         return out
 
     # --------------------------------------------------------------- admin
+    def _run_when_idle(self, fn, timeout: float = 300.0):
+        """Run on the scheduler thread between batches — weight swaps
+        must not race in-flight device steps."""
+        holder, done = self.scheduler.request_idle_call(fn)
+        if not done.wait(timeout):
+            raise TimeoutError("scheduler did not go idle for weight update")
+        if "error" in holder:
+            raise holder["error"]
+        return holder.get("result")
+
     def update_weights_from_disk(self, model_path: str):
         """Reference /update_weights_from_disk (http_server.py:1286 family)."""
-        self.scheduler.runner.update_weights_from_disk(model_path)
+        runner = self.scheduler.runner
+        return self._run_when_idle(
+            lambda: runner.update_weights_from_disk(model_path)
+        )
+
+    def init_weights_update_group(self, master_address: str, master_port: int):
+        """Register the trainer's weight endpoint (reference
+        /init_weights_update_group, model_runner.py:2011)."""
+        self.scheduler.runner.init_weights_update_group(
+            master_address, master_port
+        )
+
+    def update_weights_from_distributed(self, names=None) -> int:
+        """Pull + apply weights from the registered trainer (reference
+        /update_weights_from_distributed, model_runner.py:2070)."""
+        runner = self.scheduler.runner
+        return self._run_when_idle(
+            lambda: runner.update_weights_from_distributed(names)
+        )
+
+    def update_weights_from_tensor(self, named_tensors) -> None:
+        """In-process weight swap, HF names or param paths (reference
+        model_runner.py:2160 — colocated RL trainer path)."""
+        runner = self.scheduler.runner
+        return self._run_when_idle(
+            lambda: runner.update_weights_from_hf_tensors(named_tensors)
+        )
 
     def load_lora_adapter(self, lora_name: str, lora_path: str) -> int:
         """Dynamic adapter load (reference http_server.py:1431)."""

@@ -139,6 +139,13 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post(
+            "/init_weights_update_group", self.init_weights_update_group
+        )
+        r.add_post(
+            "/update_weights_from_distributed",
+            self.update_weights_from_distributed,
+        )
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/abort_request", self.abort_request)
@@ -230,6 +237,27 @@ class HttpServer:
         body = await request.json()
         self.engine.close_session(body["session_id"])
         return web.Response(text="ok")
+
+    async def init_weights_update_group(
+        self, request: web.Request
+    ) -> web.Response:
+        body = await request.json()
+        self.engine.init_weights_update_group(
+            body["master_address"], int(body["master_port"])
+        )
+        return web.json_response({"success": True})
+
+    async def update_weights_from_distributed(
+        self, request: web.Request
+    ) -> web.Response:
+        body = await request.json() if request.can_read_body else {}
+        loop = asyncio.get_event_loop()
+        n = await loop.run_in_executor(
+            None,
+            self.engine.update_weights_from_distributed,
+            body.get("names"),
+        )
+        return web.json_response({"success": True, "num_tensors": n})
 
     async def update_weights_from_disk(self, request: web.Request) -> web.Response:
         body = await request.json()

@@ -894,6 +894,87 @@ class ModelRunner:
                 )
             _tree_set(params, path, arr)
 
+    # ------------------------------------------- distributed weight sync
+    def init_weights_update_group(self, master_address: str,
+                                  master_port: int) -> None:
+        """Register the trainer's weight-broadcast endpoint (reference
+        model_runner.py:2011 joins a temporary NCCL group; the TPU
+        transport is a TCP pull — see weight_sync/)."""
+        self._weight_sync_addr = (master_address, int(master_port))
+        logger.info(
+            "weight sync group: trainer at %s:%d", master_address, master_port
+        )
+
+    def update_weights_from_distributed(
+        self, names: Optional[list] = None
+    ) -> int:
+        """Pull tensors from the registered trainer endpoint and apply
+        them (reference model_runner.py:2070).  Names may be HF tensor
+        names (mapped via the model's checkpoint mapping) or param tree
+        paths.  Returns the number of tensors applied."""
+        addr = getattr(self, "_weight_sync_addr", None)
+        if addr is None:
+            raise ValueError("call init_weights_update_group first")
+        from sglang_tpu.weight_sync import WeightSyncClient
+
+        client = WeightSyncClient(*addr)
+        n = 0
+        hf_batch: Dict[str, np.ndarray] = {}
+        for name, arr in client.iter_tensors(names):
+            hf_batch[name] = arr
+            n += 1
+        self.update_weights_from_hf_tensors(hf_batch)
+        return n
+
+    def update_weights_from_hf_tensors(
+        self, named: Dict[str, np.ndarray]
+    ) -> None:
+        """Apply checkpoint-named tensors (HF names run through the
+        model's weight mapping — transpose/repack transforms included —
+        and per-layer tensors update their slice of the stacked leaf).
+        Plain param-tree paths are accepted too."""
+        from sglang_tpu.model_loader.loader import _tree_get, _tree_set
+
+        mapping = self.model.hf_weight_mapping()
+
+        def apply_leaf(path, layer_idx, tensor):
+            old = _tree_get(self.params, path)
+            arr = jnp.asarray(tensor, dtype=old.dtype)
+            if layer_idx is None:
+                if arr.shape != old.shape:
+                    raise ValueError(
+                        f"shape mismatch for {path}: {arr.shape} vs {old.shape}"
+                    )
+                new = jax.device_put(arr, old.sharding)
+            else:
+                idx = layer_idx if isinstance(layer_idx, tuple) else (layer_idx,)
+                new = jax.device_put(old.at[idx].set(arr), old.sharding)
+            _tree_set(self.params, path, new)
+
+        for name, tensor in named.items():
+            try:  # direct param-tree path (update_weights_from_tensor style)
+                _tree_get(self.params, name)
+                is_path = True
+            except (KeyError, TypeError):
+                is_path = False
+            if is_path:
+                apply_leaf(name, None, tensor)
+                continue
+            m = mapping(name)
+            if m is None:
+                logger.warning("weight sync: no mapping for %r; skipped", name)
+                continue
+            path, layer_idx, transform = m
+            if transform == "t":
+                tensor = np.ascontiguousarray(np.asarray(tensor).T)
+            elif callable(transform):
+                tensor = transform(np.asarray(tensor))
+            if isinstance(tensor, dict):  # multi-leaf quant transform
+                for sub, arr in tensor.items():
+                    apply_leaf(f"{path}.{sub}", layer_idx, arr)
+            else:
+                apply_leaf(path, layer_idx, tensor)
+
     # ------------------------------------------------------------- EAGLE
     # Chain-draft speculative decoding with device rejection sampling
     # (reference speculative/eagle_worker_v2.py:505 draft, :1538 verify,
