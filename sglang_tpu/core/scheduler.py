@@ -1300,6 +1300,15 @@ class Scheduler:
             if not self._assign_spec_slot(r):
                 return False
 
+        tb = self.server_args.speculative_eagle_topk
+        if tb > 1 and all(
+            r.sampling_params.temperature <= 0.0 for r in batch.reqs
+        ):
+            done = self._eagle_tree_round(tb)
+            if done is not None:
+                return done
+            # page pressure → fall through to the chain round
+
         from sglang_tpu.layers.sampler import pack_sampling_params
         from sglang_tpu.utils import next_power_of_2
 
@@ -1357,6 +1366,10 @@ class Scheduler:
             for r in verify.reqs:
                 del r.fill_ids[len(r.fill_ids) - k:]
 
+        self._eagle_apply_results(batch, tokens, accept_len, lp, bootstrap, k)
+        return True
+
+    def _eagle_apply_results(self, batch, tokens, accept_len, lp, bootstrap, k):
         updates = []
         for i, r in enumerate(batch.reqs):
             if r.finished:
@@ -1385,6 +1398,128 @@ class Scheduler:
         batch.filter_finished()
         if updates:
             self._emit_updates(updates)
+
+    def _eagle_tree_round(self, tb: int) -> Optional[bool]:
+        """Top-b root-branch tree round (reference speculative_eagle_topk):
+        each branch chains from one of the b most likely root tokens and
+        verifies in its OWN copy of the request's tail page(s) — fully
+        causal under the existing paged kernels, commit = adopt the
+        winning branch's pages.  Greedy-only; returns None to fall back
+        to the chain round on page pressure."""
+        batch = self.running
+        k = self.server_args.speculative_num_draft_tokens
+        ps = self.page_size
+        n = len(batch.reqs)
+        from sglang_tpu.utils import next_power_of_2
+
+        B = next(b for b in self.decode_bs_buckets if b >= n)
+        A = k + 1
+        NP = self.runner.kv_pool.geometry.num_pages
+
+        # ---- branch-private tail pages ----
+        branch_info = []  # (pb, pe, [tb page lists])
+        ok = True
+        for r in batch.reqs:
+            pb = r.cached_len // ps
+            pe = (r.cached_len + k) // ps
+            if pb < r.prefix_pages_len:  # tail page radix-shared: bail
+                ok = False
+                break
+            bp = []
+            for _ in range(tb):
+                pages = self._alloc_pages(pe - pb + 1)
+                if pages is None:
+                    ok = False
+                    break
+                bp.append(pages)
+            branch_info.append((pb, pe, bp))
+            if not ok:
+                break
+        if not ok:
+            for _, _, bp in branch_info:
+                for pages in bp:
+                    self.allocator.free(pages)
+            return None
+
+        max_pages = max(
+            cdiv(r.cached_len + k + 2, self.page_size) for r in batch.reqs
+        )
+        P = min(
+            next_power_of_2(max_pages),
+            next_power_of_2(self.runner.max_pages_per_req),
+        )
+        Bb = B * tb
+        ext_tokens = np.zeros((B, A), np.int32)
+        ext_lens = np.zeros((B,), np.int32)
+        base_pos = np.zeros((B,), np.int32)
+        slot_idx = np.full((B,), -1, np.int32)
+        bootstrap = np.zeros((B,), np.int32)
+        src_page = np.zeros((B,), np.int32)
+        page_table = np.zeros((B, P), np.int32)
+        dst_pages = np.full((Bb,), NP, np.int32)  # OOB sentinel = drop
+        branch_tables = np.zeros((Bb, P), np.int32)
+        for i, r in enumerate(batch.reqs):
+            pend = r.spec_pending[:A]
+            ext_tokens[i, : len(pend)] = pend
+            ext_lens[i] = len(pend)
+            base_pos[i] = r.cached_len - len(pend) + 1
+            slot_idx[i] = r.spec_slot
+            bootstrap[i] = 0 if r.spec_valid else 1
+            n_pages = cdiv(r.cached_len + k + 2, self.page_size)
+            page_table[i, :n_pages] = r.pages[:n_pages]
+            pb, pe, bp = branch_info[i]
+            src_page[i] = r.pages[pb]
+            for j in range(tb):
+                row = i * tb + j
+                branch_tables[row, :n_pages] = r.pages[:n_pages]
+                branch_tables[row, pb : pe + 1] = bp[j]
+                dst_pages[row] = bp[j][0]
+        dpacked = np.concatenate(
+            [ext_tokens.ravel(), ext_lens, base_pos, slot_idx, src_page,
+             page_table.ravel(), dst_pages, branch_tables.ravel()]
+        ).astype(np.int32)
+        drafts = self.runner.eagle_tree_draft_window(dpacked, B, A, P, tb)
+
+        # ---- verify all branch rows ----
+        L = k + 1
+        input_ids = np.zeros((Bb, L), np.int32)
+        positions = np.zeros((Bb, L), np.int32)
+        out_slots = np.zeros((Bb, L), np.int32)
+        seq_lens = np.zeros((Bb,), np.int32)
+        logits_idx = np.zeros((Bb,), np.int32)
+        for i, r in enumerate(batch.reqs):
+            e = r.fill_ids[r.cached_len]
+            pos = np.arange(r.cached_len, r.cached_len + L)
+            for j in range(tb):
+                row = i * tb + j
+                input_ids[row, 0] = e
+                input_ids[row, 1:] = drafts[i, j, :k]
+                positions[row] = pos
+                tab = branch_tables[row]
+                out_slots[row] = tab[pos // ps] * ps + pos % ps
+                seq_lens[row] = r.cached_len + L
+                logits_idx[row] = row * L + L - 1
+        from sglang_tpu.model_executor.forward_batch import pack_extend_batch
+
+        packed = pack_extend_batch(
+            input_ids, positions, out_slots, seq_lens, logits_idx,
+            branch_tables,
+        )
+        tokens, accept_len, winner, lp = self.runner.eagle_tree_verify_step(
+            packed, src_page, dst_pages, slot_idx, B, tb, L, P
+        )
+
+        # ---- commit: adopt the winning branch's pages ----
+        for i, r in enumerate(batch.reqs):
+            pb, pe, bp = branch_info[i]
+            w = int(winner[i])
+            old_pages = r.pages[pb : pe + 1]
+            r.pages[pb : pe + 1] = bp[w]
+            self.allocator.free(old_pages)
+            for j, pages in enumerate(bp):
+                if j != w:
+                    self.allocator.free(pages)
+        self._eagle_apply_results(batch, tokens, accept_len, lp, bootstrap, k)
         return True
 
     def _grammar_accept(self, req: Req, token: int):

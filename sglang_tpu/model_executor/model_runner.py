@@ -1001,6 +1001,8 @@ class ModelRunner:
         self._eagle_extend_fns: Dict[Tuple, Callable] = {}
         self._eagle_draft_fns: Dict[Tuple, Callable] = {}
         self._eagle_verify_fns: Dict[Tuple, Callable] = {}
+        self._eagle_tree_draft_fns: Dict[Tuple, Callable] = {}
+        self._eagle_tree_verify_fns: Dict[Tuple, Callable] = {}
         logger.info("EAGLE enabled: k=%d, %d spec slots", k, spec_slots)
 
     def _head_logits(self, params, features):
@@ -1229,6 +1231,224 @@ class ModelRunner:
             axis=1,
         )  # [B, 2L+1]
         return out, kv_cache, feats_pool
+
+    # -------------------------------------------------- EAGLE tree (top-b)
+    # Top-b ROOT branching (reference speculative_eagle_topk): the first
+    # draft position takes the b most likely tokens and each branch
+    # chains greedily to depth K.  TPU-native tree mechanics: every
+    # branch gets a PRIVATE copy of the request's tail page(s), so draft
+    # chaining and target verify stay fully causal under the existing
+    # paged kernels (no tree attention masks), KV writes never collide,
+    # and committing the winning branch is a host-side page-pointer swap
+    # — no KV row compaction.  Greedy-only (sampled rows use the chain
+    # path; reference's multi-child tree rejection sampling is a later
+    # extension).
+
+    def _eagle_tree_draft_impl(
+        self, params, dparams, draft_kv, feats_pool, dpacked, rng, step,
+        *, B, A, P, K, TB,
+    ):
+        from sglang_tpu.model_executor.forward_batch import DeviceBatch
+
+        ps = self.kv_pool.page_size
+        NP = self.kv_pool.geometry.num_pages
+        Bb = B * TB
+        o = 0
+        ext_tokens = dpacked[o : o + B * A].reshape(B, A); o += B * A
+        ext_lens = dpacked[o : o + B]; o += B
+        base_pos = dpacked[o : o + B]; o += B
+        slot_idx = dpacked[o : o + B]; o += B
+        src_page = dpacked[o : o + B]; o += B
+        page_table = dpacked[o : o + B * P].reshape(B, P); o += B * P
+        dst_pages = dpacked[o : o + Bb]; o += Bb
+        branch_tables = dpacked[o:].reshape(Bb, P)
+
+        # ---- phase 1: draft-extend over last round's accepted tokens
+        # with TRUE target features (canonical page tables) ----
+        ji = np.arange(A, dtype=np.int32)[None, :]
+        valid = ji < ext_lens[:, None]
+        pos = jnp.where(valid, base_pos[:, None] + ji, 0)
+        page = jnp.take_along_axis(page_table, pos // ps, axis=1)
+        out_slots = jnp.where(valid, page * ps + pos % ps, 0)
+        batch = DeviceBatch(
+            input_ids=jnp.where(valid, ext_tokens, 0),
+            positions=pos,
+            seq_lens=jnp.where(ext_lens > 0, base_pos + ext_lens, 0),
+            page_table=page_table,
+            out_slots=out_slots,
+            logits_idx=(
+                np.arange(B, dtype=np.int32) * A
+                + jnp.maximum(ext_lens - 1, 0)
+            ),
+        )
+        feat_prev = feats_pool[slot_idx][:, :A]
+        g, draft_kv = self.eagle.forward(
+            dparams, params["embed"], draft_kv, batch, feat_prev,
+            num_slots=self.kv_pool.num_slots, page_size=ps,
+            attn_backend=self.attn_backend,
+        )
+        g_last = g.reshape(B * A, -1)[batch.logits_idx]  # [B, H]
+
+        # ---- clone the draft-KV boundary page into every branch page
+        # (phase 1 wrote position cached_len into the canonical page;
+        # branch chains must see it through their private tables) ----
+        src_rep = jnp.clip(jnp.repeat(src_page, TB, axis=0), 0, NP - 1)
+        draft_kv = draft_kv.at[dst_pages].set(
+            draft_kv[src_rep], mode="drop"
+        )
+
+        # ---- phase 2: top-b root tokens, then greedy chains ----
+        q0 = self._head_logits(params, g_last[:, None])[:, 0]  # [B, V]
+        _, top = jax.lax.top_k(q0, TB)
+        d0 = top.astype(jnp.int32).reshape(Bb)
+        feat0 = jnp.repeat(g_last, TB, axis=0)  # [Bb, H]
+        pos0 = jnp.repeat(base_pos + ext_lens, TB, axis=0)  # cached_len+1
+        active = jnp.repeat(ext_lens > 0, TB, axis=0)
+
+        def chain(carry, t):
+            d, feat, dkv = carry
+            p1 = pos0 + t
+            pg = jnp.take_along_axis(
+                branch_tables, (p1 // ps)[:, None], axis=1
+            )[:, 0]
+            slot1 = jnp.where(active, pg * ps + p1 % ps, 0)
+            b1 = DeviceBatch(
+                input_ids=d[:, None],
+                positions=jnp.where(active, p1, 0)[:, None],
+                seq_lens=jnp.where(active, p1 + 1, 0),
+                page_table=branch_tables,
+                out_slots=slot1[:, None],
+                logits_idx=np.arange(Bb, dtype=np.int32),
+            )
+            feat2, dkv = self.eagle.forward(
+                dparams, params["embed"], dkv, b1, feat[:, None],
+                num_slots=self.kv_pool.num_slots, page_size=ps,
+                attn_backend=self.attn_backend,
+            )
+            feat2 = feat2[:, 0]
+            nd = jnp.argmax(
+                self._head_logits(params, feat2[:, None])[:, 0], axis=-1
+            ).astype(jnp.int32)
+            return (nd, feat2, dkv), d
+
+        (_, _, draft_kv), drafts = jax.lax.scan(
+            chain, (d0, feat0, draft_kv), np.arange(K, dtype=np.int32)
+        )
+        return drafts.T.reshape(B, TB, K), draft_kv
+
+    def eagle_tree_draft_window(self, dpacked, B, A, P, TB):
+        key = (B, A, P, TB)
+        fn = self._eagle_tree_draft_fns.get(key)
+        if fn is None:
+            logger.info(
+                "compiling eagle tree draft: B=%d A=%d P=%d TB=%d",
+                B, A, P, TB,
+            )
+            fn = jax.jit(
+                functools.partial(
+                    self._eagle_tree_draft_impl,
+                    B=B, A=A, P=P, K=self.eagle_k, TB=TB,
+                ),
+                donate_argnums=(2,),
+            )
+            self._eagle_tree_draft_fns[key] = fn
+        self._step_counter += 1
+        drafts, self.eagle_kv = fn(
+            self.params, self.eagle_params, self.eagle_kv, self.eagle_feats,
+            dpacked, self._base_rng, np.int32(self._step_counter),
+        )
+        return np.asarray(drafts).astype(np.int64)
+
+    def _eagle_tree_verify_impl(
+        self, params, kv_cache, feats_pool, packed, src_page, dst_pages,
+        slot_idx, *, B, TB, L, P,
+    ):
+        """Target extend over all branch rows + greedy argmax-prefix
+        acceptance + per-request winner selection + feature refresh.
+        The boundary page clones first so branch tables see the
+        committed prefix KV."""
+        NP = self.kv_pool.geometry.num_pages
+        nl = self.model_config.num_hidden_layers
+        Bb = B * TB
+        src_rep = jnp.clip(jnp.repeat(src_page, TB, axis=0), 0, NP - 1)
+        li = jnp.arange(nl, dtype=jnp.int32)[:, None]
+        src_idx = (li * NP + src_rep[None, :]).reshape(-1)
+        dst_idx = jnp.where(
+            dst_pages[None, :] >= NP, nl * NP, li * NP + dst_pages[None, :]
+        ).reshape(-1)
+        kv_cache = kv_cache.at[dst_idx].set(
+            kv_cache[src_idx], mode="drop"
+        )
+        batch = unpack_extend_batch(packed, Bb, L, P)
+        hidden, kv_cache, feats = self.model.forward(
+            params, kv_cache, batch,
+            num_slots=self.kv_pool.num_slots,
+            page_size=self.kv_pool.page_size,
+            attn_backend=self.attn_backend,
+            return_all_hidden=True,
+            capture_features=True,
+        )
+        logits = self.model.compute_logits(params, hidden).reshape(Bb, L, -1)
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tstar = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [Bb, L]
+        lp = jnp.max(lsm, axis=-1)  # [Bb, L]
+        ids = batch.input_ids.reshape(Bb, L)
+        match = (tstar[:, :-1] == ids[:, 1:]).astype(jnp.int32)
+        acc = jnp.cumprod(match, axis=1).sum(axis=1)  # [Bb]
+        accB = acc.reshape(B, TB)
+        # longest accept wins; ties prefer the most-likely branch (low j)
+        score = accB * TB + (TB - 1 - jnp.arange(TB, dtype=jnp.int32))[None]
+        winner = jnp.argmax(score, axis=1).astype(jnp.int32)  # [B]
+        rows = jnp.arange(B, dtype=jnp.int32) * TB + winner
+        w_tokens = tstar[rows]
+        w_lp = lp[rows]
+        w_acc = accB[jnp.arange(B), winner]
+        featsB = feats.reshape(Bb, L, -1)[rows]
+        S = feats_pool.shape[0]
+        safe_slot = jnp.where(slot_idx >= 0, slot_idx, S)
+        feats_pool = feats_pool.at[safe_slot].set(
+            featsB.astype(feats_pool.dtype), mode="drop"
+        )
+        out = jnp.concatenate(
+            [
+                w_tokens.astype(jnp.float32),
+                w_acc[:, None].astype(jnp.float32),
+                winner[:, None].astype(jnp.float32),
+                w_lp,
+            ],
+            axis=1,
+        )  # [B, 2L+2]
+        return out, kv_cache, feats_pool
+
+    def eagle_tree_verify_step(
+        self, packed, src_page, dst_pages, slot_idx, B, TB, L, P
+    ):
+        key = (B, TB, L, P)
+        fn = self._eagle_tree_verify_fns.get(key)
+        if fn is None:
+            logger.info(
+                "compiling eagle tree verify: B=%d TB=%d L=%d P=%d",
+                B, TB, L, P,
+            )
+            fn = jax.jit(
+                functools.partial(
+                    self._eagle_tree_verify_impl, B=B, TB=TB, L=L, P=P
+                ),
+                donate_argnums=(1, 2),
+            )
+            self._eagle_tree_verify_fns[key] = fn
+        self._step_counter += 1
+        out, self.kv_cache, self.eagle_feats = fn(
+            self.params, self.kv_cache, self.eagle_feats, packed,
+            src_page.astype(np.int32), dst_pages.astype(np.int32),
+            slot_idx.astype(np.int32),
+        )
+        out = np.asarray(out)
+        tokens = out[:, :L].astype(np.int64)
+        accept_len = out[:, L].astype(np.int64)
+        winner = out[:, L + 1].astype(np.int64)
+        lp = out[:, L + 2 :]
+        return tokens, accept_len, winner, lp
 
     def eagle_verify_step(self, packed, st_packed, q_logits, drafts, slot_idx, bootstrap, B, L, P):
         key = (B, L, P)

@@ -86,6 +86,7 @@ class ServerArgs:
     # ---- speculative decoding ----
     speculative_algorithm: Optional[str] = None  # NGRAM | EAGLE
     speculative_num_draft_tokens: int = 4
+    speculative_eagle_topk: int = 1  # >1 = top-b root-branch tree verify
     speculative_ngram_n: int = 3
     speculative_draft_model_path: Optional[str] = None  # EAGLE draft ckpt
 

@@ -203,3 +203,66 @@ def test_chain_rejection_bootstrap_rows():
     freq = np.bincount(np.asarray(toks), minlength=V) / N
     tv = 0.5 * np.abs(freq - p0).sum()
     assert tv < 0.02, tv
+
+
+# ------------------------------------------------------------- tree (top-b)
+def test_eagle_tree_self_consistent_exact():
+    """topk=2 tree round: perfect draft → branch 0 always wins with k/k
+    accepts; outputs match the plain engine token-for-token."""
+    eagle = _make_engine("EAGLE", speculative_eagle_topk=2)
+    plain = _make_engine(None)
+    try:
+        runner = eagle.scheduler.runner
+        runner.eagle_params = _self_consistent_draft(runner)
+        prompt = [5, 99, 203, 17, 42, 7, 310, 8]
+        sp = {"max_new_tokens": 24, "temperature": 0.0, "ignore_eos": True}
+        oe = eagle.generate(input_ids=prompt, sampling_params=sp)
+        op = plain.generate(input_ids=prompt, sampling_params=sp)
+        assert oe["output_ids"] == op["output_ids"], (
+            oe["output_ids"], op["output_ids"])
+        sched = eagle.scheduler
+        assert sched.num_spec_drafted > 0
+        assert sched.num_spec_accepted == sched.num_spec_drafted
+    finally:
+        eagle.shutdown()
+        plain.shutdown()
+
+
+def test_eagle_tree_random_draft_still_exact_greedy():
+    """Garbage draft, topk=3: greedy outputs unchanged (argmax-prefix
+    acceptance per branch; winner adoption must not corrupt KV)."""
+    eagle = _make_engine("EAGLE", speculative_eagle_topk=3)
+    plain = _make_engine(None)
+    try:
+        prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+        sp = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+        oe = eagle.generate(input_ids=prompt, sampling_params=sp)
+        op = plain.generate(input_ids=prompt, sampling_params=sp)
+        assert oe["output_ids"] == op["output_ids"]
+    finally:
+        eagle.shutdown()
+        plain.shutdown()
+
+
+def test_eagle_tree_batch_and_sampled_fallback():
+    """Mixed batch runs; sampled requests fall back to the chain round
+    (tree is greedy-only) and still serve."""
+    eagle = _make_engine("EAGLE", speculative_eagle_topk=2)
+    try:
+        runner = eagle.scheduler.runner
+        runner.eagle_params = _self_consistent_draft(runner)
+        prompts = [[5, 9, 9], [1, 2, 3, 4, 5, 6], [7] * 10]
+        outs = eagle.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 12, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        assert all(len(o["output_ids"]) == 12 for o in outs)
+        out = eagle.generate(
+            input_ids=[5, 6, 7, 8],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.7,
+                             "ignore_eos": True},
+        )
+        assert len(out["output_ids"]) == 8
+    finally:
+        eagle.shutdown()
