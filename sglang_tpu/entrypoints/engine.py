@@ -70,6 +70,9 @@ class Engine:
         if server_args is None:
             server_args = ServerArgs(**kwargs)
         self.server_args = server_args
+        from sglang_tpu.plugins import load_plugins
+
+        load_plugins(server_args)  # reference entrypoints/engine.py:212
 
         if tokenizer is not None:
             self.tokenizer = tokenizer

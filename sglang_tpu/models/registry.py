@@ -37,6 +37,14 @@ def _load_all():
     _LOADED = True
 
 
+def register_model(cls: type, name: str = None) -> type:
+    """Register an out-of-tree model class (plugin hook; reference
+    plugins/ + ModelRegistry extension).  Usable as a decorator."""
+    _load_all()
+    _REGISTRY[name or cls.__name__] = cls
+    return cls
+
+
 def get_model_class(config: ModelConfig) -> Type:
     _load_all()
     for arch in config.architectures:

@@ -95,6 +95,7 @@ class ServerArgs:
     # fp8 checkpoints to per-channel int8 at load (v5e-native MXU path,
     # ~3.5x faster than emulated fp8 dequant; precision comparable)
     quant_execution: str = "native"
+    plugins: Optional[List[str]] = None  # module paths (reference plugins/)
     # ---- EPLB (expert-placement load balancing, MoE + EP) ----
     enable_eplb: bool = False
     eplb_rebalance_interval: int = 512  # scheduler steps between checks
