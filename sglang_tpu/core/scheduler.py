@@ -703,10 +703,18 @@ class Scheduler:
             self._flush_pending_emits()
         self._process_inputs(block=block and not self._inflight)
         if self._inflight and (
-            self.waiting or self.chunked_req is not None or self._abort_rids
+            self._abort_rids
+            or any(r.prefill_kind != "generate" for r in self.waiting)
+            or (
+                self.chunked_req is not None
+                and self.chunked_req.prefill_kind != "generate"
+            )
         ):
-            # other work wants the device / consistent request state:
-            # settle the in-flight decode windows first
+            # aborts / score / embed want fully settled request state;
+            # GENERATE prefill instead overlaps with the in-flight decode
+            # windows (PD multiplexing, reference multiplex/: the extend
+            # dispatches behind the windows and the window fetch hides
+            # under its device execution — see the prefill branch below)
             self._drain_inflight()
         batch = self._get_prefill_batch(kind="score")
         if batch is not None:
@@ -769,6 +777,8 @@ class Scheduler:
                 self.eplb_recorder is not None and not self.spec_enabled
             )
             if use_eagle and embeds is None:
+                if self._inflight:
+                    self._drain_inflight()
                 slot_idx = np.asarray(
                     [r.spec_slot for r in batch.reqs]
                     + [-1] * (B - len(batch.reqs)), np.int32,
@@ -777,11 +787,19 @@ class Scheduler:
                     packed, st_packed, slot_idx, B, L, P
                 )
             else:
-                tokens, logprobs, toplp = self.runner.extend_step(
+                finish = self.runner.extend_step(
                     packed, st_packed, B, L, P, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
-                    capture_ecounts=capture_ecounts,
+                    capture_ecounts=capture_ecounts, return_async=True,
                 )
+                if self._inflight:
+                    # PD multiplexing: settle the decode windows while
+                    # the prefill extend runs on device
+                    self.num_mux_prefills = (
+                        getattr(self, "num_mux_prefills", 0) + 1
+                    )
+                    self._drain_inflight()
+                tokens, logprobs, toplp = finish()
                 if capture_ecounts:
                     self._eplb_record()
             self._process_prefill_result(

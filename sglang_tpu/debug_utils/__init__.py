@@ -47,6 +47,17 @@ class TensorDumper:
 
         def extend_step(*a, **k):
             out = orig_extend(*a, **k)
+            if callable(out):  # return_async=True → wrap the finisher
+                orig_finish = out
+
+                def finish():
+                    res = orig_finish()
+                    dumper.dump("extend_tokens", res[0])
+                    dumper.dump("extend_logprobs", res[1])
+                    dumper.next_step()
+                    return res
+
+                return finish
             dumper.dump("extend_tokens", out[0])
             dumper.dump("extend_logprobs", out[1])
             dumper.next_step()

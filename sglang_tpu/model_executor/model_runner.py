@@ -640,6 +640,7 @@ class ModelRunner:
         embeds: Optional[np.ndarray] = None,
         tl_k: int = 0,
         capture_ecounts: bool = False,
+        return_async: bool = False,
     ):
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32,
         top_logprobs or None).  With ``capture_ecounts`` the MoE expert
@@ -667,18 +668,30 @@ class ModelRunner:
         )
         if capture_ecounts:
             out, self.kv_cache, ecounts = res
-            self.last_expert_counts = np.asarray(ecounts)
         else:
             out, self.kv_cache = res
-        out = np.asarray(out)
-        tokens, logprobs = out[0].astype(np.int64), out[1]
-        toplp = None
-        if tl_k > 0:
-            toplp = (
-                out[2 + tl_k:].T.astype(np.int64),  # ids [B, k]
-                out[2: 2 + tl_k].T,  # vals [B, k]
-            )
-        return tokens, logprobs, toplp
+            ecounts = None
+
+        def finish():
+            o = np.asarray(out)
+            if ecounts is not None:
+                self.last_expert_counts = np.asarray(ecounts)
+            tokens, logprobs = o[0].astype(np.int64), o[1]
+            toplp = None
+            if tl_k > 0:
+                toplp = (
+                    o[2 + tl_k:].T.astype(np.int64),  # ids [B, k]
+                    o[2: 2 + tl_k].T,  # vals [B, k]
+                )
+            return tokens, logprobs, toplp
+
+        if return_async:
+            # PD-multiplexing (reference multiplex/): the extend is
+            # dispatched; the caller settles in-flight decode windows
+            # under its device execution, then calls finish() — the
+            # decode fetch round-trip hides under prefill compute.
+            return finish
+        return finish()
 
     def apply_expert_rebalance(self, perm: np.ndarray):
         """Permute stacked MoE expert weights (+ gate columns) by

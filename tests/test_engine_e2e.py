@@ -245,3 +245,42 @@ def test_input_embeds_splice_matches_token_embedding(tiny_engine):
     out = tiny_engine._wait_final(state)
     assert out["output_ids"] == base["output_ids"], (
         out["output_ids"], base["output_ids"])
+
+
+def test_pdmux_prefill_overlaps_decode_windows(tiny_engine):
+    """A request arriving mid-decode admits WITHOUT draining the
+    in-flight decode windows first (PD multiplexing, reference
+    multiplex/): the prefill extend dispatches behind the windows and
+    both finish correctly."""
+    import threading
+
+    eng = tiny_engine
+    results = {}
+
+    def gen(name, prompt, n):
+        results[name] = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": n, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+
+    t1 = threading.Thread(
+        target=gen, args=("long", [5, 9, 203, 17], 64)
+    )
+    t1.start()
+    import time as _t
+
+    _t.sleep(0.15)  # let decode windows get in flight
+    t2 = threading.Thread(target=gen, args=("late", [7, 7, 7, 2], 8))
+    t2.start()
+    t1.join(timeout=60)
+    t2.join(timeout=60)
+    assert len(results["long"]["output_ids"]) == 64
+    assert len(results["late"]["output_ids"]) == 8
+    # determinism: same prompts solo give identical outputs
+    solo = eng.generate(
+        input_ids=[7, 7, 7, 2],
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                         "ignore_eos": True},
+    )
+    assert solo["output_ids"] == results["late"]["output_ids"]
