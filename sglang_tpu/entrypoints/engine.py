@@ -444,6 +444,41 @@ class Engine:
         self._sessions[session_id] = full + out["output_ids"]
         return out
 
+    # ----------------------------------------------------------- diffusion
+    def diffusion_generate(
+        self,
+        prompt=None,
+        input_ids=None,
+        gen_len: int = 64,
+        steps=None,
+        temperature: float = 0.0,
+        block_len=None,
+        seed: int = 0,
+    ):
+        """LLaDA-style masked-diffusion generation (reference dllm/):
+        the whole denoise loop runs as one device program; runs on the
+        scheduler thread so it never races paged serving steps."""
+        runner = self.scheduler.runner
+        if not getattr(runner.model, "is_diffusion", False):
+            raise ValueError("model is not a diffusion LM")
+        if getattr(self, "_dllm", None) is None:
+            from sglang_tpu.dllm import DllmAlgorithm
+
+            self._dllm = DllmAlgorithm(runner)
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            prompts = [prompt] if isinstance(prompt, str) else prompt
+            input_ids = [self.tokenizer.encode(p) for p in prompts]
+        single = bool(input_ids) and isinstance(input_ids[0], int)
+        out = self._run_when_idle(
+            lambda: self._dllm.generate(
+                input_ids, gen_len, steps=steps, temperature=temperature,
+                block_len=block_len, seed=seed,
+            )
+        )
+        results = [{"output_ids": ids, "meta_info": {}} for ids in out]
+        return results[0] if single else results
+
     # --------------------------------------------------------------- admin
     def _run_when_idle(self, fn, timeout: float = 300.0):
         """Run on the scheduler thread between batches — weight swaps
