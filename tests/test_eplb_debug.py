@@ -123,3 +123,67 @@ def test_eplb_online_loop_records_and_rebalances():
         assert o1["output_ids"] == o2["output_ids"]
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------------- elastic EP
+def test_expert_backup_roundtrip():
+    """DRAM backup of expert stacks restores bit-exactly and generation
+    is unchanged after a restore (reference expert_backup_manager.py)."""
+    import numpy as np
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.eplb.elastic import ExpertBackupManager
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+    from tests.test_moe import TINY_MOE_HF
+
+    args = ServerArgs(
+        model_path="dummy://tiny-moe", tokenizer_path="test:byte",
+        load_format="dummy", dtype="float32", page_size=8,
+        max_total_tokens=4096, chunked_prefill_size=128,
+    )
+    cfg = ModelConfig.from_hf_dict(TINY_MOE_HF, dtype="float32")
+    runner = ModelRunner(args, model_config=cfg)
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        prompt = [5, 9, 203, 17]
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        o1 = eng.generate(input_ids=prompt, sampling_params=sp)
+        mgr = ExpertBackupManager()
+        nbytes = mgr.refresh(runner.params)
+        assert nbytes > 0 and "moe_w1" in mgr.backup
+        # simulate loss: zero the on-device experts, then restore
+        import jax.numpy as jnp
+
+        layers = dict(runner.params["layers"])
+        layers["moe_w1"] = jnp.zeros_like(layers["moe_w1"])
+        runner.params = dict(runner.params, layers=layers)
+        runner.params = mgr.restore(runner.params)
+        o2 = eng.generate(input_ids=prompt, sampling_params=sp)
+        assert o1["output_ids"] == o2["output_ids"]
+    finally:
+        eng.shutdown()
+
+
+def test_placement_for_rank_fault():
+    import numpy as np
+
+    from sglang_tpu.eplb.elastic import placement_for_rank_fault
+
+    rng = np.random.RandomState(0)
+    L, E, ep = 2, 8, 4
+    counts = rng.randint(1, 1000, size=(L, E)).astype(np.int64)
+    perm, survivors = placement_for_rank_fault(counts, ep, failed_ranks=[2])
+    assert survivors == 3
+    per_rank = perm.shape[1] // survivors
+    for layer in range(L):
+        # every expert still placed at least once
+        assert set(perm[layer].tolist()) == set(range(E))
+        # LPT balance: worst rank <= hottest single expert + mean
+        loads = [
+            counts[layer][perm[layer][r * per_rank : (r + 1) * per_rank]]
+            .sum()
+            for r in range(survivors)
+        ]
+        assert max(loads) <= counts[layer].max() + counts[layer].sum() / survivors
