@@ -45,10 +45,12 @@ class HostBatch:
 
     # -------------------------------------------------------------- extend
     def pack_extend(
-        self, page_size: int, B: int, L: int, P: int
+        self, page_size: int, B: int, L: int, P: int, cp: int = 1
     ) -> Tuple[np.ndarray, np.ndarray]:
         input_ids = np.zeros((B, L), np.int32)
-        positions = np.zeros((B, L), np.int32)
+        # cp > 1: padded positions get sentinel L (out of range) so the
+        # zigzag causal mask naturally excludes them (layers/cp)
+        positions = np.full((B, L), L if cp > 1 else 0, np.int32)
         out_slots = np.zeros((B, L), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         logits_idx = np.zeros((B,), np.int32)
@@ -70,6 +72,22 @@ class HostBatch:
                 pages_arr[pos // page_size] * page_size + pos % page_size
             )
             logits_idx[i] = i * L + (n_new - 1)
+
+        if cp > 1:
+            # zigzag column order: tokens feed the model sequence-sharded
+            # over the cp mesh axis; everything downstream of attention is
+            # token-order-independent, and positions/out_slots travel with
+            # their tokens (reference cp/zigzag.py:15)
+            from sglang_tpu.layers.context_parallel import zigzag_split
+
+            perm = zigzag_split(L, cp)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(L)
+            input_ids = input_ids[:, perm]
+            positions = positions[:, perm]
+            out_slots = out_slots[:, perm]
+            for i, n_new in enumerate(self.extend_lens):
+                logits_idx[i] = i * L + inv[n_new - 1]
 
         packed = pack_extend_batch(
             input_ids, positions, out_slots, seq_lens, logits_idx, page_table

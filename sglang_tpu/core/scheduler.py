@@ -558,6 +558,66 @@ class Scheduler:
         req.prefix_pages_len = 0
 
     # ------------------------------------------------------ batch formation
+    def _maybe_split_tbo(self, batch: HostBatch) -> List[HostBatch]:
+        """Split a large prefill batch into two micro-batches by token
+        mass (reference batch_overlap/two_batch_overlap.py)."""
+        sa = self.server_args
+        if (
+            not getattr(sa, "enable_two_batch_overlap", False)
+            or len(batch.reqs) < 2
+        ):
+            return [batch]
+        tot = sum(batch.extend_lens)
+        if tot < getattr(sa, "tbo_token_threshold", 512):
+            return [batch]
+        acc, cut = 0, 1
+        for i, n in enumerate(batch.extend_lens):
+            acc += n
+            if acc >= tot / 2:
+                cut = max(1, min(i + 1, len(batch.reqs) - 1))
+                break
+        self.num_tbo_splits = getattr(self, "num_tbo_splits", 0) + 1
+        return [
+            HostBatch(reqs=batch.reqs[:cut], mode=batch.mode,
+                      extend_lens=batch.extend_lens[:cut]),
+            HostBatch(reqs=batch.reqs[cut:], mode=batch.mode,
+                      extend_lens=batch.extend_lens[cut:]),
+        ]
+
+    def _dispatch_extend_generate(self, batch: HostBatch):
+        """Bucket + pack + async-dispatch one generate-prefill batch;
+        returns (finish, capture_ecounts)."""
+        B, L, P = extend_buckets(
+            batch,
+            self.page_size,
+            self.decode_bs_buckets,
+            self.runner.max_pages_per_req,
+        )
+        cp = self.runner.cp_for_extend(batch)
+        if cp > 1 and L % (2 * cp) != 0:
+            cp = 1
+        packed, st_packed, pen = batch.pack_extend(
+            self.page_size, B, L, P, cp=cp
+        )
+        vmask = self._grammar_masks(batch, B)
+        adapter_idx = self._lora_idx(batch, B)
+        tl_k = self._tl_k(batch)
+        embeds = (
+            batch.pack_embeds(B, L, self.runner.model_config.hidden_size)
+            if batch.has_input_embeds()
+            else None
+        )
+        capture_ecounts = (
+            self.eplb_recorder is not None and not self.spec_enabled
+        )
+        finish = self.runner.extend_step(
+            packed, st_packed, B, L, P, pen=pen, vmask=vmask,
+            adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
+            capture_ecounts=capture_ecounts, return_async=True,
+            use_cp=cp > 1,
+        )
+        return finish, capture_ecounts
+
     def _get_prefill_batch(self, kind: str = "generate") -> Optional[HostBatch]:
         waiting = [r for r in self.waiting if r.prefill_kind == kind]
         chunked_ok = (
@@ -755,28 +815,25 @@ class Scheduler:
                 self.decode_bs_buckets,
                 self.runner.max_pages_per_req,
             )
-            packed, st_packed, pen = batch.pack_extend(self.page_size, B, L, P)
-            vmask = self._grammar_masks(batch, B)
             self._flush_pending_emits()
-            adapter_idx = self._lora_idx(batch, B)
-            tl_k = self._tl_k(batch)
             use_eagle = (
                 self.spec_algo == "eagle"
-                and pen is None and vmask is None
-                and adapter_idx is None and tl_k == 0
+                and all(
+                    r.sampling_params.frequency_penalty == 0.0
+                    and r.sampling_params.presence_penalty == 0.0
+                    and r.sampling_params.repetition_penalty == 1.0
+                    and r.grammar is None
+                    and not r.lora_slot
+                    and r.sampling_params.top_logprobs_num == 0
+                    and r.input_embeds is None
+                    for r in batch.reqs
+                )
                 and all(self._assign_spec_slot(r) for r in batch.reqs)
             )
-            embeds = (
-                batch.pack_embeds(
-                    B, L, self.runner.model_config.hidden_size
+            if use_eagle:
+                packed, st_packed, _ = batch.pack_extend(
+                    self.page_size, B, L, P
                 )
-                if batch.has_input_embeds()
-                else None
-            )
-            capture_ecounts = (
-                self.eplb_recorder is not None and not self.spec_enabled
-            )
-            if use_eagle and embeds is None:
                 if self._inflight:
                     self._drain_inflight()
                 slot_idx = np.asarray(
@@ -786,12 +843,21 @@ class Scheduler:
                 tokens, logprobs, toplp = self.runner.eagle_extend_step(
                     packed, st_packed, slot_idx, B, L, P
                 )
-            else:
-                finish = self.runner.extend_step(
-                    packed, st_packed, B, L, P, pen=pen, vmask=vmask,
-                    adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
-                    capture_ecounts=capture_ecounts, return_async=True,
+                self._process_prefill_result(
+                    batch, tokens, logprobs, toplp, spec_valid=True
                 )
+            else:
+                # Two-batch overlap (reference batch_overlap/
+                # two_batch_overlap.py — TPU mapping: host packing +
+                # dispatch of micro-batch 2 rides under micro-batch 1's
+                # device execution, and batch 1's fetch hides under
+                # batch 2's compute; XLA handles intra-program
+                # compute/collective overlap itself)
+                pending = []
+                for sb in self._maybe_split_tbo(batch):
+                    pending.append(
+                        (sb,) + self._dispatch_extend_generate(sb)
+                    )
                 if self._inflight:
                     # PD multiplexing: settle the decode windows while
                     # the prefill extend runs on device
@@ -799,12 +865,13 @@ class Scheduler:
                         getattr(self, "num_mux_prefills", 0) + 1
                     )
                     self._drain_inflight()
-                tokens, logprobs, toplp = finish()
-                if capture_ecounts:
-                    self._eplb_record()
-            self._process_prefill_result(
-                batch, tokens, logprobs, toplp, spec_valid=use_eagle
-            )
+                for sb, finish, capture_ecounts in pending:
+                    tokens, logprobs, toplp = finish()
+                    if capture_ecounts:
+                        self._eplb_record()
+                    self._process_prefill_result(
+                        sb, tokens, logprobs, toplp, spec_valid=False
+                    )
             self.num_steps += 1
             self.ratio_tracker.step()
             return True

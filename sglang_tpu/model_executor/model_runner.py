@@ -127,6 +127,7 @@ class ModelRunner:
                 dp_size=server_args.dp_size,
                 pp_size=server_args.pp_size,
                 ep_size=server_args.ep_size,
+                cp_size=getattr(server_args, "cp_size", 1),
                 dp_attention=getattr(server_args, "enable_dp_attention", False),
             ),
             devices=devices,
@@ -296,12 +297,15 @@ class ModelRunner:
 
     # ------------------------------------------------------------- impl fns
     def _forward_batch(self, params, kv_cache, batch, lora=None,
-                       input_embeds=None, capture_expert_counts=False):
+                       input_embeds=None, capture_expert_counts=False,
+                       context_parallel=False):
         kw = {}
         if input_embeds is not None:
             kw["input_embeds"] = input_embeds
         if capture_expert_counts:
             kw["capture_expert_counts"] = True
+        if context_parallel:
+            kw["context_parallel"] = True
         return self.model.forward(
             params,
             kv_cache,
@@ -313,7 +317,7 @@ class ModelRunner:
             lora=lora,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, tl_k=0):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, use_cp=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(packed, B, L, P)
         lora = (lora_tree, adapter_idx) if use_lora else None
@@ -321,6 +325,7 @@ class ModelRunner:
             params, kv_cache, batch, lora,
             input_embeds=embeds if use_embeds else None,
             capture_expert_counts=use_ecounts,
+            context_parallel=use_cp,
         )
         if use_ecounts:
             hidden, kv_cache, ecounts = fwd
@@ -584,8 +589,8 @@ class ModelRunner:
         return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0, use_ecounts=False):
-        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k, use_ecounts)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0, use_ecounts=False, use_cp=False):
+        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k, use_ecounts, use_cp)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
@@ -598,7 +603,7 @@ class ModelRunner:
                     B=B, L=L, P=P, all_greedy=all_greedy, use_pen=use_pen,
                     use_mask=use_mask, use_lora=use_lora,
                     use_embeds=use_embeds, tl_k=tl_k,
-                    use_ecounts=use_ecounts,
+                    use_ecounts=use_ecounts, use_cp=use_cp,
                 ),
                 donate_argnums=(1,),
             )
@@ -641,6 +646,7 @@ class ModelRunner:
         tl_k: int = 0,
         capture_ecounts: bool = False,
         return_async: bool = False,
+        use_cp: bool = False,
     ):
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32,
         top_logprobs or None).  With ``capture_ecounts`` the MoE expert
@@ -651,7 +657,7 @@ class ModelRunner:
         fn = self._get_extend_fn(
             B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
             vmask is not None, adapter_idx is not None, embeds is not None,
-            tl_k, capture_ecounts,
+            tl_k, capture_ecounts, use_cp,
         )
         res = fn(
             self.params,
@@ -692,6 +698,30 @@ class ModelRunner:
             # decode fetch round-trip hides under prefill compute.
             return finish
         return finish()
+
+    def cp_for_extend(self, batch) -> int:
+        """Zigzag prefill CP degree for this extend batch, or 1.
+        Eligible when the mesh has a cp axis, the model supports the CP
+        forward, every row is a FULL single-chunk prefill (no cached
+        prefix — the CP attention sees only the chunk), and no
+        window/softcap/multimodal features are in play (reference
+        layers/cp/ engages on long-prompt prefill)."""
+        cp = self.mesh_ctx.parallel.cp_size if self.mesh_ctx else 1
+        if cp <= 1:
+            return 1
+        if not getattr(self.model, "supports_cp", False):
+            return 1
+        c = self.model_config
+        if c.hf_config.get("sliding_window") or getattr(
+            c, "attn_logit_softcap", None
+        ):
+            return 1
+        for r in batch.reqs:
+            if r.cached_len != 0 or r.extend_len != len(r.fill_ids):
+                return 1
+            if r.input_embeds is not None:
+                return 1
+        return cp
 
     def apply_expert_rebalance(self, perm: np.ndarray):
         """Permute stacked MoE expert weights (+ gate columns) by

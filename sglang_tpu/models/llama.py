@@ -38,7 +38,7 @@ from sglang_tpu.layers.quantization import (
 )
 from sglang_tpu.layers.rotary import compute_inv_freq
 from sglang_tpu.model_executor.forward_batch import DeviceBatch
-from sglang_tpu.parallel.mesh import AXIS_DP, AXIS_PP, AXIS_TP
+from sglang_tpu.parallel.mesh import AXIS_CP, AXIS_DP, AXIS_PP, AXIS_TP
 
 
 def _round_up(x: int, m: int) -> int:
@@ -389,6 +389,8 @@ class LlamaForCausalLM:
 
     # Embedding multiplier (Gemma scales by sqrt(hidden_size)).
     embed_scale: float = 1.0
+    # zigzag prefill context-parallel support (runner gates per batch)
+    supports_cp = True
     # RMSNorm weight offset: out = normed * (offset + w) (Gemma uses 1+w).
     norm_offset: float = 0.0
     # Extra norms on attn/mlp outputs before the residual add (Gemma 2/3).
@@ -425,6 +427,7 @@ class LlamaForCausalLM:
         lora=None,  # (LoRAManager.device_tree(), adapter_idx [B] i32)
         capture_features: bool = False,
         capture_expert_counts: bool = False,  # MoE: EPLB load recording
+        context_parallel: bool = False,  # zigzag prefill CP (layers/cp)
         input_embeds=None,  # [B, Lq, H] rows for NEGATIVE input_ids
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
@@ -449,7 +452,13 @@ class LlamaForCausalLM:
             hidden = (hidden.astype(jnp.float32) * self.embed_scale).astype(
                 hidden.dtype
             )
-        hidden = self._shard(hidden, AXIS_DP, None, None)
+        # With context_parallel the tokens of this chunk arrive in ZIGZAG
+        # order and the Lq axis shards over the cp mesh axis; everything
+        # but attention is token-order-independent, so only the attention
+        # call and the sequence-axis sharding constraints change
+        # (reference layers/cp/zigzag.py).
+        seq_ax = AXIS_CP if context_parallel else None
+        hidden = self._shard(hidden, AXIS_DP, seq_ax, None)
 
         hq, hkv, d = self.hq, self.hkv, self.hd
         rot_half = self.rot_dim // 2
@@ -526,33 +535,53 @@ class LlamaForCausalLM:
             k = self._shard(k, AXIS_DP, None, head_ax, None)
             v = self._shard(v, AXIS_DP, None, head_ax, None)
             q, k = rope(q, cos, sin), rope(k, cos, sin)
-            attn_out, kv = paged_attention(
-                q,
-                k,
-                v,
-                kv,
-                batch,
-                li,
-                num_slots=num_slots,
-                page_size=page_size,
-                sm_scale=self.sm_scale,
-                logit_cap=c.attn_logit_softcap,
-                sliding_window=window,
-                backend=attn_backend,
-            )
+            if context_parallel:
+                # KV still lands in the pages (decode continues on the
+                # standard paged path afterwards); the chunk's attention
+                # runs sequence-sharded with the zigzag causal mask.
+                from sglang_tpu.layers.attention import write_kv
+                from sglang_tpu.layers.context_parallel import (
+                    cp_prefill_attention,
+                )
+
+                kv = write_kv(kv, k, v, batch.out_slots, li, num_slots)
+                kc, vc = k, v
+                if hq != hkv:
+                    rep = hq // hkv
+                    kc = jnp.repeat(kc, rep, axis=2)
+                    vc = jnp.repeat(vc, rep, axis=2)
+                attn_out = cp_prefill_attention(
+                    q, kc, vc, batch.positions, self.sm_scale,
+                    self.mesh_ctx.mesh, axis=AXIS_CP,
+                )
+            else:
+                attn_out, kv = paged_attention(
+                    q,
+                    k,
+                    v,
+                    kv,
+                    batch,
+                    li,
+                    num_slots=num_slots,
+                    page_size=page_size,
+                    sm_scale=self.sm_scale,
+                    logit_cap=c.attn_logit_softcap,
+                    sliding_window=window,
+                    backend=attn_backend,
+                )
             attn_out = attn_out.reshape(B, Lq, hq * d)
             attn_out = proj(attn_out, "o_proj")
             if self.has_post_norms:
                 attn_out = self._norm(attn_out, w["post_attn_ln"])
             h = h + attn_out
-            h = self._shard(h, AXIS_DP, None, None)
+            h = self._shard(h, AXIS_DP, seq_ax, None)
             # --- mlp block ---
             normed = self._norm(h, w["post_ln"])
             mlp_out = self._mlp_forward(w, normed, proj)
             if self.has_post_norms:
                 mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
             h = h + mlp_out
-            h = self._shard(h, AXIS_DP, None, None)
+            h = self._shard(h, AXIS_DP, seq_ax, None)
             # EPLB load signal: MoE _mlp_forward stashes this layer's
             # expert routing counts when capture is on (scan collects
             # them into [L, E]; None for dense models).

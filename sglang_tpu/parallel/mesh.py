@@ -26,6 +26,7 @@ logger = get_logger(__name__)
 # Canonical axis names.
 AXIS_DP = "dp"  # data parallel (replica) — batch-sharded
 AXIS_PP = "pp"  # pipeline parallel — layer-sharded (stage loops)
+AXIS_CP = "cp"  # context parallel — prefill sequence-sharded (zigzag)
 AXIS_TP = "tp"  # tensor parallel — head/feature-sharded; also EP axis for MoE
 
 
@@ -35,6 +36,9 @@ class ParallelConfig:
     dp_size: int = 1
     pp_size: int = 1
     ep_size: int = 1  # experts sharded over the tp axis (ep_size must divide tp*dp)
+    # prefill context parallelism (reference layers/cp/ zigzag): long
+    # prompts sequence-shard over a dedicated mesh axis
+    cp_size: int = 1
     # DP-attention (reference layers/dp_attention.py:103): attention runs
     # data-parallel (weights replicated over tp, batch sharded over dp)
     # while the MLP is tensor-parallel over the FUSED (dp, tp) axes; GSPMD
@@ -44,7 +48,7 @@ class ParallelConfig:
 
     @property
     def world_size(self) -> int:
-        return self.tp_size * self.dp_size * self.pp_size
+        return self.tp_size * self.dp_size * self.pp_size * self.cp_size
 
 
 class MeshContext:
@@ -65,13 +69,15 @@ class MeshContext:
                 f"have {len(devices)}"
             )
         dev_array = np.asarray(devices[:n_needed]).reshape(
-            parallel.dp_size, parallel.pp_size, parallel.tp_size
+            parallel.dp_size, parallel.pp_size, parallel.cp_size,
+            parallel.tp_size,
         )
-        self.mesh = Mesh(dev_array, (AXIS_DP, AXIS_PP, AXIS_TP))
+        self.mesh = Mesh(dev_array, (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP))
         logger.info(
-            "Mesh: dp=%d pp=%d tp=%d over %d devices (%s)",
+            "Mesh: dp=%d pp=%d cp=%d tp=%d over %d devices (%s)",
             parallel.dp_size,
             parallel.pp_size,
+            parallel.cp_size,
             parallel.tp_size,
             n_needed,
             devices[0].platform,

@@ -131,10 +131,20 @@ class LeaderRunner:
         )
 
     def extend_step(self, packed, st_packed, B, L, P, pen=None, vmask=None,
-                    adapter_idx=None, tl_k=0):
+                    adapter_idx=None, embeds=None, tl_k=0,
+                    capture_ecounts=False, return_async=False,
+                    use_cp=False):
+        assert embeds is None, (
+            "multimodal inputs are single-host (the vision tower runs in "
+            "the tokenizer process; broadcast of embed rows lands later)"
+        )
+        assert not capture_ecounts, "EPLB is guarded off under multihost"
         desc = np.zeros(DESC_LEN, np.int32)
+        # the use_chain flag slot carries use_cp for K_EXTEND (decode-only
+        # vs extend-only flags share the wire slot)
         desc[:9] = (K_EXTEND, B, L, P,
-                    *self._flags(pen, vmask, adapter_idx, tl_k))
+                    *self._flags(pen, vmask, adapter_idx, tl_k,
+                                 use_chain=1 if use_cp else 0))
         self._send(
             desc,
             [packed.astype(np.int32), st_packed]
@@ -142,7 +152,8 @@ class LeaderRunner:
         )
         return self.runner.extend_step(
             packed, st_packed, B, L, P, pen=pen, vmask=vmask,
-            adapter_idx=adapter_idx, tl_k=tl_k,
+            adapter_idx=adapter_idx, tl_k=tl_k, use_cp=use_cp,
+            return_async=return_async,
         )
 
     def decode_window_async(self, packed, st_packed, B, P, K, pen=None,
@@ -248,7 +259,7 @@ def follower_loop(runner):
             if kind == K_EXTEND:
                 runner.extend_step(
                     packed, st, B, LK, P, pen=pen, vmask=vmask,
-                    adapter_idx=adapter_idx, tl_k=tl_k,
+                    adapter_idx=adapter_idx, tl_k=tl_k, use_cp=bool(uc),
                 )
             else:
                 chain = (

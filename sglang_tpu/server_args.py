@@ -63,6 +63,7 @@ class ServerArgs:
     dp_size: int = 1
     pp_size: int = 1
     ep_size: int = 1
+    cp_size: int = 1  # prefill context parallelism (zigzag sequence shard)
     enable_expert_parallel: bool = False
     dist_init_addr: Optional[str] = None
     nnodes: int = 1
@@ -96,6 +97,9 @@ class ServerArgs:
     # ~3.5x faster than emulated fp8 dequant; precision comparable)
     quant_execution: str = "native"
     plugins: Optional[List[str]] = None  # module paths (reference plugins/)
+    # ---- two-batch overlap (reference batch_overlap/) ----
+    enable_two_batch_overlap: bool = False
+    tbo_token_threshold: int = 512  # min prefill tokens before splitting
     # ---- EPLB (expert-placement load balancing, MoE + EP) ----
     enable_eplb: bool = False
     eplb_rebalance_interval: int = 512  # scheduler steps between checks

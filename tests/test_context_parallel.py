@@ -82,3 +82,61 @@ def test_cp_prefill_matches_dense_causal():
     )
     out = np.asarray(out_z)[:, inv]
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+# -------------------------------------------------- serving-path wiring
+def _cp_engine(cp_size):
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+    args = make_server_args(cp_size=cp_size, chunked_prefill_size=256)
+    cfg = ModelConfig.from_hf_dict(
+        TINY_HF_CONFIG, model_path="dummy://tiny", dtype="float32"
+    )
+    runner = ModelRunner(args, model_config=cfg)
+    return Engine(server_args=args, model_runner=runner)
+
+
+def test_cp_prefill_serving_path_matches_dense():
+    """cp_size=2: full-prompt prefill runs sequence-sharded over the cp
+    mesh axis with zigzag host packing; outputs (prefill sample AND the
+    subsequent paged decode over the CP-written KV) must match the
+    cp=1 engine token-for-token."""
+    e1 = _cp_engine(1)
+    e2 = _cp_engine(2)
+    try:
+        runner2 = e2.scheduler.runner
+        assert runner2.mesh_ctx.parallel.cp_size == 2
+        prompt = list(range(5, 5 + 40))  # long-ish single-chunk prompt
+        sp = {"max_new_tokens": 12, "temperature": 0.0,
+              "return_logprob": True, "ignore_eos": True}
+        o1 = e1.generate(input_ids=prompt, sampling_params=sp)
+        o2 = e2.generate(input_ids=prompt, sampling_params=sp)
+        assert o1["output_ids"] == o2["output_ids"], (
+            o1["output_ids"], o2["output_ids"])
+        l1 = [t[0] for t in o1["meta_info"]["output_token_logprobs"]]
+        l2 = [t[0] for t in o2["meta_info"]["output_token_logprobs"]]
+        import numpy as np
+
+        np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-4)
+        # the CP variant actually compiled (an extend fn keyed use_cp)
+        assert any(k[-1] for k in runner2._extend_fns), (
+            runner2._extend_fns.keys())
+        # a second turn reuses the radix prefix (cached_len > 0) → the
+        # CP gate must fall back to the standard paged path and stay exact
+        o3 = e2.generate(
+            input_ids=prompt + o2["output_ids"] + [9, 9],
+            sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        o4 = e1.generate(
+            input_ids=prompt + o1["output_ids"] + [9, 9],
+            sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        assert o3["output_ids"] == o4["output_ids"]
+    finally:
+        e1.shutdown()
+        e2.shutdown()

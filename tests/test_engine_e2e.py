@@ -284,3 +284,42 @@ def test_pdmux_prefill_overlaps_decode_windows(tiny_engine):
                          "ignore_eos": True},
     )
     assert solo["output_ids"] == results["late"]["output_ids"]
+
+
+def test_two_batch_overlap_exact():
+    """--enable-two-batch-overlap: a prefill batch splits into two
+    async-dispatched micro-batches; outputs match the unsplit engine
+    token-for-token."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+    def make(tbo):
+        args = make_server_args(
+            enable_two_batch_overlap=tbo, tbo_token_threshold=16,
+            chunked_prefill_size=256, max_prefill_tokens=1024,
+        )
+        cfg = ModelConfig.from_hf_dict(
+            TINY_HF_CONFIG, model_path="dummy://tiny", dtype="float32"
+        )
+        return Engine(
+            server_args=args,
+            model_runner=ModelRunner(args, model_config=cfg),
+        )
+
+    e0 = make(False)
+    e1 = make(True)
+    try:
+        prompts = [list(range(3, 23)), list(range(40, 55)),
+                   [7, 8, 9, 10], list(range(100, 130))]
+        sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+        o0 = e0.generate(input_ids=prompts, sampling_params=sp)
+        o1 = e1.generate(input_ids=prompts, sampling_params=sp)
+        assert [o["output_ids"] for o in o0] == [
+            o["output_ids"] for o in o1
+        ]
+        assert getattr(e1.scheduler, "num_tbo_splits", 0) >= 1
+    finally:
+        e0.shutdown()
+        e1.shutdown()
