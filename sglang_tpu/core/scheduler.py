@@ -115,22 +115,17 @@ class Scheduler:
             n_exp = getattr(self.runner.model, "num_experts", 0) or getattr(
                 self.runner.model_config, "num_experts", 0
             )
-            if n_exp and not getattr(
-                self.runner, "is_multihost_leader", False
-            ):
+            if n_exp:
                 from sglang_tpu.eplb import ExpertDistributionRecorder
 
                 # layer dim comes from the first recorded batch (MoE
                 # layer count differs from num_hidden_layers on
-                # first-k-dense models like DeepSeek)
+                # first-k-dense models like DeepSeek); under a multihost
+                # leader the rebalance permutation broadcasts (K_EPLB)
+                # so every host applies the identical reshuffle
                 self.eplb_recorder = ExpertDistributionRecorder(0, n_exp)
-            elif not n_exp:
-                logger.warning("enable_eplb: model has no experts; ignored")
             else:
-                logger.warning(
-                    "enable_eplb: multihost rebalance is not coordinated "
-                    "yet; ignored on the leader"
-                )
+                logger.warning("enable_eplb: model has no experts; ignored")
 
         self.metrics = None
         if server_args.enable_metrics:

@@ -42,8 +42,8 @@ logger = get_logger(__name__)
 # step kinds
 (
     K_EXTEND, K_DECODE, K_VERIFY, K_SCORE, K_EMBED, K_STOP,
-    K_LORA_LOAD, K_LORA_UNLOAD, K_DECODE_ASYNC,
-) = range(9)
+    K_LORA_LOAD, K_LORA_UNLOAD, K_DECODE_ASYNC, K_EPLB,
+) = range(10)
 DESC_LEN = 12  # kind, B, L_or_K, P, use_pen+penW, use_mask, use_lora, tl_k, use_chain, …
 NAME_LEN = 256  # fixed-size utf-8 buffer for lora name/path broadcasts
 
@@ -138,13 +138,15 @@ class LeaderRunner:
             "multimodal inputs are single-host (the vision tower runs in "
             "the tokenizer process; broadcast of embed rows lands later)"
         )
-        assert not capture_ecounts, "EPLB is guarded off under multihost"
+        # capture_ecounts broadcasts in the vmask flag's bit 1 so every
+        # host compiles/executes the same extend variant
         desc = np.zeros(DESC_LEN, np.int32)
         # the use_chain flag slot carries use_cp for K_EXTEND (decode-only
         # vs extend-only flags share the wire slot)
-        desc[:9] = (K_EXTEND, B, L, P,
-                    *self._flags(pen, vmask, adapter_idx, tl_k,
+        flags = list(self._flags(pen, vmask, adapter_idx, tl_k,
                                  use_chain=1 if use_cp else 0))
+        flags[1] |= (1 if capture_ecounts else 0) << 1
+        desc[:9] = (K_EXTEND, B, L, P, *flags)
         self._send(
             desc,
             [packed.astype(np.int32), st_packed]
@@ -153,7 +155,7 @@ class LeaderRunner:
         return self.runner.extend_step(
             packed, st_packed, B, L, P, pen=pen, vmask=vmask,
             adapter_idx=adapter_idx, tl_k=tl_k, use_cp=use_cp,
-            return_async=return_async,
+            capture_ecounts=capture_ecounts, return_async=return_async,
         )
 
     def decode_window_async(self, packed, st_packed, B, P, K, pen=None,
@@ -216,6 +218,16 @@ class LeaderRunner:
         desc[0] = K_LORA_UNLOAD
         self._send(desc, [_encode_str(name)])
 
+    def apply_expert_rebalance(self, perm: np.ndarray):
+        """Coordinated EPLB rebalance (reference eplb_manager under EP):
+        the permutation broadcasts so every host applies the identical
+        expert reshuffle to its params shard."""
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[0] = K_EPLB
+        desc[1:3] = perm.shape
+        self._send(desc, [perm.astype(np.int32)])
+        return self.runner.apply_expert_rebalance(perm)
+
     def stop_followers(self):
         _bcast(np.full(DESC_LEN, K_STOP, np.int32), True)
 
@@ -235,6 +247,7 @@ def follower_loop(runner):
         desc = np.asarray(_bcast(np.zeros(DESC_LEN, np.int32), False))
         kind, B, LK, P, penf, um, ul, tl_k, uc = (int(x) for x in desc[:9])
         use_pen, pen_w = penf & 1, penf >> 1
+        use_ecounts, um = (um >> 1) & 1, um & 1
         if kind == K_STOP:
             logger.info("follower loop stopping")
             return
@@ -260,6 +273,7 @@ def follower_loop(runner):
                 runner.extend_step(
                     packed, st, B, LK, P, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, tl_k=tl_k, use_cp=bool(uc),
+                    capture_ecounts=bool(use_ecounts),
                 )
             else:
                 chain = (
@@ -269,6 +283,9 @@ def follower_loop(runner):
                     packed, st, B, P, LK, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, tl_k=tl_k, chain_tokens=chain,
                 )
+        elif kind == K_EPLB:
+            perm = np.asarray(_bcast(np.zeros((B, LK), np.int32), False))
+            runner.apply_expert_rebalance(perm)
         elif kind == K_VERIFY:
             packed = np.asarray(_bcast(
                 np.zeros(extend_packed_size(B, LK, P), np.int32), False))

@@ -149,3 +149,91 @@ def test_multihost_leader_follower(tmp_path):
     assert multihost_ids == ref["output_ids"]
     assert mh_pen_ids == ref_pen["output_ids"]
     assert mh_gram_text == ref_gram["text"]
+
+
+MOE_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_NUM_CPU_DEVICES"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+rank = int(sys.argv[1])
+addr = sys.argv[2]
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.parallel.multihost import run_node
+from sglang_tpu.server_args import ServerArgs
+
+TINY_MOE = {
+    "architectures": ["MixtralForCausalLM"], "model_type": "mixtral",
+    "hidden_size": 64, "intermediate_size": 96, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+    "vocab_size": 512, "max_position_embeddings": 1024,
+    "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+    "tie_word_embeddings": False, "eos_token_id": 257,
+    "num_local_experts": 4, "num_experts_per_tok": 2,
+}
+args = ServerArgs(
+    model_path="dummy://tiny-moe", tokenizer_path="test:byte",
+    load_format="dummy", dtype="float32", page_size=8,
+    max_total_tokens=2048, tp_size=2, nnodes=2, node_rank=rank,
+    dist_init_addr=addr, enable_eplb=True,
+    eplb_rebalance_interval=10**9,
+)
+cfg = ModelConfig.from_hf_dict(TINY_MOE, dtype="float32")
+eng = run_node(args, model_config=cfg)
+if rank == 0:
+    sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+    o1 = eng.generate(input_ids=[9, 8, 7, 6, 5], sampling_params=sp)
+    sched = eng.scheduler
+    assert sched.eplb_recorder is not None
+    assert sched.eplb_recorder.counts.sum() > 0
+    # coordinated rebalance: leader broadcasts K_EPLB, every host applies
+    sched._maybe_eplb_rebalance(ep=2, force=True)
+    o2 = eng.generate(input_ids=[9, 8, 7, 6, 5], sampling_params=sp)
+    print("RESULT " + json.dumps([o1["output_ids"], o2["output_ids"]]),
+          flush=True)
+    eng.scheduler.runner.stop_followers()
+    eng.shutdown()
+"""
+
+
+def test_multihost_eplb_rebalance(tmp_path):
+    """MoE over 2 hosts with --enable-eplb: routing counts record on the
+    leader and a forced rebalance broadcasts the permutation (K_EPLB) so
+    both hosts stay in lock-step; outputs are permutation-invariant."""
+    addr = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "moe_worker.py"
+    script.write_text(MOE_WORKER)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(rank), addr],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=repo,
+            text=True,
+        )
+        for rank in (0, 1)
+    ]
+    try:
+        out0, _ = procs[0].communicate(timeout=240)
+        out1, _ = procs[1].communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost eplb workers timed out")
+    assert procs[0].returncode == 0, out0[-2000:]
+    assert procs[1].returncode == 0, out1[-2000:]
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
+    assert line, out0[-2000:]
+    o1, o2 = json.loads(line[0][len("RESULT "):])
+    assert o1 == o2, (o1, o2)
