@@ -1436,11 +1436,20 @@ class Scheduler:
         )
         for i, r in enumerate(verify.reqs):
             r.fill_ids.extend(int(t) for t in drafts[i, :k])
+        use_trunc = any(
+            r.sampling_params.temperature > 0.0
+            and (
+                r.sampling_params.top_p < 1.0
+                or r.sampling_params.top_k > 0
+                or r.sampling_params.min_p > 0.0
+            )
+            for r in batch.reqs
+        )
         try:
             packed, _, _ = verify.pack_extend(self.page_size, B, k + 1, P)
             tokens, accept_len, lp = self.runner.eagle_verify_step(
                 packed, st_packed, q_logits, drafts, slot_idx, bootstrap,
-                B, k + 1, P,
+                B, k + 1, P, use_trunc=use_trunc,
             )
         finally:
             for r in verify.reqs:

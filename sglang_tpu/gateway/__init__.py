@@ -28,8 +28,19 @@ def build_gateway() -> str:
     src = os.path.join(os.path.dirname(__file__), "gateway.cpp")
     with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:12]
-    build_dir = os.path.join(os.path.dirname(src), "build")
-    os.makedirs(build_dir, exist_ok=True)
+    # Build into a user cache dir, NOT the installed package directory
+    # (which may be read-only and must never accumulate binaries).
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    try:
+        build_dir = os.path.join(cache_root, "sglang_tpu", "gateway")
+        os.makedirs(build_dir, exist_ok=True)
+    except OSError:
+        import tempfile
+
+        build_dir = os.path.join(tempfile.gettempdir(), "sglang_tpu_gateway")
+        os.makedirs(build_dir, exist_ok=True)
     binary = os.path.join(build_dir, f"gateway_{digest}")
     if not os.path.exists(binary):
         cmd = ["g++", "-O2", "-std=c++17", "-pthread", "-o", binary, src]

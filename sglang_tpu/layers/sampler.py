@@ -206,6 +206,39 @@ def sample(
     return tokens.astype(jnp.int32), chosen_logprob
 
 
+def truncate_probs(
+    probs: jnp.ndarray,  # [N, V] f32, rows sum to 1
+    top_p: jnp.ndarray,  # [N] f32
+    top_k: jnp.ndarray,  # [N] i32; -1 = disabled
+    min_p: jnp.ndarray,  # [N] f32
+    top_cap: int = TOP_CAP,
+) -> jnp.ndarray:
+    """Renormalized top-k / top-p / min-p truncation of full-vocab
+    probability rows, with EXACTLY the keep rules ``sample`` uses (top-C
+    subset, exclusive-cumsum top-p, argmax always kept).  Used by
+    speculative rejection sampling so the accepted-token distribution
+    matches the normal decode path (reference applies the same
+    renormalization inside its rejection kernel, reject_sampling.py)."""
+    N, V = probs.shape
+    C = min(top_cap, V)
+    av, ai = jax.lax.approx_max_k(probs, C, recall_target=1.0)
+    order = jnp.argsort(-av, axis=-1)
+    tv = jnp.take_along_axis(av, order, axis=-1)  # [N, C] sorted probs
+    ti = jnp.take_along_axis(ai, order, axis=-1)
+    ranks = np.arange(C, dtype=np.int32)[None, :]
+    k = jnp.where(top_k < 0, C, top_k)[:, None]
+    keep = ranks < k
+    cum = jnp.cumsum(tv, axis=-1)
+    keep &= (cum - tv) < top_p[:, None]
+    keep &= tv >= min_p[:, None] * tv[:, :1]
+    keep = keep.at[:, 0].set(True)
+    kept = jnp.where(keep, tv, 0.0)
+    kept = kept / jnp.maximum(jnp.sum(kept, axis=-1, keepdims=True), 1e-30)
+    out = jnp.zeros_like(probs)
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
+    return out.at[rows, ti].set(kept)
+
+
 def apply_penalties(
     logits: jnp.ndarray,  # [B, V] f32
     counts: jnp.ndarray,  # [B, V] f32 output-token counts

@@ -385,7 +385,16 @@ class ModelRunner:
             # free/sentinel state: all tokens allowed, self-loop.
             Sb = fsm_bucket
             masks = jnp.concatenate([m for m, _ in fsm_parts], axis=0)
-            nexts = jnp.concatenate([n for _, n in fsm_parts], axis=0)
+            # Per-grammar next_state tables hold grammar-LOCAL indices;
+            # rebase each by its row offset in the combined table (offsets
+            # are static shapes, so this folds into the compiled program).
+            # Negative entries (dead transitions) stay negative.
+            rebased = []
+            _off = 0
+            for _, n in fsm_parts:
+                rebased.append(jnp.where(n >= 0, n + _off, n))
+                _off += n.shape[0]
+            nexts = jnp.concatenate(rebased, axis=0)
             Sr = masks.shape[0]
             W = masks.shape[1]
             V = nexts.shape[1]
@@ -962,11 +971,21 @@ class ModelRunner:
 
         client = WeightSyncClient(*addr)
         n = 0
-        hf_batch: Dict[str, np.ndarray] = {}
+        # Apply in ~256 MB buckets as tensors stream in, so the reader
+        # thread's pipelining overlaps network pull with device upload and
+        # peak host memory stays one bucket, not the whole checkpoint.
+        bucket: Dict[str, np.ndarray] = {}
+        bucket_bytes = 0
+        BUCKET_CAP = 256 << 20
         for name, arr in client.iter_tensors(names):
-            hf_batch[name] = arr
+            bucket[name] = arr
+            bucket_bytes += arr.nbytes
             n += 1
-        self.update_weights_from_hf_tensors(hf_batch)
+            if bucket_bytes >= BUCKET_CAP:
+                self.update_weights_from_hf_tensors(bucket)
+                bucket, bucket_bytes = {}, 0
+        if bucket:
+            self.update_weights_from_hf_tensors(bucket)
         return n
 
     def update_weights_from_hf_tensors(
@@ -1240,6 +1259,7 @@ class ModelRunner:
     def _eagle_verify_impl(
         self, params, kv_cache, feats_pool, packed, st_packed, q_logits,
         drafts, slot_idx, bootstrap, rng, step, *, B, L, P,
+        use_trunc=False,
     ):
         """Target extend over [e, d_1..d_K] + device rejection sampling +
         feature-pool refresh (reference verify :1538 + reject_sampling)."""
@@ -1259,6 +1279,7 @@ class ModelRunner:
         tokens, accept_len, lp = chain_rejection_sample(
             p_logits, q_logits, drafts, st.temperature,
             jax.random.fold_in(rng, step), bootstrap=bootstrap > 0,
+            trunc=(st.top_p, st.top_k, st.min_p) if use_trunc else None,
         )
         S = feats_pool.shape[0]
         safe_slot = jnp.where(slot_idx >= 0, slot_idx, S)
@@ -1493,13 +1514,19 @@ class ModelRunner:
         lp = out[:, L + 2 :]
         return tokens, accept_len, winner, lp
 
-    def eagle_verify_step(self, packed, st_packed, q_logits, drafts, slot_idx, bootstrap, B, L, P):
-        key = (B, L, P)
+    def eagle_verify_step(self, packed, st_packed, q_logits, drafts, slot_idx, bootstrap, B, L, P, use_trunc=False):
+        key = (B, L, P, use_trunc)
         fn = self._eagle_verify_fns.get(key)
         if fn is None:
-            logger.info("compiling eagle verify: B=%d L=%d P=%d", B, L, P)
+            logger.info(
+                "compiling eagle verify: B=%d L=%d P=%d trunc=%s",
+                B, L, P, use_trunc,
+            )
             fn = jax.jit(
-                functools.partial(self._eagle_verify_impl, B=B, L=L, P=P),
+                functools.partial(
+                    self._eagle_verify_impl, B=B, L=L, P=P,
+                    use_trunc=use_trunc,
+                ),
                 donate_argnums=(1, 2),
             )
             self._eagle_verify_fns[key] = fn

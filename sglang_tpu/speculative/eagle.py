@@ -242,6 +242,7 @@ def chain_rejection_sample(
     temperature: jnp.ndarray,  # [B] f32 (0 = greedy)
     rng: jax.Array,
     bootstrap: Optional[jnp.ndarray] = None,  # [B] bool: ignore drafts
+    trunc: Optional[tuple] = None,  # (top_p [B], top_k [B], min_p [B])
 ):
     """Vectorized chain speculative sampling (speculative_sampling.cu).
 
@@ -258,6 +259,24 @@ def chain_rejection_sample(
     temp = jnp.where(greedy, 1.0, temperature)[:, None, None]
     p = jax.nn.softmax(p_logits.astype(jnp.float32) / temp, axis=-1)
     q = jax.nn.softmax(q_logits.astype(jnp.float32) / temp, axis=-1)
+
+    if trunc is not None:
+        # Truncate+renormalize the TARGET distribution (top-p/top-k/min-p)
+        # so accepted tokens match the normal decode path's distribution.
+        # The proposal q stays as the draft sampler's true distribution —
+        # rejection sampling is exact for any proposal: accept w.p.
+        # min(1, p'(d)/q(d)), residual ∝ max(p' - q, 0).  Greedy rows keep
+        # the untruncated p (argmax path; logprobs match plain decode).
+        from sglang_tpu.layers.sampler import truncate_probs
+
+        top_p, top_k, min_p = trunc
+        p_trunc = truncate_probs(
+            p.reshape(B * K1, V),
+            jnp.repeat(top_p, K1),
+            jnp.repeat(top_k, K1),
+            jnp.repeat(min_p, K1),
+        ).reshape(B, K1, V)
+        p = jnp.where(greedy[:, None, None], p, p_trunc)
 
     p_d = jnp.take_along_axis(
         p[:, :K], drafts[..., None], axis=-1

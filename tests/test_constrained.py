@@ -217,6 +217,36 @@ def test_engine_mixed_grammar_batch(tiny_engine):
     assert len(results["free"]["output_ids"]) == 8
 
 
+def test_two_distinct_grammars_one_batch(tiny_engine):
+    """Two DIFFERENT grammars batched together: the device-FSM combined
+    table rebases each grammar's next-state indices by its row offset, so
+    the grammar at a non-zero offset must still honour its own automaton
+    (regression: grammar-local indices walked into the other grammar's
+    state region after the first fused step)."""
+    import re
+    import threading
+
+    results = {}
+
+    def run(name, rx):
+        results[name] = tiny_engine.generate(
+            prompt=name,
+            sampling_params={"temperature": 0.0, "max_new_tokens": 24,
+                            "regex": rx},
+        )
+
+    specs = {"g_digits": r"[0-9]{6}", "g_words": r"(ab|cd){5}"}
+    ts = [threading.Thread(target=run, args=(n, rx))
+          for n, rx in specs.items()]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    for name, rx in specs.items():
+        assert re.fullmatch(rx, results[name]["text"]), (
+            name, results[name]["text"])
+
+
 def test_grammar_decodes_with_fused_windows(tiny_engine):
     """Small-FSM grammars must keep K>1 fused decode windows (device-side
     FSM advance) instead of one dispatch per token."""

@@ -148,6 +148,56 @@ def test_chain_rejection_sample_distribution():
     assert tv < 0.02, (tv, freq, p0)
 
 
+def test_chain_rejection_truncated_distribution():
+    """With top-p/top-k active, the emitted-token distribution must match
+    the TRUNCATED+renormalized target — the same distribution the normal
+    decode path samples from (ADVICE r2: nucleus params were ignored)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.speculative.eagle import chain_rejection_sample
+
+    rng = np.random.RandomState(3)
+    V, K, N = 8, 2, 30000
+    p_logits = jnp.asarray(rng.randn(1, K + 1, V).astype(np.float32) * 1.5)
+    q_logits = jnp.asarray(rng.randn(1, K, V).astype(np.float32) * 1.5)
+    temp = jnp.ones((1,), jnp.float32)
+    top_p = jnp.asarray([0.7], jnp.float32)
+    top_k = jnp.asarray([5], jnp.int32)
+    min_p = jnp.asarray([0.0], jnp.float32)
+
+    # expected truncated target at position 0 (same rules as sampler)
+    p0 = np.asarray(jax.nn.softmax(p_logits[0, 0]))
+    order = np.argsort(-p0)
+    sorted_p = p0[order]
+    keep = np.zeros(V, bool)
+    cum = np.cumsum(sorted_p)
+    for r in range(V):
+        if r < 5 and (cum[r] - sorted_p[r]) < 0.7:
+            keep[r] = True
+    keep[0] = True
+    kept = np.where(keep, sorted_p, 0.0)
+    expect = np.zeros(V)
+    expect[order] = kept / kept.sum()
+
+    def run(key):
+        d = jax.random.categorical(key, q_logits[:, 0], axis=-1)
+        drafts = jnp.stack([d, jnp.zeros_like(d)], axis=1).astype(jnp.int32)
+        toks, a, _ = chain_rejection_sample(
+            p_logits, q_logits, drafts, temp, jax.random.fold_in(key, 1),
+            trunc=(top_p, top_k, min_p),
+        )
+        return toks[0, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    first = np.asarray(jax.vmap(run)(keys))
+    freq = np.bincount(first, minlength=V) / N
+    tv = 0.5 * np.abs(freq - expect).sum()
+    assert tv < 0.02, (tv, freq, expect)
+    # tokens outside the truncated set must NEVER be emitted
+    assert freq[expect == 0].sum() == 0.0, freq
+
+
 def test_chain_rejection_greedy_prefix():
     import jax
     import jax.numpy as jnp
