@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sglang_tpu.environ import envs
 from sglang_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -50,6 +51,28 @@ logger = get_logger(__name__)
 # Pallas GEMM's output tile equals this, so each tile unpacks with one
 # lane-dim concat (no cross-tile shuffles).
 PACK_BLOCK = 512
+
+
+def choose_pack_block(dout: int, shards: int = 1) -> tuple:
+    """Pick the int4 pack block for a projection whose out axis splits
+    into ``shards`` tensor-parallel shards.
+
+    Each shard's column span must be a whole number of pack blocks (the
+    split-half layout is block-local, and the Pallas GEMM's output tile
+    equals the block), so the padded width is a multiple of
+    ``shards * block``.  Prefer the largest block with zero padding; fall
+    back to whichever of (512, 256, 128) pads least (larger wins ties).
+    Returns ``(pack_block, padded_out)``.
+    """
+    best = None
+    for b in (512, 256, 128):
+        padded = -(-dout // (b * shards)) * (b * shards)
+        overhead = padded - dout
+        if overhead == 0:
+            return b, padded
+        if best is None or overhead < best[0]:
+            best = (overhead, b, padded)
+    return best[1], best[2]
 
 # AWQ's in-int32 nibble interleave (AutoAWQ pack order).
 AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
@@ -249,32 +272,51 @@ def pad_axis(a: np.ndarray, axis: int, multiple: int, value=0) -> np.ndarray:
 # Checkpoint tensor → canonical repack transforms (used by hf_weight_mapping)
 # --------------------------------------------------------------------------
 
-def awq_repack_qweight(t: np.ndarray) -> np.ndarray:
+def _pad_out(a: np.ndarray, pack_block: int, out_pad: Optional[int]) -> np.ndarray:
+    """Pad the out-column axis to ``out_pad`` (shard-aware padded width)
+    or, by default, to the next ``pack_block`` multiple."""
+    if out_pad is None:
+        return pad_axis(a, 1, pack_block)
+    pad = out_pad - a.shape[1]
+    assert pad >= 0, (a.shape, out_pad)
+    return np.pad(a, [(0, 0), (0, pad)]) if pad else a
+
+
+def awq_repack_qweight(
+    t: np.ndarray, pack_block: int = PACK_BLOCK, out_pad: Optional[int] = None
+) -> np.ndarray:
     """HF AWQ qweight int32 [in, out/8] → canonical packed uint8.
 
-    Output columns are padded to PACK_BLOCK; the in dim is left as-is
-    (padded at the staging buffer if needed).
+    Output columns are padded to ``out_pad`` (or the next pack_block
+    multiple); the in dim is left as-is (padded at the staging buffer if
+    needed).
     """
     q = unpack_awq_int32(t)  # [in, out]
-    q = pad_axis(q, 1, PACK_BLOCK)
-    return pack_int4(q)
+    q = _pad_out(q, pack_block, out_pad)
+    return pack_int4(q, pack_block)
 
 
-def awq_unpack_qzeros(t: np.ndarray) -> np.ndarray:
+def awq_unpack_qzeros(
+    t: np.ndarray, pack_block: int = PACK_BLOCK, out_pad: Optional[int] = None
+) -> np.ndarray:
     z = unpack_awq_int32(t)  # [in/g, out]
-    return pad_axis(z, 1, PACK_BLOCK).astype(np.float32)
+    return _pad_out(z, pack_block, out_pad).astype(np.float32)
 
 
-def gptq_repack_qweight(t: np.ndarray) -> np.ndarray:
+def gptq_repack_qweight(
+    t: np.ndarray, pack_block: int = PACK_BLOCK, out_pad: Optional[int] = None
+) -> np.ndarray:
     q = unpack_gptq_qweight(t)  # [in, out]
-    q = pad_axis(q, 1, PACK_BLOCK)
-    return pack_int4(q)
+    q = _pad_out(q, pack_block, out_pad)
+    return pack_int4(q, pack_block)
 
 
-def make_gptq_unpack_qzeros(v2: bool):
+def make_gptq_unpack_qzeros(
+    v2: bool, pack_block: int = PACK_BLOCK, out_pad: Optional[int] = None
+):
     def tf(t: np.ndarray) -> np.ndarray:
         z = unpack_gptq_qzeros(t, v2)
-        return pad_axis(z, 1, PACK_BLOCK).astype(np.float32)
+        return _pad_out(z, pack_block, out_pad).astype(np.float32)
 
     return tf
 
@@ -323,10 +365,19 @@ def dequant_f8_sibling(w: np.ndarray, s: np.ndarray) -> np.ndarray:
     return wf * se
 
 
-def pad_scales(t: np.ndarray) -> np.ndarray:
-    """AWQ/GPTQ scales [in/g, out] → padded to PACK_BLOCK out columns.
+def pad_scales(
+    t: np.ndarray, pack_block: int = PACK_BLOCK, out_pad: Optional[int] = None
+) -> np.ndarray:
+    """AWQ/GPTQ scales [in/g, out] → padded out columns.
     Padding scale is 1.0 so padded (q=0, zero=0) columns dequant to 0."""
-    return pad_axis(t.astype(np.float32), 1, PACK_BLOCK, value=1.0)
+    s = t.astype(np.float32)
+    if out_pad is None:
+        return pad_axis(s, 1, pack_block, value=1.0)
+    pad = out_pad - s.shape[1]
+    assert pad >= 0, (s.shape, out_pad)
+    return (
+        np.pad(s, [(0, 0), (0, pad)], constant_values=1.0) if pad else s
+    )
 
 
 # --------------------------------------------------------------------------
@@ -338,10 +389,11 @@ def dequant_int4(
     scale: jnp.ndarray,  # [in/g, out]
     zero: jnp.ndarray,  # [in/g, out]
     compute_dtype=jnp.bfloat16,
+    pack_block: int = PACK_BLOCK,
 ) -> jnp.ndarray:
-    """XLA dequant (materializes the full matrix — fallback/TP path)."""
+    """XLA dequant (materializes the full matrix — fallback path)."""
     rows, out2 = qw.shape
-    half = PACK_BLOCK // 2
+    half = pack_block // 2
     v = qw.reshape(rows, out2 // half, half)
     lo = (v & 0xF).astype(compute_dtype)
     hi = ((v >> 4) & 0xF).astype(compute_dtype)
@@ -358,6 +410,72 @@ def _is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "qw" in w
 
 
+@dataclass(frozen=True)
+class QuantShardInfo:
+    """How to run the fused Pallas quant GEMMs under a GSPMD mesh.
+
+    The kernels are single-device programs; under a mesh ``quant_linear``
+    wraps them in :func:`jax.shard_map` (manual over ``axis_names``, the
+    other mesh axes stay automatic, same pattern as ``layers/moe.py``) so
+    every device runs the kernel on its LOCAL weight shard — the TPU
+    analogue of the reference's TP-aware CUDA quant GEMMs
+    (``layers/linear.py:291,1339`` + ``sgl-kernel`` fused GEMMs).
+    Column-parallel projections need no communication; row-parallel ones
+    psum the partial products over ``reduce_axes``.
+    """
+
+    mesh: Any
+    axis_names: frozenset  # mesh axes handled manually by the shard_map
+    x_spec: Any  # PartitionSpec of the activation [..., in]
+    w_axis: Any  # axis (or tuple) sharding the weight leaves; None = replicated
+    col: bool  # True: out-features sharded; False: in-features sharded
+    out_spec: Any  # PartitionSpec of the output [..., out]
+    reduce_axes: tuple = ()  # psum axes (row-parallel partial sums)
+
+    def shards(self) -> int:
+        if self.w_axis is None:
+            return 1
+        axes = (
+            self.w_axis if isinstance(self.w_axis, tuple) else (self.w_axis,)
+        )
+        n = 1
+        for a in axes:
+            n *= self.mesh.shape[a]
+        return n
+
+    def leaf_spec(self, arr) -> Any:
+        """Spec for one quant leaf [L?, in-ish, out-ish]: col-parallel
+        shards the out axis; row-parallel shards the in axis — except
+        per-channel scales whose in axis is the singleton (replicate)."""
+        from jax.sharding import PartitionSpec as P
+
+        nd = arr.ndim
+        if self.w_axis is None:
+            return P()
+        if self.col:
+            return P(*([None] * (nd - 1)), self.w_axis)
+        if arr.shape[-2] == 1:
+            return P()
+        return P(*([None] * (nd - 2)), self.w_axis, None)
+
+
+def _int4_conforms(K: int, N: int, KG: int, pack_block: int) -> bool:
+    n_groups = 8 if KG % 8 == 0 else KG
+    g = K // max(KG, 1)
+    bk = n_groups * g
+    return (
+        KG > 0
+        and K == KG * g
+        and K % bk == 0
+        and N % pack_block == 0
+        and bk <= 8192
+    )
+
+
+def _fp8_conforms(K: int, N: int) -> bool:
+    return K % 128 == 0 and N % 128 == 0
+
+
 def quant_linear(
     x: jnp.ndarray,  # [..., in]
     w: Dict[str, jnp.ndarray],
@@ -365,21 +483,21 @@ def quant_linear(
     backend: str = "xla",
     out_features: Optional[int] = None,
     layer_idx=None,  # set → w leaves are FULL [L, ...] stacks (no scan slice)
+    shard_info: Optional[QuantShardInfo] = None,
+    pack_block: int = PACK_BLOCK,
 ) -> jnp.ndarray:
     """Apply a quantized projection; returns [..., out_features].
 
-    ``out_features`` trims the PACK_BLOCK padding (int4 layouts only).
+    ``out_features`` trims the pack-block padding (int4 layouts only).
     With ``layer_idx``, the packed stacks are indexed INSIDE the Pallas
     kernel via scalar prefetch — a lax.scan slice would materialize a
-    full per-layer copy of the packed weights every step.
+    full per-layer copy of the packed weights every step.  With
+    ``shard_info``, the kernel runs per-shard under shard_map (see
+    :class:`QuantShardInfo`); non-conforming per-shard shapes fall back
+    to the XLA dequant path, which GSPMD partitions on its own.
     """
     lead = x.shape[:-1]
-    xin = x.reshape(-1, x.shape[-1])
-
-    def _leaf(name):
-        if layer_idx is None:
-            return w[name]
-        return w[name]  # full stack; kernels index, fallbacks slice
+    interpret = bool(envs.SGLANG_TPU_INTERPRET_PALLAS.value)
 
     def _sliced(name):
         if layer_idx is None:
@@ -388,50 +506,114 @@ def quant_linear(
             w[name], layer_idx, axis=0, keepdims=False
         )
 
-    if method in ("awq", "gptq"):
-        y = None
-        if backend == "pallas":
-            try:  # trace-time shape conformance check
-                if layer_idx is not None:
-                    from sglang_tpu.ops.quant_gemm import int4_matmul_stacked
-
-                    y = int4_matmul_stacked(
-                        xin, w["qw"], w["scale"], w["zero"],
-                        jnp.asarray(layer_idx, jnp.int32),
-                    )
-                else:
-                    from sglang_tpu.ops.quant_gemm import int4_matmul
-
-                    y = int4_matmul(xin, w["qw"], w["scale"], w["zero"])
-            except ValueError:
-                y = None
-        if y is None:
-            wd = dequant_int4(
-                _sliced("qw"), _sliced("scale"), _sliced("zero"), x.dtype
+    # ---- fused Pallas path (single-device direct, or per-shard via
+    # shard_map when shard_info says how the leaves are laid out) ----
+    if backend == "pallas" and method in ("awq", "gptq", "fp8"):
+        K = w["qw"].shape[-2]
+        N = (
+            w["qw"].shape[-1] * 2
+            if method in ("awq", "gptq")
+            else w["qw"].shape[-1]
+        )
+        t = shard_info.shards() if shard_info is not None else 1
+        K_l = K // t if (shard_info and not shard_info.col) else K
+        N_l = N // t if (shard_info and shard_info.col) else N
+        if method in ("awq", "gptq"):
+            KG = w["scale"].shape[-2]
+            KG_l = KG // t if (shard_info and not shard_info.col) else KG
+            ok = (
+                K % max(K_l, 1) == 0
+                and KG % max(KG_l, 1) == 0
+                and _int4_conforms(K_l, N_l, KG_l, pack_block)
             )
-            y = xin @ wd
+            leaf_names = ("qw", "scale", "zero")
+
+            def _run(xin, qw, s, z):
+                from sglang_tpu.ops.quant_gemm import (
+                    int4_matmul,
+                    int4_matmul_stacked,
+                )
+
+                if layer_idx is not None:
+                    return int4_matmul_stacked(
+                        xin, qw, s, z, jnp.asarray(layer_idx, jnp.int32),
+                        interpret=interpret, pack_block=pack_block,
+                    )
+                return int4_matmul(
+                    xin, qw, s, z,
+                    interpret=interpret, pack_block=pack_block,
+                )
+
+        else:  # fp8
+            ok = _fp8_conforms(K_l, N_l)
+            leaf_names = ("qw", "scale")
+
+            def _run(xin, qw, s):
+                from sglang_tpu.ops.quant_gemm import (
+                    fp8_matmul,
+                    fp8_matmul_stacked,
+                )
+
+                if layer_idx is not None:
+                    return fp8_matmul_stacked(
+                        xin, qw, s, jnp.asarray(layer_idx, jnp.int32),
+                        interpret=interpret,
+                    )
+                return fp8_matmul(xin, qw, s, interpret=interpret)
+
+        if ok and shard_info is None:
+            y = _run(x.reshape(-1, x.shape[-1]), *(w[n] for n in leaf_names))
+            y = y.reshape(*lead, y.shape[-1])
+            if out_features is not None and y.shape[-1] != out_features:
+                y = y[..., :out_features]
+            return y.astype(x.dtype)
+        if ok and shard_info is not None:
+            si = shard_info
+
+            def body(xl, *leaves):
+                xin = xl.reshape(-1, xl.shape[-1])
+                yl = _run(xin, *leaves)
+                if si.reduce_axes:
+                    # f32 psum: XLA-CPU's AllReducePromotion crashes on
+                    # bf16 collectives (same note as layers/moe.py).
+                    yl = jax.lax.psum(
+                        yl.astype(jnp.float32), si.reduce_axes
+                    )
+                return yl.reshape(*xl.shape[:-1], yl.shape[-1])
+
+            y = jax.shard_map(
+                body,
+                mesh=si.mesh,
+                in_specs=(
+                    si.x_spec,
+                    *[si.leaf_spec(w[n]) for n in leaf_names],
+                ),
+                out_specs=si.out_spec,
+                axis_names=si.axis_names,
+                check_vma=False,
+            )(x, *(w[n] for n in leaf_names))
+            if out_features is not None and y.shape[-1] != out_features:
+                y = y[..., :out_features]
+            return y.astype(x.dtype)
+        # fall through to the XLA paths below
+
+    xin = x.reshape(-1, x.shape[-1])
+    if method in ("awq", "gptq"):
+        wd = dequant_int4(
+            _sliced("qw"), _sliced("scale"), _sliced("zero"), x.dtype,
+            pack_block=pack_block,
+        )
+        y = xin @ wd
         if out_features is not None and y.shape[-1] != out_features:
             y = y[:, :out_features]
     elif method == "fp8":
-        K, N = w["qw"].shape[-2:]
-        if backend == "pallas" and K % 512 == 0 and N % 512 == 0:
-            if layer_idx is not None:
-                from sglang_tpu.ops.quant_gemm import fp8_matmul_stacked
-
-                y = fp8_matmul_stacked(
-                    xin, w["qw"], w["scale"],
-                    jnp.asarray(layer_idx, jnp.int32),
-                )
-            else:
-                from sglang_tpu.ops.quant_gemm import fp8_matmul
-
-                y = fp8_matmul(xin, w["qw"], w["scale"])
-        else:
-            wd = _sliced("qw").astype(x.dtype) * _sliced("scale").astype(x.dtype)
-            y = xin @ wd
+        wd = _sliced("qw").astype(x.dtype) * _sliced("scale").astype(x.dtype)
+        y = xin @ wd
     elif method == "w8a8_int8":
         # Per-token dynamic activation quant + int8 MXU matmul (v5e runs
         # int8 dots at 2x bf16 rate); reference w8a8_int8.py semantics.
+        # Pure XLA ops throughout — GSPMD partitions this path under any
+        # mesh without help.
         amax = jnp.max(jnp.abs(xin.astype(jnp.float32)), axis=-1, keepdims=True)
         x_scale = jnp.maximum(amax / 127.0, 1e-8)
         xq = jnp.clip(

@@ -216,12 +216,15 @@ class ModelRunner:
 
         # ---- quantized-GEMM backend (trace-time static on the config) ----
         if model_config.quant_config is not None:
-            # The fused Pallas dequant GEMMs run single-device; under a
-            # GSPMD mesh the XLA dequant path partitions correctly.
+            # Under a mesh the fused Pallas dequant GEMMs run per-shard via
+            # shard_map (models build a QuantShardInfo per projection;
+            # non-conforming projections fall back to XLA dequant).
+            # SGLANG_TPU_INTERPRET_PALLAS exercises the same path on the
+            # CPU test mesh through the Pallas interpreter.
             model_config.quant_backend = (
                 "pallas"
                 if devices[0].platform == "tpu"
-                and self.mesh_ctx.is_single_device
+                or envs.SGLANG_TPU_INTERPRET_PALLAS.value
                 else "xla"
             )
             logger.info(

@@ -102,10 +102,80 @@ class LlamaForCausalLM:
             return False
         return True
 
-    def _quant_leaf(self, L: int, din: int, dout: int) -> Dict[str, Any]:
+    def _quant_out_shards(self, name: str) -> int:
+        """Number of tensor-parallel shards of this projection's OUT axis
+        (drives the shard-aware int4 pack padding + the shard_map specs)."""
+        mc = self.mesh_ctx
+        if mc is None or mc.is_single_device or mc.parallel.pp_size > 1:
+            return 1
+        attn_proj = name in ("q_proj", "k_proj", "v_proj", "o_proj")
+        col = name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+        if not col:
+            return 1  # row-parallel: out axis replicated
+        if self._dp_attention():
+            if attn_proj:
+                return 1  # attention weights replicate under dp-attention
+            return mc.parallel.dp_size * mc.parallel.tp_size
+        return mc.parallel.tp_size
+
+    def _quant_pack_block(self, name: str) -> int:
+        from sglang_tpu.layers.quantization import choose_pack_block
+
+        _, _, dout = self._proj_dims()[name]
+        return choose_pack_block(dout, self._quant_out_shards(name))[0]
+
+    def _quant_shard_info(self, name: str, seq_ax=None):
+        """Build the :class:`QuantShardInfo` for running this projection's
+        fused Pallas quant GEMM under the mesh (None → XLA dequant path)."""
+        mc = self.mesh_ctx
+        if mc is None or mc.is_single_device:
+            return None
+        if mc.parallel.pp_size > 1:
+            return None  # [L] stacks shard over pp; kernels are gated off
+        from jax.sharding import PartitionSpec as P
+
+        from sglang_tpu.layers.quantization import QuantShardInfo
+
+        axes = {AXIS_DP, AXIS_TP} | ({AXIS_CP} if seq_ax else set())
+        col = name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+        attn_proj = name in ("q_proj", "k_proj", "v_proj", "o_proj")
+        if self._dp_attention():
+            if attn_proj:  # weights replicated; batch shards over dp
+                return QuantShardInfo(
+                    mesh=mc.mesh, axis_names=frozenset(axes),
+                    x_spec=P(AXIS_DP, seq_ax, None), w_axis=None, col=col,
+                    out_spec=P(AXIS_DP, seq_ax, None),
+                )
+            fused = (AXIS_DP, AXIS_TP)
+            if col:  # gate/up over the fused (dp, tp) axis
+                return QuantShardInfo(
+                    mesh=mc.mesh, axis_names=frozenset(axes),
+                    x_spec=P(None, None, None), w_axis=fused, col=True,
+                    out_spec=P(None, None, fused),
+                )
+            return QuantShardInfo(  # down_proj: row-parallel + psum
+                mesh=mc.mesh, axis_names=frozenset(axes),
+                x_spec=P(None, None, fused), w_axis=fused, col=False,
+                out_spec=P(None, None, None), reduce_axes=fused,
+            )
+        if col:
+            return QuantShardInfo(
+                mesh=mc.mesh, axis_names=frozenset(axes),
+                x_spec=P(AXIS_DP, seq_ax, None), w_axis=AXIS_TP, col=True,
+                out_spec=P(AXIS_DP, seq_ax, AXIS_TP),
+            )
+        return QuantShardInfo(
+            mesh=mc.mesh, axis_names=frozenset(axes),
+            x_spec=P(AXIS_DP, seq_ax, AXIS_TP), w_axis=AXIS_TP, col=False,
+            out_spec=P(AXIS_DP, seq_ax, None), reduce_axes=(AXIS_TP,),
+        )
+
+    def _quant_leaf(self, L: int, din: int, dout: int, shards: int = 1) -> Dict[str, Any]:
         qc = self.config.quant_config
         if qc.is_int4:
-            dout_p = _round_up(dout, PACK_BLOCK)
+            from sglang_tpu.layers.quantization import choose_pack_block
+
+            _, dout_p = choose_pack_block(dout, shards)
             g = qc.group_size
             return {
                 "qw": ParamShape((L, din, dout_p // 2), jnp.uint8, fan=din),
@@ -132,7 +202,9 @@ class LlamaForCausalLM:
     def _proj_shape(self, name: str, L: int) -> Any:
         _, din, dout = self._proj_dims()[name]
         if self._is_quantized_proj(name):
-            return self._quant_leaf(L, din, dout)
+            return self._quant_leaf(
+                L, din, dout, shards=self._quant_out_shards(name)
+            )
         return (L, din, dout)
 
     def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
@@ -267,25 +339,37 @@ class LlamaForCausalLM:
 
         t_transpose = lambda t: _np.ascontiguousarray(t.T)  # noqa: E731
         scale_row = lambda t: _np.asarray(t).reshape(1, -1)  # noqa: E731
-        for name, (hf_mod, _, _) in self._proj_dims().items():
+        import functools as _ft
+
+        from sglang_tpu.layers.quantization import choose_pack_block
+
+        for name, (hf_mod, _, dout) in self._proj_dims().items():
             if not self._is_quantized_proj(name):
                 continue
+            if qc.is_int4:
+                pb, dout_p = choose_pack_block(
+                    dout, self._quant_out_shards(name)
+                )
+                pk = dict(pack_block=pb, out_pad=dout_p)
             if qc.method == "awq":
                 table[f"{hf_mod}.qweight"] = (
-                    f"layers.{name}.qw", awq_repack_qweight)
-                table[f"{hf_mod}.qzeros"] = (
-                    f"layers.{name}.zero", awq_unpack_qzeros)
-                table[f"{hf_mod}.scales"] = (
-                    f"layers.{name}.scale", pad_scales)
-            elif qc.method == "gptq":
-                table[f"{hf_mod}.qweight"] = (
-                    f"layers.{name}.qw", gptq_repack_qweight)
+                    f"layers.{name}.qw",
+                    _ft.partial(awq_repack_qweight, **pk))
                 table[f"{hf_mod}.qzeros"] = (
                     f"layers.{name}.zero",
-                    make_gptq_unpack_qzeros(qc.gptq_v2),
+                    _ft.partial(awq_unpack_qzeros, **pk))
+                table[f"{hf_mod}.scales"] = (
+                    f"layers.{name}.scale", _ft.partial(pad_scales, **pk))
+            elif qc.method == "gptq":
+                table[f"{hf_mod}.qweight"] = (
+                    f"layers.{name}.qw",
+                    _ft.partial(gptq_repack_qweight, **pk))
+                table[f"{hf_mod}.qzeros"] = (
+                    f"layers.{name}.zero",
+                    make_gptq_unpack_qzeros(qc.gptq_v2, **pk),
                 )
                 table[f"{hf_mod}.scales"] = (
-                    f"layers.{name}.scale", pad_scales)
+                    f"layers.{name}.scale", _ft.partial(pad_scales, **pk))
                 table[f"{hf_mod}.g_idx"] = None  # trivial order only
             elif qc.src_fp8:  # fp8 ckpt → int8 exec: requant at load
                 from sglang_tpu.layers.quantization import fp8_weight_to_int8
@@ -484,16 +568,27 @@ class LlamaForCausalLM:
             for k, v in params["layers"].items()
             if isinstance(v, dict) and "qw" in v
         }
+        multi_dev = self.mesh_ctx is not None and not self.mesh_ctx.is_single_device
+        quant_shard_infos = {
+            k: self._quant_shard_info(k, seq_ax) for k in quant_stacks
+        }
+        quant_pack_blocks = {k: self._quant_pack_block(k) for k in quant_stacks}
 
         def make_proj(w, la, lb, li):
             def proj(x, name):
                 if name in quant_stacks:
                     # quantized base weight (LoRA deltas still apply in
                     # bf16 on top — S-LoRA over a quantized base)
+                    si = quant_shard_infos[name]
+                    be = c.quant_backend
+                    if multi_dev and si is None:
+                        be = "xla"  # no shard recipe → GSPMD dequant path
                     y = quant_linear(
-                        x, quant_stacks[name], qc.method, c.quant_backend,
+                        x, quant_stacks[name], qc.method, be,
                         out_features=proj_out.get(name),
                         layer_idx=li,
+                        shard_info=si if multi_dev else None,
+                        pack_block=quant_pack_blocks[name],
                     )
                 else:
                     y = x @ w[name]

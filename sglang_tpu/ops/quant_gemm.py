@@ -33,8 +33,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sglang_tpu.layers.quantization import PACK_BLOCK
 
-BN = PACK_BLOCK  # output tile = pack block (split-half unpack stays local)
-BK = 512  # fp8 reduction tile; int4 derives its own from the group size
+BN = PACK_BLOCK  # default output tile (split-half unpack stays local)
+BK = 512  # default fp8 reduction tile; int4 derives its own from group size
+
+
+def _pick_tile(dim: int, candidates=(512, 256, 128)) -> int:
+    """Largest Mosaic-friendly tile dividing ``dim`` (0 = none fits).
+
+    Under tensor parallelism the per-shard K/N spans are the global dims
+    divided by the mesh axis size and are often 128-aligned but not
+    512-aligned (e.g. 14336/8 = 1792 = 7*256); the kernels adapt their
+    tile rather than forcing callers onto the XLA dequant path."""
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return 0
+
+
+def _int4_groups(KG: int) -> int:
+    """Groups covered per K block: 8 rows (sublane tile) when the group
+    axis is 8-divisible, else the WHOLE axis (a [KG, BN] block slice is
+    sublane-legal only in those two forms)."""
+    return 8 if KG % 8 == 0 else KG
 
 
 def _int4_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_scr):
@@ -81,23 +101,25 @@ def _int4_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_scr):
         o_ref[...] = acc_scr[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "pack_block"))
 def int4_matmul(
     x: jnp.ndarray,  # [T, K]
     qw: jnp.ndarray,  # uint8 [K, N/2] canonical packed
     scale: jnp.ndarray,  # f32 [K/g, N]
     zero: jnp.ndarray,  # f32 [K/g, N]
     interpret: bool = False,
+    pack_block: int = PACK_BLOCK,
 ) -> jnp.ndarray:
     T, K = x.shape
     N = qw.shape[1] * 2
     KG = scale.shape[0]
     g = K // KG
+    BN = pack_block  # output tile == pack block: split-half unpack is local
     # The scale/zero block must be sublane-legal: either 8-row divisible
     # or the whole group axis.  Cover 8 group rows per K block (or all).
-    n_groups = min(8, KG)
+    n_groups = _int4_groups(KG)
     bk = n_groups * g
-    if K % bk or N % BN or K != KG * g:
+    if K % bk or N % BN or K != KG * g or bk > 8192:
         raise ValueError(f"int4_matmul: non-conforming shapes K={K} N={N} g={g}")
 
     BT = min(256, max(16, -(-T // 16) * 16))
@@ -166,7 +188,10 @@ def fp8_matmul(
 ) -> jnp.ndarray:
     T, K = x.shape
     N = qw.shape[1]
-    assert K % BK == 0 and N % BN == 0, (K, N)
+    BK = _pick_tile(K)
+    BN = _pick_tile(N)
+    if not BK or not BN:
+        raise ValueError(f"fp8_matmul: non-conforming shapes K={K} N={N}")
 
     BT = min(256, max(16, -(-T // 16) * 16))
     Tp = -(-T // BT) * BT
@@ -205,7 +230,7 @@ def fp8_matmul(
 # 8B-AWQ decode step); the kernel indexes the layer via scalar prefetch.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "pack_block"))
 def int4_matmul_stacked(
     x: jnp.ndarray,  # [T, K]
     qw: jnp.ndarray,  # uint8 [L, K, N/2]
@@ -213,15 +238,17 @@ def int4_matmul_stacked(
     zero: jnp.ndarray,  # f32 [L, K/g, N]
     layer_idx: jnp.ndarray,  # scalar int32
     interpret: bool = False,
+    pack_block: int = PACK_BLOCK,
 ) -> jnp.ndarray:
     T, K = x.shape
     L, _, N2 = qw.shape
     N = N2 * 2
     KG = scale.shape[1]
     g = K // KG
-    n_groups = min(8, KG)
+    BN = pack_block
+    n_groups = _int4_groups(KG)
     bk = n_groups * g
-    if K % bk or N % BN or K != KG * g:
+    if K % bk or N % BN or K != KG * g or bk > 8192:
         raise ValueError(f"int4_matmul: non-conforming shapes K={K} N={N} g={g}")
 
     BT = min(256, max(16, -(-T // 16) * 16))
@@ -281,7 +308,10 @@ def fp8_matmul_stacked(
 ) -> jnp.ndarray:
     T, K = x.shape
     L, _, N = qw.shape
-    assert K % BK == 0 and N % BN == 0, (K, N)
+    BK = _pick_tile(K)
+    BN = _pick_tile(N)
+    if not BK or not BN:
+        raise ValueError(f"fp8_matmul: non-conforming shapes K={K} N={N}")
 
     BT = min(256, max(16, -(-T // 16) * 16))
     Tp = -(-T // BT) * BT
