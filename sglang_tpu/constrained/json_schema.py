@@ -14,7 +14,7 @@ import json
 import re
 from typing import Any, Dict, List, Optional
 
-WS = r"[ \n\t]{0,4}"  # bounded whitespace keeps the DFA small
+WS = r"[ \n\t]{0,4}"  # bounded whitespace (flexible mode) keeps the DFA small
 
 STRING_INNER = r'(?:[^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})'
 STRING = f'"{STRING_INNER}*"'
@@ -43,9 +43,28 @@ def _literal_json(value: Any) -> str:
 
 
 class _Compiler:
-    def __init__(self, root: Dict[str, Any], max_depth: int = 16):
+    def __init__(
+        self,
+        root: Dict[str, Any],
+        max_depth: int = 16,
+        any_whitespace: bool = False,
+    ):
         self.root = root
         self.max_depth = max_depth
+        # Strict (default) emits the canonical json.dumps form — ``": "``
+        # and ``", "`` separators, no padding — so grammar scaffolding
+        # becomes a deterministic byte chain and jump-forward decoding can
+        # commit whole spans (reference xgrammar any_whitespace=False +
+        # outlines_jump_forward).  ``any_whitespace=True`` restores the
+        # bounded flexible form.
+        if any_whitespace:
+            self.colon = f"{WS}:{WS}"
+            self.comma = f"{WS},{WS}"
+            self.pad = WS
+        else:
+            self.colon = ": "
+            self.comma = ", "
+            self.pad = ""
 
     def compile(self) -> str:
         return self._node(self.root, 0)
@@ -114,10 +133,10 @@ class _Compiler:
             min_items = int(schema.get("minItems", 0))
             max_items = schema.get("maxItems")
             if min_items == 0:
-                body = f"(?:{item_re}(?:{WS},{WS}{item_re})*)?"
+                body = f"(?:{item_re}(?:{self.comma}{item_re})*)?"
                 if max_items is not None:
                     body = (
-                        f"(?:{item_re}(?:{WS},{WS}{item_re})"
+                        f"(?:{item_re}(?:{self.comma}{item_re})"
                         f"{{0,{int(max_items) - 1}}})?"
                     )
             else:
@@ -127,42 +146,44 @@ class _Compiler:
                     if max_items is not None
                     else f"{{{rep_lo},}}"
                 )
-                body = f"{item_re}(?:{WS},{WS}{item_re}){rep}"
-            return f"\\[{WS}{body}{WS}\\]"
+                body = f"{item_re}(?:{self.comma}{item_re}){rep}"
+            return f"\\[{self.pad}{body}{self.pad}\\]"
         if t == "object" or "properties" in schema:
             props: Dict[str, Any] = schema.get("properties", {})
             required = set(
                 schema.get("required", list(props.keys()))
             )
             if not props:
-                return f"\\{{{WS}\\}}"
+                return f"\\{{{self.pad}\\}}"
             parts: List[str] = []
             emitted_required = 0
             n_required = len([p for p in props if p in required])
             for idx, (name, sub) in enumerate(props.items()):
                 key_re = _literal_json(name)
                 val_re = self._node(sub, depth + 1)
-                pair = f"{key_re}{WS}:{WS}{val_re}"
+                pair = f"{key_re}{self.colon}{val_re}"
                 if name in required:
-                    sep = f"{WS},{WS}" if emitted_required > 0 else ""
+                    sep = self.comma if emitted_required > 0 else ""
                     parts.append(f"{sep}{pair}")
                     emitted_required += 1
                 else:
                     # Optional properties are supported only after all
                     # required ones (fixed order keeps this regular).
-                    sep = f"{WS},{WS}" if (n_required > 0 or idx > 0) else ""
+                    sep = self.comma if (n_required > 0 or idx > 0) else ""
                     parts.append(f"(?:{sep}{pair})?")
             body = "".join(parts)
-            return f"\\{{{WS}{body}{WS}\\}}"
+            return f"\\{{{self.pad}{body}{self.pad}\\}}"
         raise JsonSchemaError(f"unsupported schema: {schema!r}")
 
 
-def build_regex_from_schema(schema: Any) -> str:
+def build_regex_from_schema(schema: Any, any_whitespace: bool = False) -> str:
     if isinstance(schema, str):
         schema = json.loads(schema)
     if schema is True or schema == {} or schema == {"type": "object"}:
-        # bare json_object mode: any flat object of scalar values
+        # bare json_object mode: any flat object of scalar values (value
+        # whitespace stays flexible here — free-form objects have no
+        # scaffolding worth jump-forwarding)
         scalar = f"(?:{STRING}|{NUMBER}|{BOOLEAN}|{NULL})"
         pair = f"{STRING}{WS}:{WS}{scalar}"
         return rf"\{{{WS}(?:{pair}(?:{WS},{WS}{pair})*)?{WS}\}}"
-    return _Compiler(schema).compile()
+    return _Compiler(schema, any_whitespace=any_whitespace).compile()

@@ -112,6 +112,7 @@ class TokenFSM:
         self.vocab = vocab
         self._mask_cache: Dict[int, np.ndarray] = {}
         self._next_cache: Dict[int, np.ndarray] = {}
+        self._jump_cache: Dict[int, Optional[Tuple[List[int], int]]] = {}
         self._lock = threading.Lock()
 
     def _compute_state(self, state: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -150,6 +151,79 @@ class TokenFSM:
         self.mask_for(state)
         return int(self._next_cache[state][token])
 
+    # ---------------------------------------------------- jump-forward
+    def deterministic_bytes(self, state: int, max_len: int = 4096) -> bytes:
+        """The forced byte chain from ``state``: follow transitions while
+        exactly ONE byte is alive and the state is not accepting (an
+        accept state can also emit EOS, so the continuation is no longer
+        deterministic there).  Reference: compressed-FSM jump-forward,
+        ``constrained/base_grammar_backend.py:91`` /
+        ``outlines_jump_forward.py``."""
+        table = self.dfa.table
+        out = bytearray()
+        s = state
+        while len(out) < max_len and not self.dfa.accept[s]:
+            alive = np.nonzero(table[s] >= 0)[0]
+            if alive.shape[0] != 1:
+                break
+            b = int(alive[0])
+            out.append(b)
+            s = int(table[s, b])
+        return bytes(out)
+
+    def jump_tokens(
+        self, state: int, min_bytes: int = 4, max_tokens: int = 512
+    ) -> Optional[Tuple[List[int], int]]:
+        """(forced token ids, DFA state after them) for the deterministic
+        span from ``state``; None when the span is shorter than
+        ``min_bytes`` or no token tiles it.
+
+        Tokenization is greedy longest-prefix match over the vocabulary's
+        OWN byte strings (not ``tokenizer.encode`` — normalization could
+        produce tokens whose bytes differ from the forced span).  The last
+        partial piece (no token fits without overrunning the span) is left
+        for normal constrained decoding.  Results are cached per state —
+        schema scaffolding states recur across requests.
+        """
+        with self._lock:
+            if state in self._jump_cache:
+                return self._jump_cache[state]
+        chain = self.deterministic_bytes(state)
+        result = None
+        if len(chain) >= min_bytes:
+            v = self.vocab
+            toks: List[int] = []
+            pos = 0
+            while pos < len(chain) and len(toks) < max_tokens:
+                remaining = len(chain) - pos
+                window = np.zeros((v.max_len,), np.uint8)
+                w = min(v.max_len, remaining)
+                window[:w] = np.frombuffer(chain[pos : pos + w], np.uint8)
+                eq = v.bytes_mat == window[None, :]
+                ok_upto = np.logical_and.accumulate(eq, axis=1)
+                lens = v.lens
+                fit = (lens > 0) & (lens <= remaining)
+                idx = np.clip(lens - 1, 0, v.max_len - 1)
+                matches = fit & ok_upto[np.arange(v.vocab_size), idx]
+                if v.special_ids.size:
+                    matches[v.special_ids] = False
+                if not matches.any():
+                    break
+                cand = np.nonzero(matches)[0]
+                best = int(cand[np.argmax(lens[cand])])
+                toks.append(best)
+                pos += int(lens[best])
+            if toks and pos >= min_bytes:
+                # walk the consumed bytes to the post-jump DFA state
+                s = state
+                for b in chain[:pos]:
+                    s = int(self.dfa.table[s, b])
+                    assert s >= 0
+                result = (toks, s)
+        with self._lock:
+            self._jump_cache[state] = result
+        return result
+
 
 class GrammarState:
     """Per-request grammar cursor (reference BaseGrammarObject)."""
@@ -187,6 +261,20 @@ class GrammarState:
     @property
     def is_terminated(self) -> bool:
         return self.finished
+
+    def jump_forward(self, min_bytes: int = 4) -> Optional[List[int]]:
+        """If the grammar forces a deterministic span from the current
+        state, return its token ids and advance the cursor past them;
+        None otherwise.  The caller commits the tokens as forced output
+        (logprob 0) and extends KV over them in one prefill pass."""
+        if self.finished:
+            return None
+        jt = self.fsm.jump_tokens(self.state, min_bytes=min_bytes)
+        if jt is None:
+            return None
+        toks, end_state = jt
+        self.state = end_state
+        return list(toks)
 
 
 def compile_regex_fsm(pattern: str, tokenizer) -> TokenFSM:

@@ -907,6 +907,11 @@ class Scheduler:
             self.ratio_tracker.step()
             return True
 
+        if self._try_jump_forward():
+            self.num_steps += 1
+            self.ratio_tracker.step()
+            return True
+
         prepared = self._prepare_decode()
         if prepared is None:
             self._flush_pending_emits()
@@ -920,6 +925,76 @@ class Scheduler:
         self._flush_pending_emits()
         self.num_steps += 1
         self.ratio_tracker.step()
+        return True
+
+    # ------------------------------------------------- jump-forward
+    def _try_jump_forward(self) -> bool:
+        """Grammar jump-forward (reference ``base_grammar_backend.py:91``
+        + ``outlines_jump_forward.py``): when a grammar's continuation is
+        a deterministic byte span (schema scaffolding like
+        ``{"name": "``), commit the WHOLE span as forced tokens
+        (logprob 0) and materialize their KV in one extend pass instead
+        of one fused-decode dispatch per token.  The extend's sampled
+        token continues generation at the first free position."""
+        if self.server_args.disable_jump_forward or not self.running.reqs:
+            return False
+        min_bytes = self.server_args.jump_forward_min_bytes
+        jumpers = []
+        for r in self.running.reqs:
+            if (
+                r.grammar is None
+                or r.grammar.is_terminated
+                or r.finished
+                or r is self.chunked_req
+            ):
+                continue
+            jt = r.grammar.fsm.jump_tokens(
+                r.grammar.state, min_bytes=min_bytes
+            )  # cached peek; jump_forward() below re-reads the cache
+            if jt is None:
+                continue
+            n = len(jt[0])
+            if n > r.remaining_new_tokens() - 1:
+                continue  # span would overflow max_new_tokens
+            if r.seq_len + n + 1 >= self.max_context_len:
+                continue
+            # The extend re-processes the last sampled token (its KV is
+            # not materialized yet — extend_len invariant is 1 for a
+            # running request) plus the n forced tokens, so the pass
+            # covers n+1 tokens and the logits at the LAST forced token
+            # sample the continuation.
+            if not self._ensure_req_pages(r, r.cached_len + n + 1):
+                continue
+            forced = r.grammar.jump_forward(min_bytes=min_bytes)
+            for t in forced:
+                r.append_output_token(t, 0.0)
+                self.num_generated_tokens += 1
+            jumpers.append((r, n + 1))
+        if not jumpers:
+            return False
+        for r, _ in jumpers:
+            self.running.reqs.remove(r)
+        batch = HostBatch(
+            reqs=[r for r, _ in jumpers],
+            mode=ForwardMode.EXTEND,
+            extend_lens=[n for _, n in jumpers],
+        )
+        self._flush_pending_emits()
+        finish, capture_ecounts = self._dispatch_extend_generate(batch)
+        tokens, logprobs, toplp = finish()
+        if capture_ecounts:
+            self._eplb_record()
+        # re-appends the requests to self.running and samples the
+        # continuation token from the extend's final position
+        self._process_prefill_result(
+            batch, tokens, logprobs, toplp, spec_valid=False
+        )
+        self.num_jump_forwards = getattr(self, "num_jump_forwards", 0) + len(
+            jumpers
+        )
+        self.num_jump_forward_tokens = getattr(
+            self, "num_jump_forward_tokens", 0
+        ) + sum(n - 1 for _, n in jumpers)  # n includes the re-processed token
         return True
 
     # ------------------------------------------------- chained decode

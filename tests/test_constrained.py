@@ -48,21 +48,22 @@ def test_regex_dfa(pattern, accept, reject):
         (
             {"type": "object", "properties": {"a": {"type": "integer"}},
              "required": ["a"]},
-            ['{"a":5}', '{"a": -12}', '{ "a" : 0 }'],
-            ['{"a":"x"}', '{}', '{"a":01}'],
+            ['{"a": 5}', '{"a": -12}'],
+            ['{"a": "x"}', '{}', '{"a": 01}', '{ "a" : 0 }'],
         ),
         (
             {"type": "object",
              "properties": {"name": {"type": "string"},
                             "ok": {"type": "boolean"}},
              "required": ["name", "ok"]},
-            ['{"name":"bob","ok":true}', '{"name":"", "ok":false}'],
-            ['{"name":"bob"}', '{"ok":true,"name":"bob"}'],
+            ['{"name": "bob", "ok": true}', '{"name": "", "ok": false}'],
+            ['{"name": "bob"}', '{"ok": true, "name": "bob"}',
+             '{"name":"bob","ok":true}'],
         ),
         (
             {"type": "array", "items": {"type": "integer"}, "minItems": 1},
-            ["[1]", "[1, 2,3]"],
-            ["[]", '["a"]'],
+            ["[1]", "[1, 2, 3]"],
+            ["[]", '["a"]', "[1,2]"],
         ),
         (
             {"enum": ["red", "green", 7]},
@@ -98,8 +99,8 @@ def test_json_schema_refs():
         "$defs": {"color": {"enum": ["r", "g", "b"]}},
     }
     dfa = compile_regex(build_regex_from_schema(schema))
-    assert dfa.matches(b'{"color":"g"}')
-    assert not dfa.matches(b'{"color":"x"}')
+    assert dfa.matches(b'{"color": "g"}')
+    assert not dfa.matches(b'{"color": "x"}')
 
 
 # ----------------------------------------------------------------- token FSM
@@ -297,3 +298,116 @@ def test_ebnf_recursion_raises():
 
     with _pytest.raises(EbnfError, match="recursive"):
         compile_ebnf_to_regex('root ::= "(" root ")" | "x"')
+
+
+# ------------------------------------------------------------ jump-forward
+def test_jump_tokens_unit():
+    """Deterministic byte chain + greedy vocab tiling from a DFA state
+    (reference compressed-FSM jump-forward, base_grammar_backend.py:91)."""
+    tok = get_tokenizer("test:byte")
+    fsm = compile_regex_fsm(r'\{"name": "[a-z]{3}"\}', tok)
+    s0 = 0  # DFA start state
+    assert fsm.deterministic_bytes(s0) == b'{"name": "'
+    toks, end = fsm.jump_tokens(s0, min_bytes=4)
+    # byte tokenizer: one token per byte
+    assert bytes(toks) == b'{"name": "'
+    # end state admits exactly the [a-z] class next
+    mask = fsm.mask_for(end)
+    allowed = set(np.nonzero(mask)[0].tolist())
+    assert allowed == {ord(c) for c in "abcdefghijklmnopqrstuvwxyz"}
+    # cached peek returns the identical object
+    assert fsm.jump_tokens(s0, min_bytes=4) == (toks, end)
+    # a state with a short (<min_bytes) forced span yields None
+    s_mid = end  # [a-z]{3}: nothing deterministic from here
+    assert fsm.jump_tokens(s_mid, min_bytes=4) is None
+
+
+def test_grammar_state_jump_forward_advances_cursor():
+    tok = get_tokenizer("test:byte")
+    fsm = compile_regex_fsm(r'ab: [0-9]', tok)
+    st = GrammarState(fsm)
+    forced = st.jump_forward(min_bytes=3)
+    assert bytes(forced) == b"ab: "
+    assert st.accept_token(ord("7"))
+    # terminal accept state (no transitions out): auto-finished
+    assert st.is_terminated
+
+
+def test_engine_jump_forward_e2e(tiny_engine):
+    """Scaffold-heavy schema: the engine must emit the forced spans via
+    extend passes (num_jump_forward_tokens > 0) and still produce valid
+    JSON; a second engine with jump-forward disabled validates the same
+    schema for comparison."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "first_name": {"type": "string", "maxLength": 8},
+            "last_name": {"type": "string", "maxLength": 8},
+            "age": {"type": "integer"},
+        },
+        "required": ["first_name", "last_name", "age"],
+    }
+    out = tiny_engine.generate(
+        prompt="json please",
+        sampling_params={
+            "temperature": 1.0,
+            "top_k": 30,
+            "max_new_tokens": 96,
+            "json_schema": json.dumps(schema),
+        },
+    )
+    obj = json.loads(out["text"])
+    assert isinstance(obj["first_name"], str)
+    assert isinstance(obj["age"], int)
+    sched = tiny_engine.scheduler
+    assert getattr(sched, "num_jump_forward_tokens", 0) > 0
+    # every forced span is >= min_bytes long
+    assert (
+        sched.num_jump_forward_tokens
+        >= sched.num_jump_forwards
+        * tiny_engine.server_args.jump_forward_min_bytes
+    )
+
+
+def test_engine_jump_forward_disabled_matches_grammar():
+    from tests.conftest import make_server_args, make_tiny_config
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    args = make_server_args(disable_jump_forward=True)
+    runner = ModelRunner(args, model_config=make_tiny_config())
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        out = eng.generate(
+            prompt="json please",
+            sampling_params={
+                "temperature": 0.0,
+                "max_new_tokens": 64,
+                "regex": r'\{"tag": "[a-z]{4}"\}',
+            },
+        )
+        import re as _re
+
+        assert _re.fullmatch(r'\{"tag": "[a-z]{4}"\}', out["text"])
+        assert getattr(eng.scheduler, "num_jump_forwards", 0) == 0
+    finally:
+        eng.shutdown()
+
+
+def test_engine_jump_forward_greedy_output_valid(tiny_engine):
+    """Greedy + regex with interleaved forced spans: the final text must
+    fullmatch the pattern (KV for forced tokens materialized correctly —
+    a wrong extend span would derail the continuation sampling)."""
+    import re as _re
+
+    pat = r'name: "[a-z]{3}", age: [0-9]{2}, done\.'
+    out = tiny_engine.generate(
+        prompt="fill the form",
+        sampling_params={
+            "temperature": 0.0,
+            "max_new_tokens": 96,
+            "regex": pat,
+        },
+    )
+    assert _re.fullmatch(pat, out["text"]), out["text"]
+    assert tiny_engine.scheduler.num_jump_forward_tokens > 0
