@@ -94,15 +94,38 @@ def moe_block(
     mesh=None,
     expert_parallel: bool = False,
     return_counts: bool = False,
+    a2a: bool = False,
 ) -> jnp.ndarray:
     """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families).
 
     With ``expert_parallel`` (and a mesh), the grouped GEMMs run
-    expert-sharded over the tp axis (see :func:`ep_grouped_mlp`)."""
+    expert-sharded over the tp axis (see :func:`ep_grouped_mlp`); with
+    ``a2a`` on top, tokens dispatch to their expert-owner ranks via
+    ragged all-to-all (:func:`ep_dispatch_mlp`) instead of
+    replicate+psum."""
     B, L, H = hidden.shape
     E = gate_w.shape[-1]
     T = B * L
     x = hidden.reshape(T, H)
+
+    if expert_parallel and mesh is not None and a2a:
+        from sglang_tpu.parallel.mesh import AXIS_TP
+
+        ep = mesh.shape[AXIS_TP]
+        Tp = -(-T // ep) * ep  # pad to an ep multiple (static under jit)
+        xp = jnp.pad(x, ((0, Tp - T), (0, 0))) if Tp != T else x
+        out = ep_dispatch_mlp(
+            xp, gate_w, w1, w3, w2, mesh,
+            top_k=top_k, hidden_act=hidden_act,
+            norm_topk_prob=norm_topk_prob, gate_bias=gate_bias,
+            scoring=scoring, routed_scaling_factor=routed_scaling_factor,
+            n_group=n_group, topk_group=topk_group,
+            return_counts=return_counts,
+        )
+        if return_counts:
+            out, counts = out
+        out = out[:T].reshape(B, L, H).astype(hidden.dtype)
+        return (out, counts) if return_counts else out
 
     gate_logits = jnp.einsum(
         "th,he->te", x, gate_w, preferred_element_type=jnp.float32
@@ -209,3 +232,201 @@ def ep_grouped_mlp(
         axis_names={AXIS_TP},  # manual over tp only; dp/pp stay automatic
         check_vma=False,
     )(xs, group_sizes, w1, w3, w2)
+
+
+# --------------------------------------------------------------------------
+# Expert parallelism with token dispatch (all-to-all)
+# --------------------------------------------------------------------------
+
+def _ragged_a2a(
+    operand, output, input_offsets, send_sizes, output_offsets, recv_sizes,
+    *, axis: str, impl: str,
+):
+    """``jax.lax.ragged_all_to_all`` with a gather-based emulation.
+
+    ``impl='ragged'`` is the real collective (TPU: per-pair DMA, comm
+    volume = actual routed rows).  ``impl='gather'`` reproduces the exact
+    semantics — including "rows not written keep ``output``'s value" —
+    via one all_gather + vectorized chunk select; XLA:CPU has no
+    ragged-all-to-all thunk, so tests and the driver's virtual-mesh
+    dryrun take this path.  Comm volume is O(ep) worse; never used on TPU.
+    """
+    if impl == "ragged":
+        return jax.lax.ragged_all_to_all(
+            operand, output, input_offsets, send_sizes, output_offsets,
+            recv_sizes, axis_name=axis,
+        )
+    me = jax.lax.axis_index(axis)
+    G = jax.lax.all_gather(operand, axis)  # [ep, N_send, ...]
+    IO = jax.lax.all_gather(input_offsets, axis)  # [ep_src, ep_dst]
+    SS = jax.lax.all_gather(send_sizes, axis)
+    OO = jax.lax.all_gather(output_offsets, axis)
+    cap = output.shape[0]
+    r = jnp.arange(cap, dtype=jnp.int32)
+    starts = OO[:, me][:, None]  # where src s's chunk lands in my buffer
+    sizes = SS[:, me][:, None]
+    covers = (r[None, :] >= starts) & (r[None, :] < starts + sizes)  # [ep, cap]
+    src = jnp.argmax(covers, axis=0).astype(jnp.int32)
+    covered = jnp.any(covers, axis=0)
+    src_row = IO[src, me] + (r - OO[src, me])
+    got = G[src, jnp.clip(src_row, 0, operand.shape[0] - 1)]
+    mask = covered.reshape((cap,) + (1,) * (output.ndim - 1))
+    return jnp.where(mask, got, output)
+
+
+def ep_dispatch_mlp(
+    x: jnp.ndarray,  # [T, H] tokens, sharded over `axis` on dim 0
+    gate_w: jnp.ndarray,  # [H, E] replicated
+    w1: jnp.ndarray,  # [E, H, I] sharded on E over `axis`
+    w3: jnp.ndarray,
+    w2: jnp.ndarray,  # [E, I, H]
+    mesh,
+    *,
+    top_k: int,
+    hidden_act: str = "silu",
+    norm_topk_prob: bool = True,
+    gate_bias: Optional[jnp.ndarray] = None,
+    scoring: str = "softmax",
+    routed_scaling_factor: float = 1.0,
+    n_group: int = 1,
+    topk_group: int = 1,
+    return_counts: bool = False,
+    a2a_impl: str = "auto",
+):
+    """Expert-parallel MoE with REAL token dispatch — the TPU-native
+    analogue of the reference's DeepEP dispatch/combine
+    (``layers/moe/token_dispatcher/deepep.py``, ``ep_moe/``), replacing
+    the replicate+psum fallback of :func:`ep_grouped_mlp`:
+
+    1. each rank gates its LOCAL token shard and sorts the (token, slot)
+       pairs by global expert id — pairs destined to the same owner rank
+       become one contiguous chunk (ranks own contiguous expert spans);
+    2. one ``jax.lax.ragged_all_to_all`` moves exactly the routed rows to
+       their owner ranks (variable per-pair sizes — no GShard capacity
+       cropping, no dropped tokens; the chunk-size matrix comes from one
+       [ep]-int all_gather);
+    3. the owner runs the local ragged grouped GEMM over its experts;
+    4. a reverse ragged all-to-all returns the rows in original send
+       order, and the home rank combines with the routing weights.
+
+    Per-rank comm volume is ~2 * (T/ep) * top_k * H — proportional to
+    the rank's own tokens, NOT to the global batch (the psum path moves
+    the full [T*top_k, H] through every rank).  Receive buffers are
+    sized T_local*top_k*ep rows (lossless worst case: every pair lands
+    on one rank) — HBM cost equal to the replicated path's, but only
+    actual rows travel.
+
+    Returns [T, H] sharded like ``x`` (plus global per-expert counts
+    [E] when ``return_counts`` — EPLB's load signal).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sglang_tpu.parallel.mesh import AXIS_TP
+
+    E = gate_w.shape[-1]
+    ep = mesh.shape[AXIS_TP]
+    assert E % ep == 0, (E, ep)
+    E_local = E // ep
+    act = get_act_fn(hidden_act)
+    T = x.shape[0]
+    assert T % ep == 0, (T, ep)
+    Tl = T // ep
+    N_l = Tl * top_k  # local (token, slot) pairs
+    CAP = N_l * ep  # lossless receive capacity
+    if a2a_impl == "auto":
+        # XLA:CPU has no ragged-all-to-all thunk — emulate there (tests,
+        # driver virtual-mesh dryrun); real collective everywhere else.
+        a2a_impl = "gather" if jax.default_backend() == "cpu" else "ragged"
+
+    def fn(xl, gw, gb, w1l, w3l, w2l):
+        me = jax.lax.axis_index(AXIS_TP)
+        # ---- local gating ----
+        gl = jnp.einsum(
+            "th,he->te", xl, gw, preferred_element_type=jnp.float32
+        )
+        weights, eidx = moe_topk(
+            gl, top_k, norm_topk_prob, gb, scoring,
+            n_group=n_group, topk_group=topk_group,
+        )
+        if routed_scaling_factor != 1.0:
+            weights = weights * routed_scaling_factor
+        flat_e = eidx.reshape(N_l)
+        flat_t = jnp.repeat(
+            jnp.arange(Tl, dtype=jnp.int32)[:, None], top_k, axis=1
+        ).reshape(N_l)
+        flat_w = weights.reshape(N_l)
+        # sort by global expert id: owner-rank chunks become contiguous
+        order = jnp.argsort(flat_e, stable=True)
+        xs_send = xl[flat_t[order]]  # [N_l, H]
+        e_send = flat_e[order].astype(jnp.int32)
+        counts_e = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+        send_sizes = counts_e.reshape(ep, E_local).sum(-1)  # [ep]
+        input_offsets = jnp.cumsum(send_sizes) - send_sizes
+        # ---- chunk-size matrix S[src, dst] via one tiny all_gather ----
+        S = jax.lax.all_gather(send_sizes, AXIS_TP)  # [ep, ep]
+        recv_sizes = S[:, me]  # from each src
+        # where my chunk to dst d starts in d's buffer: sum_{s<me} S[s, d]
+        output_offsets = (jnp.cumsum(S, axis=0) - S)[me, :]
+        # ---- dispatch: tokens + their expert ids ----
+        recv_x = _ragged_a2a(
+            xs_send,
+            jnp.zeros((CAP, xl.shape[1]), xs_send.dtype),
+            input_offsets, send_sizes, output_offsets, recv_sizes,
+            axis=AXIS_TP, impl=a2a_impl,
+        )
+        recv_e = _ragged_a2a(
+            e_send,
+            jnp.full((CAP,), E, jnp.int32),  # sentinel sorts last
+            input_offsets, send_sizes, output_offsets, recv_sizes,
+            axis=AXIS_TP, impl=a2a_impl,
+        )
+        total_recv = jnp.sum(recv_sizes)
+        # ---- local grouped GEMM over my experts ----
+        order2 = jnp.argsort(recv_e, stable=True)
+        xr = recv_x[order2]
+        le = recv_e[order2] - me * E_local
+        valid = recv_e[order2] < E
+        gs_local = jnp.bincount(
+            jnp.where(valid, le, E_local), length=E_local + 1
+        ).astype(jnp.int32)[:E_local]
+        h1 = jax.lax.ragged_dot(xr, w1l, gs_local)
+        h3 = jax.lax.ragged_dot(xr, w3l, gs_local)
+        inter = act(h1) * h3
+        out_r = jax.lax.ragged_dot(inter.astype(w2l.dtype), w2l, gs_local)
+        rows = jnp.arange(CAP, dtype=jnp.int32)
+        out_r = jnp.where((rows < total_recv)[:, None], out_r, 0.0)
+        # unsort back to arrival (src-chunk) order
+        out_arrival = jnp.zeros_like(out_r).at[order2].set(out_r)
+        # ---- combine: reverse ragged all-to-all ----
+        roff = jnp.cumsum(recv_sizes) - recv_sizes  # my arrival offsets
+        # my chunk back to src s lands at s's original input offset for me
+        back_offsets = (jnp.cumsum(S, axis=1) - S)[:, me]
+        out_back = _ragged_a2a(
+            out_arrival,
+            jnp.zeros((N_l, xl.shape[1]), out_arrival.dtype),
+            roff, recv_sizes, back_offsets, send_sizes,
+            axis=AXIS_TP, impl=a2a_impl,
+        )  # rows align with xs_send order
+        y = (
+            jnp.zeros((Tl, xl.shape[1]), jnp.float32)
+            .at[flat_t[order]]
+            .add(out_back.astype(jnp.float32) * flat_w[order][:, None])
+        )
+        if return_counts:
+            return y, jax.lax.psum(counts_e, AXIS_TP)
+        return y
+
+    gb = gate_bias if gate_bias is not None else jnp.zeros((E,), jnp.float32)
+    sm = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(AXIS_TP), P(), P(), P(AXIS_TP), P(AXIS_TP), P(AXIS_TP)),
+        out_specs=(P(AXIS_TP), P()) if return_counts else P(AXIS_TP),
+        axis_names={AXIS_TP},
+        check_vma=False,
+    )
+    # jit wrapper: the eager dispatch path of partial-manual shard_map with
+    # check_vma=False hits a jax 0.9 bug (_unmatch builds P(mesh.axis_names),
+    # referring to non-manual axes); under jit the path isn't taken.  In the
+    # serving path this is nested inside the model jit and inlines for free.
+    return jax.jit(sm)(x, gate_w, gb, w1, w3, w2)

@@ -129,6 +129,8 @@ class ModelRunner:
                 ep_size=server_args.ep_size,
                 cp_size=getattr(server_args, "cp_size", 1),
                 dp_attention=getattr(server_args, "enable_dp_attention", False),
+                moe_a2a=getattr(server_args, "moe_a2a_backend", "none")
+                != "none",
             ),
             devices=devices,
         )

@@ -94,6 +94,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
             mesh=self.mesh_ctx.mesh if self.mesh_ctx is not None else None,
             expert_parallel=self._expert_parallel(),
             return_counts=capture,
+            a2a=(
+                self.mesh_ctx is not None
+                and self.mesh_ctx.parallel.moe_a2a
+            ),
         )
         if capture:
             out, self._moe_counts_stash = out

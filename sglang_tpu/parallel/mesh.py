@@ -45,6 +45,9 @@ class ParallelConfig:
     # inserts the gather/reduce-scatter at the layer boundary
     # (reference layers/communicator.py:192 ScatterMode transitions).
     dp_attention: bool = False
+    # EP token dispatch via ragged all-to-all (reference
+    # layers/moe/token_dispatcher/deepep.py) instead of replicate+psum
+    moe_a2a: bool = False
 
     @property
     def world_size(self) -> int:

@@ -65,6 +65,9 @@ class ServerArgs:
     ep_size: int = 1
     cp_size: int = 1  # prefill context parallelism (zigzag sequence shard)
     enable_expert_parallel: bool = False
+    # EP token dispatch (reference --moe-a2a-backend: deepep): "a2a" moves
+    # only routed rows via ragged all-to-all; "none" = replicate+psum
+    moe_a2a_backend: str = "none"  # none | a2a
     dist_init_addr: Optional[str] = None
     nnodes: int = 1
     node_rank: int = 0
@@ -125,6 +128,10 @@ class ServerArgs:
 
     # ---- constrained decoding ----
     grammar_backend: str = "native"
+    # Jump-forward: commit deterministic grammar spans as forced tokens
+    # through one extend pass (reference base_grammar_backend.py:91)
+    disable_jump_forward: bool = False
+    jump_forward_min_bytes: int = 4
 
     # ---- misc ----
     skip_server_warmup: bool = False
@@ -150,6 +157,10 @@ class ServerArgs:
         if self.speculative_algorithm not in (None, "NGRAM", "ngram", "EAGLE", "eagle"):
             raise ValueError(
                 f"Unknown speculative algorithm {self.speculative_algorithm!r}"
+            )
+        if self.moe_a2a_backend not in ("none", "a2a"):
+            raise ValueError(
+                f"Unknown moe_a2a_backend {self.moe_a2a_backend!r}"
             )
 
     # ------------------------------------------------------------------ CLI

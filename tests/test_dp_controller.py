@@ -108,6 +108,36 @@ def test_ep2_moe_engine_matches_tp1():
     assert outs["base"]["output_ids"] == outs["ep2"]["output_ids"]
 
 
+def test_ep2_a2a_moe_engine_matches_tp1():
+    """EP with token dispatch (--moe-a2a-backend a2a: tokens move to
+    their expert-owner rank via ragged all-to-all, gather-emulated on
+    CPU) reproduces single-device MoE outputs through the full engine."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_moe import TINY_MOE_HF
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+    outs = {}
+    for name, kw in (
+        ("base", dict(tp_size=1)),
+        ("a2a", dict(tp_size=2, ep_size=2, moe_a2a_backend="a2a")),
+    ):
+        cfg = ModelConfig.from_hf_dict(TINY_MOE_HF, dtype="float32")
+        args = make_server_args(**kw)
+        runner = ModelRunner(args, model_config=cfg,
+                             devices=jax.devices()[:kw["tp_size"]])
+        if name == "a2a":
+            assert runner.mesh_ctx.parallel.moe_a2a
+        eng = Engine(server_args=args, model_runner=runner)
+        outs[name] = eng.generate(input_ids=[4, 5, 6, 7],
+                                  sampling_params=dict(sp))
+        eng.shutdown()
+    assert outs["base"]["output_ids"] == outs["a2a"]["output_ids"]
+
+
 def test_dp_attention_engine_matches_tp():
     """DP-attention mode (attention data-parallel, MLP TP over the fused
     (dp, tp) axes) reproduces plain single-device outputs."""
