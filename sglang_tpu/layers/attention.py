@@ -33,14 +33,23 @@ def write_kv(
     out_slots: jnp.ndarray,  # [B, Lq] flat slot ids (pad -> 0 garbage page)
     layer_idx: jnp.ndarray,  # scalar int32
     num_slots: int,
+    kv_scales=None,  # (k_scale, v_scale) traced scalars for quantized KV
 ) -> jnp.ndarray:
-    """Scatter new K/V rows into the cache (in-place under donation)."""
+    """Scatter new K/V rows into the cache (in-place under donation).
+
+    With ``kv_scales``, rows are divided by the per-layer scale before the
+    cast to the (fp8) cache dtype — reference ``memory_pool.py:1679``
+    ``set_kv_buffer`` applies ``/ k_scale`` the same way."""
     ps = kv_cache.shape[1]
     num_pages = num_slots // ps
     HD = kv_cache.shape[-1]
     flat_slots = out_slots.reshape(-1)  # [B*Lq], layer-relative
     page_rows = layer_idx * num_pages + flat_slots // ps
     in_page = flat_slots % ps
+    if kv_scales is not None:
+        ks, vs = kv_scales
+        k_new = (k_new.astype(jnp.float32) / ks).astype(k_new.dtype)
+        v_new = (v_new.astype(jnp.float32) / vs).astype(v_new.dtype)
     kv = jnp.stack(
         [k_new.reshape(-1, HD), v_new.reshape(-1, HD)], axis=1
     )  # [B*Lq, 2, HD]
@@ -144,14 +153,35 @@ def paged_attention(
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
     backend: str = "xla",
+    kv_scales=None,  # (k_scale, v_scale) traced scalars (fp8 KV dequant)
 ):
     """Write new K/V into the cache, then attend over the full context.
 
     The pallas decode path performs the KV write INSIDE the kernel (an XLA
     scatter on the cache would flip its layout and force ~GiB transposes
     around every Mosaic call — see ops/paged_attention.py).
+
+    FP8 KV (reference ``memory_pool.py:1679–1696`` per-layer k/v scales):
+    rows are stored as ``x / scale`` in fp8; at read time the k_scale is
+    folded into q (scores are linear in k) and the v_scale into the
+    output (out is linear in v) — no per-element dequant of the cache.
+    The decode kernel then runs read-only (``fused_write=False``): the
+    new rows are scattered by XLA first, which keeps the canonical
+    folded layout (verified for the prefill scatter; see
+    core/memory_pool.py notes).
     """
-    if backend == "pallas" and q.shape[1] == 1:
+    from sglang_tpu.environ import envs
+
+    interpret = bool(envs.SGLANG_TPU_INTERPRET_PALLAS.value)
+    fp8_kv = (
+        jnp.issubdtype(kv_cache.dtype, jnp.floating)
+        and jnp.finfo(kv_cache.dtype).bits == 8
+    )
+    if fp8_kv and kv_scales is not None:
+        # fold k_scale into q before scores (tanh softcap and softmax see
+        # exactly the dequantized scores)
+        q = (q.astype(jnp.float32) * kv_scales[0]).astype(q.dtype)
+    if backend == "pallas" and q.shape[1] == 1 and not fp8_kv:
         from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
 
         return fused_paged_decode_attention(
@@ -168,10 +198,35 @@ def paged_attention(
             sm_scale=sm_scale,
             logit_cap=logit_cap,
             sliding_window=sliding_window,
+            interpret=interpret,
         )
     kv_cache = write_kv(
-        kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots
+        kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots,
+        kv_scales=kv_scales if fp8_kv else None,
     )
+    if backend == "pallas" and q.shape[1] == 1:  # fp8 KV decode
+        from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
+
+        out, kv_cache = fused_paged_decode_attention(
+            q,
+            k_new,
+            v_new,
+            kv_cache,
+            batch.page_table,
+            batch.out_slots,
+            batch.seq_lens,
+            layer_idx,
+            num_slots=num_slots,
+            page_size=page_size,
+            sm_scale=sm_scale,
+            logit_cap=logit_cap,
+            sliding_window=sliding_window,
+            fused_write=False,
+            interpret=interpret,
+        )
+        if kv_scales is not None:
+            out = (out.astype(jnp.float32) * kv_scales[1]).astype(q.dtype)
+        return out, kv_cache
     if backend == "pallas":  # extend / chunked prefill, Lq > 1
         from sglang_tpu.ops.prefill_attention import paged_prefill_attention
 
@@ -180,7 +235,7 @@ def paged_attention(
         new_lens = jnp.maximum(
             batch.logits_idx - np.arange(B, dtype=np.int32) * Lq + 1, 0
         )
-        return paged_prefill_attention(
+        out, kv_cache = paged_prefill_attention(
             q,
             kv_cache,
             batch.page_table,
@@ -192,19 +247,23 @@ def paged_attention(
             sm_scale=sm_scale,
             logit_cap=logit_cap,
             sliding_window=sliding_window,
+            interpret=interpret,
         )
-    k_ctx, v_ctx = gather_kv(
-        kv_cache, batch.page_table, layer_idx, num_slots, page_size,
-        q.shape[-1],
-    )
-    out = attention_xla(
-        q,
-        k_ctx,
-        v_ctx,
-        batch.positions,
-        batch.seq_lens,
-        sm_scale,
-        logit_cap=logit_cap,
-        sliding_window=sliding_window,
-    )
+    else:
+        k_ctx, v_ctx = gather_kv(
+            kv_cache, batch.page_table, layer_idx, num_slots, page_size,
+            q.shape[-1],
+        )
+        out = attention_xla(
+            q,
+            k_ctx,
+            v_ctx,
+            batch.positions,
+            batch.seq_lens,
+            sm_scale,
+            logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
+    if fp8_kv and kv_scales is not None:
+        out = (out.astype(jnp.float32) * kv_scales[1]).astype(q.dtype)
     return out, kv_cache

@@ -131,6 +131,7 @@ class ModelRunner:
                 dp_attention=getattr(server_args, "enable_dp_attention", False),
                 moe_a2a=getattr(server_args, "moe_a2a_backend", "none")
                 != "none",
+                pp_microbatches=getattr(server_args, "pp_microbatches", 0),
             ),
             devices=devices,
         )
@@ -286,12 +287,25 @@ class ModelRunner:
             )
             return "xla"
         if jnp.dtype(self.kv_pool.geometry.dtype).itemsize < 2:
-            # fp8 VMEM slices need 4-row sublane alignment, which the
-            # kernel's [2, HD] K/V write blocks violate; fp8 KV runs on
-            # the XLA path until the write kernel grows an fp8 layout.
-            logger.info("Pallas attention disabled: fp8 KV cache → xla")
-            return "xla"
-        if device.platform == "tpu":
+            # fp8 KV runs the kernels read-only: the [2, HD] 1-byte write
+            # block violates Mosaic sublane tiling, so new rows scatter
+            # via XLA first (layers/attention.py fused_write=False), while
+            # the full-page [ps, 2, HD] read DMAs are tile-aligned.  MLA
+            # keeps the XLA path (latent writes use a different shape).
+            if mc.attention_arch == AttentionArch.MLA:
+                logger.info("Pallas attention disabled: fp8 MLA KV → xla")
+                return "xla"
+            if (self.kv_pool.page_size * 2) % 32 != 0:
+                # page block [ps, 2, HD] starts at ps*2-row offsets; fp8
+                # (1-byte) tiles are 32 sublanes
+                logger.info(
+                    "Pallas attention disabled: fp8 KV needs page_size "
+                    "multiple of 16 (got %d)", self.kv_pool.page_size,
+                )
+                return "xla"
+        if device.platform == "tpu" or envs.SGLANG_TPU_INTERPRET_PALLAS.value:
+            # the interpret env exercises the kernels through the Pallas
+            # interpreter on the CPU test mesh (same as the quant backend)
             try:
                 import sglang_tpu.ops.paged_attention  # noqa: F401
 

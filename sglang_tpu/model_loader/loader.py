@@ -279,10 +279,24 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
         ]
         return np.pad(tensor, pad)
 
+    import re as _re
+
+    # Per-layer KV dequant scales from fp8 checkpoints (reference
+    # memory_pool.py:1679 k_scale/v_scale) — collected onto the model for
+    # the attention path; not part of the param tree.
+    kv_scale_re = _re.compile(r"layers\.(\d+)\.self_attn\.(k|v)_scale$")
+    kv_scales: Dict[tuple, float] = {}
+
     n_loaded = 0
     for file in files:
         f = SafetensorsFile(file)
         for name in f.keys():
+            km = kv_scale_re.search(name)
+            if km is not None:
+                kv_scales[(int(km.group(1)), km.group(2))] = float(
+                    np.asarray(f.get_tensor(name), np.float32).reshape(())
+                )
+                continue
             m = mapping(name)
             if m is None:
                 continue
@@ -358,6 +372,15 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
     missing = expected - seen
     if missing:
         raise RuntimeError(f"Missing weights for: {sorted(missing)[:10]} ...")
+
+    if kv_scales:
+        L = model.config.num_hidden_layers
+        arr = np.ones((L, 2), np.float32)
+        for (li, kind), v in kv_scales.items():
+            if li < L:
+                arr[li, 0 if kind == "k" else 1] = v
+        model._kv_scales = arr
+        logger.info("Loaded per-layer KV scales for %d layers", L)
 
     return _place_params(model, host, mesh_ctx)
 

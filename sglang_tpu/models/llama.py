@@ -449,7 +449,13 @@ class LlamaForCausalLM:
         return mapping
 
     # ------------------------------------------------------------- forward
+    # True while tracing inside the manual-pp wavefront (sharding
+    # constraints referencing the full mesh are invalid there)
+    _skip_shard_constraints = False
+
     def _shard(self, x, *spec):
+        if self._skip_shard_constraints:
+            return x
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
             return jax.lax.with_sharding_constraint(
                 x, self.mesh_ctx.sharding(*spec)
@@ -471,10 +477,23 @@ class LlamaForCausalLM:
         w = self.config.sliding_window or 0
         return np.full((self.config.num_hidden_layers,), w, np.int32)
 
+    # (k_scale, v_scale) per layer for quantized (fp8) KV caches; the
+    # runner overwrites from checkpoint k_scale/v_scale tensors
+    # (reference memory_pool.py:1679 per-layer dequant scales).
+    _kv_scales: Optional[np.ndarray] = None  # [L, 2] f32
+
+    def per_layer_kv_scales(self) -> np.ndarray:
+        if self._kv_scales is not None:
+            return np.asarray(self._kv_scales, np.float32)
+        return np.ones((self.config.num_hidden_layers, 2), np.float32)
+
     # Embedding multiplier (Gemma scales by sqrt(hidden_size)).
     embed_scale: float = 1.0
     # zigzag prefill context-parallel support (runner gates per batch)
     supports_cp = True
+    # pp micro-batch wavefront (subclasses with mesh-wide shard_map MLPs
+    # — MoE — opt out; their inner collectives don't nest under manual pp)
+    supports_pp_wavefront = True
     # RMSNorm weight offset: out = normed * (offset + w) (Gemma uses 1+w).
     norm_offset: float = 0.0
     # Extra norms on attn/mlp outputs before the residual add (Gemma 2/3).
@@ -484,6 +503,118 @@ class LlamaForCausalLM:
         return rms_norm(
             x, w, self.config.rms_norm_eps, offset=self.norm_offset
         )
+
+    def _pp_wavefront(self, hidden, kv_cache, batch, xs_all, pp, M,
+                      make_layer_fn):
+        """GPipe-style micro-batch pipeline inside one jitted program.
+
+        shard_map manual over the pp axis: each rank holds its stage's
+        layer stack + KV rows; at tick t, rank s runs its stage on
+        micro-batch t-s and ppermutes the hidden state to rank s+1.
+        Wall clock ≈ (M + pp - 1)/M per-stage steps instead of pp — the
+        TPU-native mapping of the reference's event_loop_pp
+        (scheduler_pp_mixin.py:68).  Inactive (fill/drain) ticks write
+        their KV to the garbage page and their results are discarded.
+        """
+        from sglang_tpu.model_executor.forward_batch import DeviceBatch
+
+        self._pp_wavefront_engaged = True  # trace-time marker for tests
+        mesh = self.mesh_ctx.mesh
+        B, Lq, H = hidden.shape
+        Bm = B // M
+        scan_layers, inv_freq, window, kvs, _la, _lb = xs_all
+        T = M + pp - 1
+
+        def fn(hidden, kv_local, layers_l, if_l, win_l, kvs_l,
+               input_ids, positions, seq_lens, page_table, out_slots,
+               logits_idx):
+            s = jax.lax.axis_index(AXIS_PP)
+
+            def tick(carry, t):
+                buf, kv_local, outs = carry
+                mb = t - s
+                active = jnp.logical_and(mb >= 0, mb < M)
+                mbc = jnp.clip(mb, 0, M - 1)
+
+                def sl(x):
+                    return jax.lax.dynamic_slice_in_dim(x, mbc * Bm, Bm, 0)
+
+                b_mb = DeviceBatch(
+                    input_ids=sl(input_ids),
+                    positions=sl(positions),
+                    # inactive ticks: zero-length rows fully mask the
+                    # attention; KV writes land in garbage page 0
+                    seq_lens=jnp.where(active, sl(seq_lens), 0),
+                    page_table=sl(page_table),
+                    out_slots=jnp.where(active, sl(out_slots), 0),
+                    logits_idx=sl(logits_idx),
+                )
+                pos_f = b_mb.positions[..., None].astype(jnp.float32)
+                inp = jnp.where(
+                    s == 0,
+                    jax.lax.dynamic_slice_in_dim(hidden, mbc * Bm, Bm, 0),
+                    buf,
+                )
+                lf = make_layer_fn(b_mb, pos_f)
+                # local layer indices: the kv shard holds ONLY this
+                # stage's rows, so page row = li_local * num_pages
+                (h_out, kv_local, _), _ = jax.lax.scan(
+                    lf, (inp, kv_local, np.int32(0)),
+                    (layers_l, if_l, win_l, kvs_l, {}, {}),
+                )
+                nxt = jax.lax.ppermute(
+                    h_out, AXIS_PP,
+                    [(i, (i + 1) % pp) for i in range(pp)],
+                )
+                write = jnp.logical_and(s == pp - 1, active)
+                upd = jax.lax.dynamic_update_slice_in_dim(
+                    outs, h_out, mbc * Bm, 0
+                )
+                outs = jnp.where(write, upd, outs)
+                return (nxt, kv_local, outs), None
+
+            (buf, kv_local, outs), _ = jax.lax.scan(
+                tick,
+                (jnp.zeros((Bm, Lq, H), hidden.dtype), kv_local,
+                 jnp.zeros_like(hidden)),
+                jnp.arange(T, dtype=jnp.int32),
+            )
+            # replicate the last stage's result to every pp rank (f32:
+            # XLA:CPU's AllReducePromotion crashes on bf16 collectives)
+            outs = jax.lax.psum(
+                jnp.where(s == pp - 1, outs, jnp.zeros_like(outs)).astype(
+                    jnp.float32
+                ),
+                AXIS_PP,
+            ).astype(hidden.dtype)
+            return outs, kv_local
+
+        in_specs = (
+            P(), P(AXIS_PP),
+            jax.tree_util.tree_map(lambda _: P(AXIS_PP), scan_layers),
+            P(AXIS_PP), P(AXIS_PP), P(AXIS_PP),
+            P(), P(), P(), P(), P(), P(),
+        )
+        # sharding-constraint hints inside the layer body reference the
+        # full mesh; under manual-pp they'd be rejected — skip them
+        self._skip_shard_constraints = True
+        try:
+            hidden_out, kv_out = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(P(), P(AXIS_PP)),
+                axis_names={AXIS_PP},
+                check_vma=False,
+            )(
+                hidden, kv_cache, scan_layers,
+                jnp.asarray(inv_freq), jnp.asarray(window),
+                jnp.asarray(kvs),
+                batch.input_ids, batch.positions, batch.seq_lens,
+                batch.page_table, batch.out_slots, batch.logits_idx,
+            )
+        finally:
+            self._skip_shard_constraints = False
+        return hidden_out, kv_out
 
     def _apply_rope(self, x, cos, sin, rot_half, d):
         """Half-split rope on [B, Lq, h, d] (GLM overrides with its
@@ -603,89 +734,107 @@ class LlamaForCausalLM:
         def rope(x, cos, sin):
             return self._apply_rope(x, cos, sin, rot_half, d)
 
-        def layer_fn(carry, xs):
-            h, kv, li = carry
-            w, inv_freq, window, la, lb = xs
-            proj = make_proj(w, la, lb, li)
-            angles = pos_f * inv_freq  # [B, Lq, rot/2]
-            cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
-            sin = jnp.sin(angles)[..., None, :]
-            # --- attention block ---
-            normed = self._norm(h, w["input_ln"])
-            q = proj(normed, "q_proj")
-            k = proj(normed, "k_proj")
-            v = proj(normed, "v_proj")
-            if self.has_qkv_bias:
-                q = q + w["q_bias"]
-                k = k + w["k_bias"]
-                v = v + w["v_bias"]
-            q = q.reshape(B, Lq, hq, d)
-            k = k.reshape(B, Lq, hkv, d)
-            v = v.reshape(B, Lq, hkv, d)
-            if self.has_qk_norm:
-                q = self._norm(q, w["q_norm"])
-                k = self._norm(k, w["k_norm"])
-            head_ax = None if self._dp_attention() else AXIS_TP
-            q = self._shard(q, AXIS_DP, None, head_ax, None)
-            k = self._shard(k, AXIS_DP, None, head_ax, None)
-            v = self._shard(v, AXIS_DP, None, head_ax, None)
-            q, k = rope(q, cos, sin), rope(k, cos, sin)
-            if context_parallel:
-                # KV still lands in the pages (decode continues on the
-                # standard paged path afterwards); the chunk's attention
-                # runs sequence-sharded with the zigzag causal mask.
-                from sglang_tpu.layers.attention import write_kv
-                from sglang_tpu.layers.context_parallel import (
-                    cp_prefill_attention,
-                )
+        fp8_kv = (
+            jnp.issubdtype(kv_cache.dtype, jnp.floating)
+            and jnp.finfo(kv_cache.dtype).bits == 8
+        )
 
-                kv = write_kv(kv, k, v, batch.out_slots, li, num_slots)
-                kc, vc = k, v
-                if hq != hkv:
-                    rep = hq // hkv
-                    kc = jnp.repeat(kc, rep, axis=2)
-                    vc = jnp.repeat(vc, rep, axis=2)
-                attn_out = cp_prefill_attention(
-                    q, kc, vc, batch.positions, self.sm_scale,
-                    self.mesh_ctx.mesh, axis=AXIS_CP,
+        def make_layer_fn(batch, pos_f):
+            # factory: the pp wavefront builds one per micro-batch
+            # (sliced batch fields); serial paths build it once
+            B, Lq = batch.input_ids.shape  # shadows the full-batch dims
+            def layer_fn(carry, xs):
+                h, kv, li = carry
+                w, inv_freq, window, kvs, la, lb = xs
+                kv_scales = (kvs[0], kvs[1]) if fp8_kv else None
+                proj = make_proj(w, la, lb, li)
+                angles = pos_f * inv_freq  # [B, Lq, rot/2]
+                cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
+                sin = jnp.sin(angles)[..., None, :]
+                # --- attention block ---
+                normed = self._norm(h, w["input_ln"])
+                q = proj(normed, "q_proj")
+                k = proj(normed, "k_proj")
+                v = proj(normed, "v_proj")
+                if self.has_qkv_bias:
+                    q = q + w["q_bias"]
+                    k = k + w["k_bias"]
+                    v = v + w["v_bias"]
+                q = q.reshape(B, Lq, hq, d)
+                k = k.reshape(B, Lq, hkv, d)
+                v = v.reshape(B, Lq, hkv, d)
+                if self.has_qk_norm:
+                    q = self._norm(q, w["q_norm"])
+                    k = self._norm(k, w["k_norm"])
+                head_ax = None if self._dp_attention() else AXIS_TP
+                q = self._shard(q, AXIS_DP, None, head_ax, None)
+                k = self._shard(k, AXIS_DP, None, head_ax, None)
+                v = self._shard(v, AXIS_DP, None, head_ax, None)
+                q, k = rope(q, cos, sin), rope(k, cos, sin)
+                if context_parallel:
+                    # KV still lands in the pages (decode continues on the
+                    # standard paged path afterwards); the chunk's attention
+                    # runs sequence-sharded with the zigzag causal mask.
+                    from sglang_tpu.layers.attention import write_kv
+                    from sglang_tpu.layers.context_parallel import (
+                        cp_prefill_attention,
+                    )
+
+                    kv = write_kv(
+                        kv, k, v, batch.out_slots, li, num_slots,
+                        kv_scales=kv_scales,
+                    )
+                    kc, vc = k, v
+                    if hq != hkv:
+                        rep = hq // hkv
+                        kc = jnp.repeat(kc, rep, axis=2)
+                        vc = jnp.repeat(vc, rep, axis=2)
+                    attn_out = cp_prefill_attention(
+                        q, kc, vc, batch.positions, self.sm_scale,
+                        self.mesh_ctx.mesh, axis=AXIS_CP,
+                    )
+                else:
+                    attn_out, kv = paged_attention(
+                        q,
+                        k,
+                        v,
+                        kv,
+                        batch,
+                        li,
+                        num_slots=num_slots,
+                        page_size=page_size,
+                        sm_scale=self.sm_scale,
+                        logit_cap=c.attn_logit_softcap,
+                        sliding_window=window,
+                        backend=attn_backend,
+                        kv_scales=kv_scales,
+                    )
+                attn_out = attn_out.reshape(B, Lq, hq * d)
+                attn_out = proj(attn_out, "o_proj")
+                if self.has_post_norms:
+                    attn_out = self._norm(attn_out, w["post_attn_ln"])
+                h = h + attn_out
+                h = self._shard(h, AXIS_DP, seq_ax, None)
+                # --- mlp block ---
+                normed = self._norm(h, w["post_ln"])
+                mlp_out = self._mlp_forward(w, normed, proj)
+                if self.has_post_norms:
+                    mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
+                h = h + mlp_out
+                h = self._shard(h, AXIS_DP, seq_ax, None)
+                # EPLB load signal: MoE _mlp_forward stashes this layer's
+                # expert routing counts when capture is on (scan collects
+                # them into [L, E]; None for dense models).
+                aux = (
+                    self.__dict__.pop("_moe_counts_stash", None)
+                    if capture_expert_counts
+                    else None
                 )
-            else:
-                attn_out, kv = paged_attention(
-                    q,
-                    k,
-                    v,
-                    kv,
-                    batch,
-                    li,
-                    num_slots=num_slots,
-                    page_size=page_size,
-                    sm_scale=self.sm_scale,
-                    logit_cap=c.attn_logit_softcap,
-                    sliding_window=window,
-                    backend=attn_backend,
-                )
-            attn_out = attn_out.reshape(B, Lq, hq * d)
-            attn_out = proj(attn_out, "o_proj")
-            if self.has_post_norms:
-                attn_out = self._norm(attn_out, w["post_attn_ln"])
-            h = h + attn_out
-            h = self._shard(h, AXIS_DP, seq_ax, None)
-            # --- mlp block ---
-            normed = self._norm(h, w["post_ln"])
-            mlp_out = self._mlp_forward(w, normed, proj)
-            if self.has_post_norms:
-                mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
-            h = h + mlp_out
-            h = self._shard(h, AXIS_DP, seq_ax, None)
-            # EPLB load signal: MoE _mlp_forward stashes this layer's
-            # expert routing counts when capture is on (scan collects
-            # them into [L, E]; None for dense models).
-            aux = (
-                self.__dict__.pop("_moe_counts_stash", None)
-                if capture_expert_counts
-                else None
-            )
-            return (h, kv, li + 1), aux
+                return (h, kv, li + 1), aux
+
+            return layer_fn
+
+        layer_fn = make_layer_fn(batch, pos_f)
 
         pp = (
             self.mesh_ctx.parallel.pp_size if self.mesh_ctx is not None else 1
@@ -699,6 +848,7 @@ class LlamaForCausalLM:
             scan_layers,
             self.per_layer_inv_freq(),
             self.per_layer_window(),
+            self.per_layer_kv_scales(),
             lora_a,
             lora_b,
         )
@@ -709,28 +859,50 @@ class LlamaForCausalLM:
                 layer_fn, (hidden, kv_cache, np.int32(0)), xs_all
             )
         else:
-            # Pipeline parallelism (reference scheduler_pp_mixin.py:68):
-            # layer stacks are sharded over the pp mesh axis; each stage's
-            # sub-scan computes on its own devices, and GSPMD moves only
-            # the hidden state between stages.  (Micro-batch wavefront
-            # overlap — stage s on micro-batch m while s+1 runs m-1 — is
-            # a scheduler concern XLA handles when batches split; the
-            # memory scaling of weight/KV sharding is what pp buys here.)
+            # Pipeline parallelism (reference scheduler_pp_mixin.py:68
+            # event_loop_pp).  Layer stacks + KV rows are sharded over the
+            # pp mesh axis.  When eligible, the batch splits into M
+            # micro-batches and runs as a GPipe wavefront: stage s
+            # processes micro-batch t-s at tick t, hidden states hop
+            # stages via ppermute — stages compute CONCURRENTLY on their
+            # own devices inside one jitted program (the schedule is
+            # compiled, not an event loop).  Exotic combos (quantized
+            # stacks, LoRA, CP, MoE ecounts) fall back to serialized
+            # stages, which buys pp's memory scaling but not throughput.
             L = c.num_hidden_layers
             assert L % pp == 0, (L, pp)
             Lpp = L // pp
-            stage_counts = []
-            for s in range(pp):
-                xs_s = jax.tree_util.tree_map(
-                    lambda x: x[s * Lpp : (s + 1) * Lpp], xs_all
+            M = (
+                self.mesh_ctx.parallel.pp_microbatches or pp
+                if self.mesh_ctx is not None
+                else pp
+            )
+            wavefront_ok = (
+                M > 1
+                and B % M == 0
+                and lora is None
+                and not context_parallel
+                and not capture_expert_counts
+                and not quant_stacks
+                and self.supports_pp_wavefront
+            )
+            if wavefront_ok:
+                hidden, kv_cache = self._pp_wavefront(
+                    hidden, kv_cache, batch, xs_all, pp, M, make_layer_fn
                 )
-                (hidden, kv_cache, _), ys = jax.lax.scan(
-                    layer_fn, (hidden, kv_cache, np.int32(s * Lpp)), xs_s
-                )
-                if ys is not None:
-                    stage_counts.append(ys)
-            if stage_counts:
-                ecounts = jnp.concatenate(stage_counts, axis=0)
+            else:
+                stage_counts = []
+                for s in range(pp):
+                    xs_s = jax.tree_util.tree_map(
+                        lambda x: x[s * Lpp : (s + 1) * Lpp], xs_all
+                    )
+                    (hidden, kv_cache, _), ys = jax.lax.scan(
+                        layer_fn, (hidden, kv_cache, np.int32(s * Lpp)), xs_s
+                    )
+                    if ys is not None:
+                        stage_counts.append(ys)
+                if stage_counts:
+                    ecounts = jnp.concatenate(stage_counts, axis=0)
 
         features = hidden  # pre-final-norm last-layer output
         hidden = self._norm(hidden, params["final_ln"])

@@ -38,6 +38,10 @@ _EXPERT_LEAF = {
 class MixtralForCausalLM(LlamaForCausalLM):
     """Also serves Qwen2Moe/Qwen3Moe (qk-norm via config detection)."""
 
+    # MoE MLP runs a mesh-wide shard_map (EP over tp); it can't nest
+    # inside the manual-pp wavefront — pp serializes stages for MoE
+    supports_pp_wavefront = False
+
     def __init__(self, config, mesh_ctx=None):
         super().__init__(config, mesh_ctx=mesh_ctx)
         assert config.num_experts > 0, "MoE model requires num_experts"

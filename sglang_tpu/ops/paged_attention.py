@@ -69,6 +69,7 @@ def _decode_kernel(
     hkv: int,
     d: int,
     logit_cap: Optional[float],
+    fused_write: bool,
 ):
     blk = pl.program_id(0)
     RB, PB, ps = rows_per_block, pages_per_block, page_size
@@ -85,21 +86,25 @@ def _decode_kernel(
     def _():
         kv_buf[...] = jnp.zeros_like(kv_buf)
 
-    # ---- 1. write the new K/V rows (tiny DMAs into the aliased cache) ----
-    for r in range(RB):
-        b = blk * RB + r
-        slot = out_slots_ref[b]
-        page_row = layer_page0 + slot // ps
-        in_page = slot % ps
-        pltpu.make_async_copy(
-            kv_new_ref.at[r],  # [2, HD]
-            kv_out_ref.at[page_row, in_page],  # [2, HD]
-            w_sems.at[r],
-        ).start()
-    for r in range(RB):
-        pltpu.make_async_copy(
-            kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
-        ).wait()
+    # ---- 1. write the new K/V rows (tiny DMAs into the aliased cache).
+    # fp8 caches skip this (fused_write=False): a [2, HD] 1-byte VMEM
+    # slice violates Mosaic's sublane tiling, so the caller scatters the
+    # new rows with XLA before invoking the kernel read-only.
+    if fused_write:
+        for r in range(RB):
+            b = blk * RB + r
+            slot = out_slots_ref[b]
+            page_row = layer_page0 + slot // ps
+            in_page = slot % ps
+            pltpu.make_async_copy(
+                kv_new_ref.at[r],  # [2, HD]
+                kv_out_ref.at[page_row, in_page],  # [2, HD]
+                w_sems.at[r],
+            ).start()
+        for r in range(RB):
+            pltpu.make_async_copy(
+                kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
+            ).wait()
 
     # ---- 2. paged attention over [first_group, n_valid) page groups ----
     seq_lens = [seq_lens_ref[blk * RB + r] for r in range(RB)]
@@ -162,6 +167,12 @@ def _decode_kernel(
         kv = kv_buf[slot_idx]  # [RB, PB, ps, 2, HD]
         k3 = kv[:, :, :, 0].reshape(RB, T, HD)
         v3 = kv[:, :, :, 1].reshape(RB, T, HD)
+        if jnp.issubdtype(k3.dtype, jnp.floating) and jnp.finfo(k3.dtype).bits == 8:
+            # fp8 KV: upconvert via bf16 (direct fp8->f32 is not lowered
+            # on all Mosaic targets); dequant scales are folded into q /
+            # the output by the caller.
+            k3 = k3.astype(jnp.bfloat16)
+            v3 = v3.astype(jnp.bfloat16)
 
         # [RB, Hq, T] batched over rows
         scores = jax.lax.dot_general(
@@ -237,6 +248,7 @@ def _decode_kernel(
         "pages_per_block",
         "rows_per_block",
         "interpret",
+        "fused_write",
     ),
 )
 def fused_paged_decode_attention(
@@ -257,6 +269,7 @@ def fused_paged_decode_attention(
     pages_per_block: Optional[int] = None,
     rows_per_block: Optional[int] = None,
     interpret: bool = False,
+    fused_write: bool = True,
 ):
     """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
     B, Lq, Hq, D = q.shape
@@ -308,6 +321,7 @@ def fused_paged_decode_attention(
         hkv=Hkv,
         d=D,
         logit_cap=logit_cap,
+        fused_write=fused_write,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(

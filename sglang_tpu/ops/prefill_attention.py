@@ -91,8 +91,14 @@ def _prefill_kernel(
     @pl.when(needed)
     def _():
         q = q_ref[0, 0, 0].astype(jnp.float32)  # [R, D]
-        k = kv_ref[0, 0, :, 0].astype(jnp.float32)  # [TC, D]
-        v = kv_ref[0, 0, :, 1].astype(jnp.float32)  # [TC, D]
+        k = kv_ref[0, 0, :, 0]  # [TC, D]
+        v = kv_ref[0, 0, :, 1]  # [TC, D]
+        if jnp.issubdtype(k.dtype, jnp.floating) and jnp.finfo(k.dtype).bits == 8:
+            # fp8 KV: upconvert via bf16 (dequant scales are folded into
+            # q / the output by the caller — see layers/attention.py)
+            k, v = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
 
         scores = jax.lax.dot_general(
             q,

@@ -48,6 +48,8 @@ class ParallelConfig:
     # EP token dispatch via ragged all-to-all (reference
     # layers/moe/token_dispatcher/deepep.py) instead of replicate+psum
     moe_a2a: bool = False
+    # pp micro-batch wavefront count (0 = auto: pp_size); 1 serializes
+    pp_microbatches: int = 0
 
     @property
     def world_size(self) -> int:

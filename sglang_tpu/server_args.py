@@ -62,6 +62,8 @@ class ServerArgs:
     tp_size: int = 1
     dp_size: int = 1
     pp_size: int = 1
+    # micro-batches for the pp wavefront (0 = auto: pp_size); 1 = serial
+    pp_microbatches: int = 0
     ep_size: int = 1
     cp_size: int = 1  # prefill context parallelism (zigzag sequence shard)
     enable_expert_parallel: bool = False
