@@ -73,6 +73,18 @@ class Scheduler:
         # chained decode windows in flight, oldest first (each dict holds
         # its reqs snapshot, K, dispatch handle, and chain depth)
         self._inflight: List[dict] = []
+        # PD disaggregation queues (reference disaggregation/decode.py
+        # DecodePreallocQueue/DecodeTransferQueue + prefill.py inflight):
+        # decode side — incoming transfers polled by the step loop, pages
+        # PREALLOCATED as soon as the meta frame lands; prefill side — a
+        # background sender streams page slabs while the loop keeps
+        # prefilling (radix lock held via the scheduler thread).
+        self._pd_incoming: List[dict] = []
+        self._pd_sender_q: Optional["queue.Queue"] = None
+        self._pd_sender_thread: Optional[threading.Thread] = None
+        self.num_pd_adopted = 0
+        self.num_pd_sent = 0
+        self.num_pd_pages_sent = 0
         # depth 2 keeps the device saturated: window N+1 absorbs the
         # host fetch round-trip of window N, window N+2 absorbs the
         # host-side bookkeeping + dispatch gap
@@ -138,6 +150,35 @@ class Scheduler:
             timeout=server_args.watchdog_timeout, hard=True, name="scheduler"
         )
         self.watchdog.start()
+
+        # ---- phase-time accounting (reference scheduler profile logs):
+        # cumulative wall seconds per scheduler phase, for localizing
+        # online-latency sinks (prefill admit/dispatch vs decode fetch vs
+        # host emits).  Wrapping here keeps the hot bodies untouched.
+        self.phase_seconds: Dict[str, float] = {}
+        for meth, phase in (
+            ("_process_inputs", "inputs"),
+            ("_get_prefill_batch", "prefill_admit"),
+            ("_dispatch_extend_generate", "prefill_dispatch"),
+            ("_process_prefill_result", "prefill_process"),
+            ("_dispatch_decode", "decode_dispatch"),
+            ("_dispatch_chained", "decode_dispatch"),
+            ("_fetch_and_process_window", "decode_fetch"),
+            ("_flush_pending_emits", "emits"),
+        ):
+            setattr(self, meth, self._timed(getattr(self, meth), phase))
+
+    def _timed(self, fn, phase: str):
+        acc = self.phase_seconds
+
+        def wrapper(*a, **kw):
+            t0 = time.monotonic()
+            try:
+                return fn(*a, **kw)
+            finally:
+                acc[phase] = acc.get(phase, 0.0) + time.monotonic() - t0
+
+        return wrapper
 
     # ---------------------------------------------------------------- EPLB
     def _eplb_record(self):
@@ -262,6 +303,117 @@ class Scheduler:
         queues); processed on the scheduler thread."""
         self.input_queue.put(("adopt", req, kv_tokens, page_data))
 
+    # ------------------------------------------------ PD lifecycle
+    def register_pd_incoming(self, req: Req, room: str, bootstrap) -> None:
+        """Decode side: track an announced transfer; the step loop
+        preallocates pages on meta arrival and adopts on completion."""
+        self.input_queue.put(("pd_incoming", req, room, bootstrap))
+        self.input_queue.put(None)  # wake the loop
+
+    def queue_pd_send(self, token_ids: List[int], room: str, transfer,
+                      meta: dict) -> None:
+        """Prefill side: lock this prompt's radix pages (on the scheduler
+        thread) and stream them from a background sender while the loop
+        keeps prefilling other requests."""
+        self.input_queue.put(("pd_send", list(token_ids), room, transfer,
+                              dict(meta)))
+        self.input_queue.put(None)
+
+    def _start_pd_send(self, token_ids, room, transfer, meta):
+        m = self.radix.match_prefix(token_ids)
+        node = m.node
+        if node is not None:
+            self.radix.inc_lock_ref(node)
+        meta = dict(meta)
+        meta["kv_tokens"] = int(m.matched_tokens)
+        if self._pd_sender_thread is None:
+            self._pd_sender_q = queue.Queue()
+            self._pd_sender_thread = threading.Thread(
+                target=self._pd_sender_loop, daemon=True, name="pd-sender"
+            )
+            self._pd_sender_thread.start()
+        self._pd_sender_q.put((room, transfer, meta, list(m.pages), node))
+
+    def _pd_sender_loop(self):
+        while True:
+            job = self._pd_sender_q.get()
+            if job is None:
+                return
+            room, transfer, meta, pages, node = job
+            try:
+                if pages and hasattr(transfer, "send_pipelined"):
+                    transfer.send_pipelined(
+                        room, meta,
+                        lambda s, c, pg=pages: self.runner.extract_pages(
+                            pg[s : s + c]
+                        ),
+                        len(pages),
+                    )
+                else:
+                    payload = dict(meta)
+                    payload["page_data"] = (
+                        self.runner.extract_pages(pages) if pages else None
+                    )
+                    transfer.send(room, payload)
+                self.num_pd_sent += 1
+                self.num_pd_pages_sent += len(pages)
+            except Exception:
+                logger.exception("PD send failed for room %s", room)
+            finally:
+                # unlock on the scheduler thread
+                self.input_queue.put(("pd_send_done", node))
+                self.input_queue.put(None)
+
+    def _poll_pd_queues(self):
+        """Decode side, once per step: prealloc pages when a room's meta
+        has landed (chunks still streaming), adopt when complete."""
+        if not self._pd_incoming:
+            return
+        rest = []
+        for e in self._pd_incoming:
+            bs = e["bootstrap"]
+            if e["pages"] is None and hasattr(bs, "poll_meta"):
+                meta = bs.poll_meta(e["room"])
+                if meta is not None and meta.get("kv_tokens"):
+                    e["kv_tokens"] = int(meta["kv_tokens"])
+                    n_pages = e["kv_tokens"] // self.page_size
+                    if n_pages > 0 and not self.radix.disable:
+                        e["pages"] = self._alloc_pages(n_pages)
+            payload = bs.poll(e["room"])
+            if payload is None:
+                rest.append(e)
+                continue
+            self._adopt_pd(e, payload)
+        self._pd_incoming = rest
+
+    def _adopt_pd(self, e: dict, payload: dict):
+        req: Req = e["req"]
+        ft = payload.get("first_token")
+        if ft is not None:
+            req.append_output_token(int(ft))
+        kv_tokens = int(payload.get("kv_tokens", 0))
+        n_pages = kv_tokens // self.page_size
+        page_data = payload.get("page_data")
+        pages = e["pages"]
+        if n_pages > 0 and page_data is not None and not self.radix.disable:
+            if pages is None:
+                pages = self._alloc_pages(n_pages)
+            if pages is not None:
+                self.runner.inject_pages(pages, page_data[:n_pages])
+                dup = self.radix.insert(req.fill_ids[:kv_tokens], pages)
+                dup_pages = dup // self.page_size
+                if dup_pages:
+                    self.allocator.free(pages[:dup_pages])
+            else:
+                logger.warning(
+                    "PD adopt: no pages for %d transferred tokens; "
+                    "recomputing prefill locally", kv_tokens,
+                )
+        elif pages:
+            self.allocator.free(pages)
+        self.num_pd_adopted += 1
+        self._admit_new_request(req)
+
     def abort_request(self, rid: str):
         self._abort_rids.add(rid)
         self.input_queue.put(None)  # wake the loop
@@ -326,6 +478,16 @@ class Scheduler:
         while True:
             if isinstance(item, tuple) and item and item[0] == "adopt":
                 self._adopt_prefilled(*item[1:])
+            elif isinstance(item, tuple) and item and item[0] == "pd_incoming":
+                self._pd_incoming.append(
+                    {"req": item[1], "room": item[2], "bootstrap": item[3],
+                     "pages": None, "kv_tokens": 0}
+                )
+            elif isinstance(item, tuple) and item and item[0] == "pd_send":
+                self._start_pd_send(*item[1:])
+            elif isinstance(item, tuple) and item and item[0] == "pd_send_done":
+                if item[1] is not None:
+                    self.radix.dec_lock_ref(item[1])
             elif isinstance(item, tuple) and item and item[0] == "flush_cache":
                 self._pending_flushes.append(item[1])
             elif isinstance(item, tuple) and item and item[0] == "idle_call":
@@ -756,7 +918,10 @@ class Scheduler:
             # any blocking wait on the input queue (a deferred finish
             # must not sit behind the idle timeout)
             self._flush_pending_emits()
-        self._process_inputs(block=block and not self._inflight)
+        self._process_inputs(
+            block=block and not self._inflight and not self._pd_incoming
+        )
+        self._poll_pd_queues()
         if self._inflight and (
             self._abort_rids
             or any(r.prefill_kind != "generate" for r in self.waiting)
@@ -861,7 +1026,12 @@ class Scheduler:
                     )
                     self._drain_inflight()
                 for sb, finish, capture_ecounts in pending:
+                    t_f = time.monotonic()
                     tokens, logprobs, toplp = finish()
+                    self.phase_seconds["prefill_fetch"] = (
+                        self.phase_seconds.get("prefill_fetch", 0.0)
+                        + time.monotonic() - t_f
+                    )
                     if capture_ecounts:
                         self._eplb_record()
                     self._process_prefill_result(
@@ -915,6 +1085,8 @@ class Scheduler:
         prepared = self._prepare_decode()
         if prepared is None:
             self._flush_pending_emits()
+            if self._pd_incoming:
+                time.sleep(0.002)  # waiting on a KV transfer; don't spin hot
             return False
         batch, K = prepared
         self._inflight = [self._dispatch_decode(batch, K)]

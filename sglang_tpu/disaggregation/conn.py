@@ -43,6 +43,11 @@ class LocalKVTransfer(KVTransferBackend):
         with self._lock:
             return self._rooms.pop(room, None)
 
+    def poll_meta(self, room: str) -> Optional[dict]:
+        with self._lock:
+            p = self._rooms.get(room)
+            return dict(p) if p is not None else None
+
 
 def new_room() -> str:
     return uuid.uuid4().hex
@@ -165,6 +170,17 @@ class KVBootstrapServer:
         with self._lock:
             return self._rooms.pop(room, None)
 
+    def poll_meta(self, room: str) -> Optional[dict]:
+        """Room metadata as soon as the META frame lands (chunks may still
+        be streaming) — lets the decode scheduler PREALLOCATE pages while
+        the transfer is in flight (reference decode.py PreallocQueue)."""
+        with self._lock:
+            part = self._partial.get(room)
+            if part is not None:
+                return dict(part["meta"])
+            done = self._rooms.get(room)
+            return dict(done) if done is not None else None
+
     def wait(self, room: str, timeout: float = 60.0) -> Optional[dict]:
         import time as _time
 
@@ -281,3 +297,6 @@ class RemoteKVTransfer(KVTransferBackend):
 
     def poll(self, room: str) -> Optional[dict]:
         return self.bootstrap.wait(room, timeout=60.0)
+
+    def poll_meta(self, room: str) -> Optional[dict]:
+        return self.bootstrap.poll_meta(room)

@@ -30,64 +30,89 @@ logger = get_logger(__name__)
 
 
 class PDCoordinator:
-    """Routes generate() across a prefill engine and a decode engine."""
+    """Routes generate() across a prefill engine and a decode engine.
+
+    Lifecycle (reference ``disaggregation/prefill.py`` bootstrap/inflight
+    queues + ``decode.py`` prealloc/transfer queues):
+
+    * ``submit()`` registers the request with the DECODE scheduler first —
+      its step loop polls the transfer (non-blocking), preallocates pages
+      as soon as the meta frame lands, and adopts on completion — then
+      kicks the prefill asynchronously.  The prefill scheduler's
+      background sender streams page slabs while its loop keeps
+      prefilling other requests, so many requests flow through PD
+      concurrently and decode starts before the prefill engine drains.
+    * ``generate()`` = submit + collect (the original synchronous API).
+    """
 
     def __init__(self, prefill_engine, decode_engine,
-                 transfer: Optional[KVTransferBackend] = None):
+                 transfer: Optional[KVTransferBackend] = None,
+                 max_concurrent_prefills: int = 8):
         self.prefill = prefill_engine
         self.decode = decode_engine
         self.transfer = transfer or LocalKVTransfer()
-        self.num_transferred_pages = 0
+        import concurrent.futures as _f
 
-    def generate(self, prompt=None, input_ids=None, sampling_params=None):
+        self._pool = _f.ThreadPoolExecutor(
+            max_workers=max_concurrent_prefills,
+            thread_name_prefix="pd-prefill",
+        )
+
+    # -------------------------------------------------- async lifecycle
+    def submit(self, prompt=None, input_ids=None, sampling_params=None):
+        """Enqueue one request through the PD pipeline; returns a handle
+        for :meth:`collect`.  Non-blocking past tokenization."""
+        from sglang_tpu.core.sampling_params import SamplingParams
+
         sp = dict(sampling_params or {})
         if input_ids is None:
             input_ids = self.prefill.tokenizer.encode(prompt)
-
-        # ---- phase 1: prefill engine computes the prompt + first token
-        p_sp = dict(sp)
-        p_sp["max_new_tokens"] = 1
-        p_sp["ignore_eos"] = True
-        first = self.prefill.generate(input_ids=list(input_ids),
-                                      sampling_params=p_sp)
-        first_token = first["output_ids"][0]
-
-        # ---- phase 2: extract this prompt's KV pages and ship them.
-        # With a pipelining-capable transport, chunk i+1's device→host
-        # extraction overlaps chunk i's network send (reference
-        # layer-overlapped KV send, scheduler.py:3231).
-        sched = self.prefill.scheduler
-        m = sched.radix.match_prefix(list(input_ids) + [first_token])
-        n_tokens = m.matched_tokens
-        pages = m.pages
+        input_ids = list(input_ids)
         room = new_room()
-        meta = {
-            "input_ids": list(input_ids),
-            "first_token": int(first_token),
-            "kv_tokens": int(n_tokens),
-        }
-        if pages and hasattr(self.transfer, "send_pipelined"):
-            self.transfer.send_pipelined(
-                room, meta,
-                lambda start, count: sched.runner.extract_pages(
-                    pages[start : start + count]
-                ),
-                len(pages),
-            )
-        else:
-            payload = dict(meta)
-            payload["page_data"] = (
-                sched.runner.extract_pages(pages) if pages else None
-            )
-            self.transfer.send(room, payload)
-        self.num_transferred_pages += len(pages)
 
-        # ---- phase 3: decode engine receives and continues
-        payload = self.transfer.poll(room)
-        assert payload is not None, "transfer rendezvous failed"
-        # The transferred first token counts toward the decode request's
-        # output_ids, so max_new_tokens carries over unchanged.
-        return self.decode_from_transfer(payload, dict(sp))
+        # decode side first: registration precedes the transfer, so page
+        # PREALLOCATION overlaps the network transfer (decode.py :1–18)
+        state = self.decode._make_req(
+            None, list(input_ids), SamplingParams.from_dict(dict(sp)),
+            False, None,
+        )
+        receiver = getattr(self.transfer, "bootstrap", self.transfer)
+        self.decode.scheduler.register_pd_incoming(state.req, room, receiver)
+
+        def _prefill_and_send():
+            p_sp = dict(sp)
+            p_sp["max_new_tokens"] = 1
+            p_sp["ignore_eos"] = True
+            first = self.prefill.generate(
+                input_ids=list(input_ids), sampling_params=p_sp
+            )
+            ft = int(first["output_ids"][0])
+            meta = {"input_ids": list(input_ids), "first_token": ft}
+            # radix lock + page list resolve on the prefill scheduler
+            # thread; the slabs stream from its background sender
+            self.prefill.scheduler.queue_pd_send(
+                input_ids + [ft], room, self.transfer, meta
+            )
+
+        fut = self._pool.submit(_prefill_and_send)
+        return {"state": state, "future": fut, "room": room}
+
+    def collect(self, handle) -> dict:
+        handle["future"].result()  # surface prefill-side errors
+        return self.decode._wait_final(handle["state"])
+
+    def generate(self, prompt=None, input_ids=None, sampling_params=None):
+        return self.collect(
+            self.submit(prompt=prompt, input_ids=input_ids,
+                        sampling_params=sampling_params)
+        )
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False)
+
+    @property
+    def num_transferred_pages(self) -> int:
+        return getattr(self.prefill.scheduler, "num_pd_pages_sent", 0)
 
     def decode_from_transfer(self, payload: dict, sampling_params: dict):
         """Decode-side: inject KV, adopt the request mid-stream."""
