@@ -1959,4 +1959,9 @@ class Scheduler:
             free_pages=self.allocator.num_free_pages,
             radix_evictable_pages=self.radix.evictable_size(),
             radix_protected_pages=self.radix.protected_size(),
+            num_chained_windows=getattr(self, "num_chained_windows", 0),
+            num_mux_prefills=getattr(self, "num_mux_prefills", 0),
+            phase_seconds={
+                k: round(v, 3) for k, v in self.phase_seconds.items()
+            },
         )

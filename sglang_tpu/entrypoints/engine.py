@@ -490,6 +490,39 @@ class Engine:
             raise holder["error"]
         return holder.get("result")
 
+    def warmup(
+        self,
+        ctx_len: Optional[int] = None,
+        include_sampled: bool = True,
+        threads: int = 8,
+        execute: bool = True,
+    ) -> dict:
+        """Precompile the jit program buckets a serving session will hit
+        (the reference captures CUDA graphs for every decode batch size at
+        startup — cuda_graph_runner.py).  Phase 1 compiles in parallel
+        into the persistent XLA cache; phase 2 executes each program once
+        on the scheduler thread so live traffic never waits on a compile."""
+        runner = self.scheduler.runner
+        specs = runner.warmup_plan(
+            self.scheduler.decode_bs_buckets,
+            self.server_args.decode_window_size,
+            self.server_args.chunked_prefill_size,
+            ctx_len=ctx_len or self.server_args.warmup_ctx_len,
+            include_sampled=include_sampled,
+            use_ecounts=self.scheduler.eplb_recorder is not None,
+        )
+        compile_s = runner.warmup_compile(specs, threads=threads)
+        exec_s = 0.0
+        if execute:
+            exec_s = self._run_when_idle(
+                lambda: runner.warmup_execute(specs), timeout=1800.0
+            )
+        return {
+            "num_programs": len(specs),
+            "compile_seconds": round(compile_s, 1),
+            "execute_seconds": round(float(exec_s or 0.0), 1),
+        }
+
     def update_weights_from_disk(self, model_path: str):
         """Reference /update_weights_from_disk (http_server.py:1286 family)."""
         runner = self.scheduler.runner

@@ -687,6 +687,12 @@ def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
     """Blocking server entry (reference http_server.py:2479)."""
     if engine is None:
         engine = Engine(server_args=server_args)
+    if not server_args.skip_server_warmup:
+        # Precompile the serving program buckets before accepting traffic
+        # (reference warmup + CUDA-graph capture before /health goes ok).
+        logger.info("Warming up jit program buckets ...")
+        info = engine.warmup()
+        logger.info("Warmup done: %s", info)
     if server_args.grpc_port:
         from sglang_tpu.grpc import SglangGrpcServer
 

@@ -22,6 +22,7 @@ TPU-native step design (differs from the reference's per-token loop):
 from __future__ import annotations
 
 import functools
+import threading
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -43,7 +44,9 @@ from sglang_tpu.layers.sampler import (
     update_penalty_state,
 )
 from sglang_tpu.model_executor.forward_batch import (
+    decode_packed_size,
     decode_step_batch,
+    extend_packed_size,
     unpack_decode_batch,
     unpack_extend_batch,
 )
@@ -199,9 +202,11 @@ class ModelRunner:
             kv_cache_dtype=server_args.kv_cache_dtype,
             max_total_tokens=server_args.max_total_tokens,
             hbm_budget_bytes=kv_budget,
-            sharding=self.mesh_ctx.kv_cache_sharding
-            if not self.mesh_ctx.is_single_device
-            else None,
+            # Always the named sharding (even on one device): jit outputs
+            # carry NamedSharding, so a SingleDeviceSharding input would
+            # re-key every program's SECOND call (one wasted compile per
+            # bucket — and a warmup→serve cache miss).
+            sharding=self.mesh_ctx.kv_cache_sharding,
         )
         self.kv_cache = self.kv_pool.kv_cache
         self.page_allocator = PageAllocator(
@@ -800,7 +805,16 @@ class ModelRunner:
         dispatched BEFORE that window's result is fetched.
         """
         self._step_counter += 1
-        use_chain = chain_tokens is not None
+        if chain_tokens is None:
+            # First window of a chain: feed the packed first tokens
+            # through the SAME chain program (device_put with the jit
+            # output sharding so fresh and chained windows share one
+            # compiled program — halves the decode bucket count).
+            chain_tokens = jax.device_put(
+                np.ascontiguousarray(packed[:B]).astype(np.int32),
+                self._replicated_sharding,
+            )
+        use_chain = True
         use_fsm = fsm is not None
         fsm_parts, fsm_state, fsm_bucket = (
             fsm if use_fsm else ((), np.zeros((B,), np.int32), 0)
@@ -819,9 +833,7 @@ class ModelRunner:
             vmask if vmask is not None else np.zeros((B, 1), np.uint32),
             self._lora_tree() if adapter_idx is not None else {},
             adapter_idx if adapter_idx is not None else np.zeros((B,), np.int32),
-            chain_tokens
-            if chain_tokens is not None
-            else np.zeros((B,), np.int32),
+            chain_tokens,
             fsm_parts,
             fsm_state,
             self._base_rng,
@@ -850,6 +862,172 @@ class ModelRunner:
         return self.decode_window_fetch(
             self.decode_window_async(*args, **kwargs)
         )
+
+    @property
+    def _replicated_sharding(self):
+        return self.mesh_ctx.sharding()
+
+    # ------------------------------------------------------------- warmup
+    # The reference captures CUDA graphs for every decode batch size at
+    # startup (model_runner init_cuda_graphs; cuda_graph_runner.py) so
+    # live traffic never stalls on graph capture.  The XLA analogue:
+    # precompile the (mode, B, L, P, flags) jit buckets reachable for the
+    # configured workload.  Phase 1 lowers+compiles in parallel threads
+    # (populating the persistent XLA disk cache); phase 2 executes each
+    # program once with all-padded dummy batches (seq_lens=0, writes land
+    # in garbage page 0) to populate the in-process jit cache.
+
+    def warmup_plan(
+        self,
+        bs_buckets,
+        decode_window_size: int,
+        chunked_prefill_size: int,
+        ctx_len: Optional[int] = None,
+        include_sampled: bool = True,
+        use_ecounts: bool = False,
+    ):
+        """Enumerate the program specs a serving session will hit."""
+        ps = self.kv_pool.page_size
+        ctx = min(ctx_len or 4096, self.max_context_len)
+        p_set = sorted(
+            {
+                self.page_bucket(cdiv(max(ctx // d, 1), ps))
+                for d in (1, 2, 4)
+            }
+        )
+        greedy_set = (True, False) if include_sampled else (True,)
+        specs = []
+        for greedy in greedy_set:
+            for B in bs_buckets:
+                for P in p_set:
+                    specs.append(
+                        ("decode", dict(B=B, P=P, K=decode_window_size,
+                                        greedy=greedy))
+                    )
+        # Extend (TTFT path): single-request prefills dominate in steady
+        # state; bursts hit the next buckets up.  L covers the chunk-size
+        # bucket and one below (short prompts).
+        l_hi = next_power_of_2(max(chunked_prefill_size, 1))
+        l_set = sorted({l_hi, max(l_hi // 4, 1)})
+        b_ext = sorted({b for b in bs_buckets if b <= 8} or {bs_buckets[0]})
+        for greedy in greedy_set:
+            for B in b_ext:
+                for L in l_set:
+                    for P in p_set:
+                        specs.append(
+                            ("extend", dict(B=B, L=L, P=P, greedy=greedy,
+                                            use_ecounts=use_ecounts))
+                        )
+        return specs
+
+    def _warm_fn_args(self, kind: str, s: dict):
+        """(jitted_fn, concrete dummy args) for one warmup spec — arg
+        assembly mirrors decode_window_async / extend_step exactly so the
+        live calls hit the same program."""
+        B = s["B"]
+        st = np.zeros((B, 8), np.float32)
+        st[:, 1] = 1.0
+        st[:, 2] = -1.0
+        st[:, 6] = 1.0
+        if not s["greedy"]:
+            st[:, 0] = 0.7
+        step = np.int32(0)
+        if kind == "decode":
+            P, K = s["P"], s["K"]
+            fn = self._get_decode_fn(
+                B, P, K, s["greedy"], False, False, False, True,
+                False, 0, 0, 0,
+            )
+            args = (
+                self.params,
+                self.kv_cache,
+                np.zeros(decode_packed_size(B, P), np.int32),
+                st,
+                np.zeros((B, 1, 2), np.int32),
+                np.zeros((B, 1), np.uint32),
+                {},
+                np.zeros((B,), np.int32),
+                jax.device_put(
+                    np.zeros((B,), np.int32), self._replicated_sharding
+                ),
+                (),
+                np.zeros((B,), np.int32),
+                self._base_rng,
+                step,
+            )
+        else:
+            L, P = s["L"], s["P"]
+            fn = self._get_extend_fn(
+                B, L, P, s["greedy"], False, False, False, False, 0,
+                s.get("use_ecounts", False), False,
+            )
+            args = (
+                self.params,
+                self.kv_cache,
+                np.zeros(extend_packed_size(B, L, P), np.int32),
+                st,
+                np.zeros((B, 1, 2), np.int32),
+                np.zeros((B, 1), np.uint32),
+                {},
+                np.zeros((B,), np.int32),
+                np.zeros((B, 1, 1), np.float32),
+                self._base_rng,
+                step,
+            )
+        return fn, args
+
+    def warmup_compile(self, specs, threads: int = 8, progress_cb=None):
+        """Phase 1: lower + compile every spec in parallel (persistent
+        XLA cache absorbs the work across processes).  Safe to run while
+        the scheduler serves — nothing executes, nothing is donated."""
+        import concurrent.futures as cf
+
+        t0 = time.monotonic()
+        done = [0]
+        lock = threading.Lock()
+
+        def one(spec):
+            kind, s = spec
+            try:
+                fn, args = self._warm_fn_args(kind, s)
+                fn.lower(*args).compile()
+            except Exception:
+                logger.exception("warmup compile failed for %s %s", kind, s)
+            with lock:
+                done[0] += 1
+                if progress_cb is not None:
+                    progress_cb(done[0], len(specs))
+
+        with cf.ThreadPoolExecutor(max_workers=threads) as pool:
+            list(pool.map(one, specs))
+        dt = time.monotonic() - t0
+        logger.info(
+            "warmup: compiled %d programs in %.1fs", len(specs), dt
+        )
+        return dt
+
+    def warmup_execute(self, specs):
+        """Phase 2: run each program once on an all-padded dummy batch
+        (populates the in-process jit executable cache; XLA compile is a
+        disk-cache hit after phase 1).  Caller must hold the scheduler
+        idle — the kv cache is donated through each call."""
+        t0 = time.monotonic()
+        for kind, s in specs:
+            fn, args = self._warm_fn_args(kind, s)
+            res = fn(*args)
+            if kind == "decode":
+                _, _, self.kv_cache = res
+            else:
+                if s.get("use_ecounts", False):
+                    _, self.kv_cache, _ = res
+                else:
+                    _, self.kv_cache = res
+        jax.block_until_ready(self.kv_cache)
+        dt = time.monotonic() - t0
+        logger.info(
+            "warmup: executed %d programs in %.1fs", len(specs), dt
+        )
+        return dt
 
     # ---------------------------------------------------------------- lora
     lora_manager = None  # set by the engine when --enable-lora

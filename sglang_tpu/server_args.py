@@ -137,6 +137,9 @@ class ServerArgs:
 
     # ---- misc ----
     skip_server_warmup: bool = False
+    # context length the startup warmup compiles page-table buckets for
+    # (decode/extend P buckets; see ModelRunner.warmup_plan)
+    warmup_ctx_len: int = 4096
     watchdog_timeout: float = 300.0
     device: str = "auto"  # auto | tpu | cpu
 
