@@ -46,6 +46,10 @@ class KVCacheGeometry:
     # multiple of 128 so Mosaic DMA slicing works (e.g. DeepSeek's
     # 512+64=576 latent pads to 640); writers pad, readers slice.
     padded_head_dim: int = 0
+    # Decode context parallelism (reference layers/dcp/): pool shape
+    # grows a LEADING shard axis [dcp, L*NP/dcp, ps, 2, HD]; global page
+    # p lives on shard p % dcp at local index p // dcp.
+    dcp_shards: int = 1
 
     def __post_init__(self):
         if self.padded_head_dim == 0:
@@ -107,11 +111,14 @@ class KVCachePool:
         max_total_tokens: Optional[int] = None,
         hbm_budget_bytes: Optional[int] = None,
         sharding=None,
+        dcp_shards: int = 1,
     ):
         kv_dtype = resolve_kv_dtype(kv_cache_dtype, config.dtype)
         num_pages = compute_num_pages(
             config, page_size, kv_dtype, max_total_tokens, hbm_budget_bytes
         )
+        if dcp_shards > 1:
+            num_pages = cdiv(num_pages, dcp_shards) * dcp_shards
         from sglang_tpu.configs.model_config import AttentionArch
 
         padded_hd = config.head_dim
@@ -128,6 +135,7 @@ class KVCachePool:
             head_dim=config.head_dim,
             dtype=kv_dtype,
             padded_head_dim=padded_hd,
+            dcp_shards=dcp_shards,
         )
         g = self.geometry
         logger.info(
@@ -139,12 +147,21 @@ class KVCachePool:
             g.bytes_total / (1 << 30),
             jnp.dtype(g.dtype).name,
         )
-        shape = (
-            g.num_layers * g.num_pages,
-            g.page_size,
-            2,
-            g.num_kv_heads * g.padded_head_dim,
-        )
+        if g.dcp_shards > 1:
+            shape = (
+                g.dcp_shards,
+                g.num_layers * (g.num_pages // g.dcp_shards),
+                g.page_size,
+                2,
+                g.num_kv_heads * g.padded_head_dim,
+            )
+        else:
+            shape = (
+                g.num_layers * g.num_pages,
+                g.page_size,
+                2,
+                g.num_kv_heads * g.padded_head_dim,
+            )
         if sharding is not None:
             self.kv_cache = jax.device_put(
                 jnp.zeros(shape, dtype=g.dtype), sharding

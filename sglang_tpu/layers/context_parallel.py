@@ -114,6 +114,121 @@ def dcp_attention(
     )(q, k_ctx, v_ctx, ctx_valid)
 
 
+def dcp_paged_attention(
+    q: jnp.ndarray,  # [B, Lq, Hq, D] replicated
+    k_new: jnp.ndarray,  # [B, Lq, Hkv, D]
+    v_new: jnp.ndarray,  # [B, Lq, Hkv, D]
+    kv_cache: jnp.ndarray,  # [dcp, L*NPl, ps, 2, Hkv*D] sharded on axis 0
+    batch,  # DeviceBatch (out_slots/page_table/positions/seq_lens)
+    layer_idx: jnp.ndarray,
+    *,
+    num_layers: int,
+    page_size: int,
+    sm_scale: float,
+    mesh,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    axis: str = "tp",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Paged attention with the KV PAGES sharded over ``axis`` (decode
+    context parallelism; reference ``layers/dcp/comm.py``
+    ``cp_lse_ag_out_rs_mha`` + ``planner.py`` round-robin page placement).
+
+    Global page ``p`` lives on rank ``p % dcp`` at local page ``p // dcp``
+    — striped ownership, so an in-order page allocator balances a long
+    sequence's pages across ranks for free.  Each rank scatters the new
+    rows it owns (OOB rows drop), gathers only its local pages, computes
+    a flash-style partial over them, and the partials merge exactly with
+    one log-sum-exp-corrected ``psum`` pair over ICI.  Works for both
+    decode (Lq=1) and extend (causal over positions).  Per-request KV
+    capacity now scales with the mesh instead of one shard's HBM."""
+    from jax.sharding import PartitionSpec as P
+
+    dcp = kv_cache.shape[0]
+    R = kv_cache.shape[1]
+    NPl = R // num_layers
+    ps = page_size
+    B, Lq, Hq, D = q.shape
+    Hkv = k_new.shape[2]
+    HD = kv_cache.shape[-1]
+    C = batch.page_table.shape[1] * ps
+
+    def fn(kv_local, q, k_new, v_new, out_slots, page_table, positions,
+           seq_lens, li):
+        me = jax.lax.axis_index(axis)
+        # ---- owner-masked scatter of the new rows (mode=drop) ----
+        fs = out_slots.reshape(-1)  # [B*Lq] global slots
+        g = fs // ps
+        local_row = li * NPl + g // dcp
+        rows = jnp.where(g % dcp == me, local_row, R)  # OOB -> dropped
+        vals = jnp.stack(
+            [k_new.reshape(-1, HD), v_new.reshape(-1, HD)], axis=1
+        ).astype(kv_local.dtype)  # [B*Lq, 2, HD]
+        kv_local = kv_local.at[0, rows, fs % ps].set(
+            vals, mode="drop", unique_indices=True
+        )
+        # ---- gather this rank's slice of every request's context ----
+        cpos = jnp.arange(C, dtype=jnp.int32)  # slot index == position
+        pages = jnp.take_along_axis(
+            page_table, cpos[None, :] // ps, axis=1
+        )  # [B, C] global page per position
+        owned = (pages % dcp) == me
+        lrow = li * NPl + pages // dcp
+        lrow = jnp.where(owned, lrow, 0)
+        kv_ctx = kv_local[0][lrow, cpos[None, :] % ps]  # [B, C, 2, HD]
+        k_ctx = kv_ctx[:, :, 0].reshape(B, C, Hkv, D)
+        v_ctx = kv_ctx[:, :, 1].reshape(B, C, Hkv, D)
+        if Hq != Hkv:
+            rep = Hq // Hkv
+            k_ctx = jnp.repeat(k_ctx, rep, axis=2)
+            v_ctx = jnp.repeat(v_ctx, rep, axis=2)
+        # ---- masks: validity (per-rank ownership + length) + causal ----
+        scores = jnp.einsum(
+            "blhd,bchd->bhlc", q, k_ctx,
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if logit_cap:
+            scores = logit_cap * jnp.tanh(scores / logit_cap)
+        qpos = positions  # [B, Lq]
+        causal = cpos[None, None, :] <= qpos[:, :, None]
+        valid = owned[:, None, :] & causal
+        valid = valid & (cpos[None, None, :] < seq_lens[:, None, None])
+        if sliding_window is not None:
+            win = jnp.asarray(sliding_window, jnp.int32)  # traced; <=0 off
+            in_win = cpos[None, None, :] > (qpos[:, :, None] - win)
+            valid = valid & (in_win | (win <= 0))
+        valid = valid[:, None]  # [B, 1, Lq, C] broadcast over heads
+        scores = jnp.where(valid, scores, NEG_INF)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e20)
+        p = jnp.where(valid, jnp.exp(scores - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jnp.einsum(
+            "bhlc,bchd->bhld", p, v_ctx.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        # ---- exact LSE merge across ranks ----
+        m_star = jax.lax.pmax(m, axis)
+        scale = jnp.exp(m - m_star)
+        num = jax.lax.psum(acc * scale, axis)
+        den = jax.lax.psum(l * scale, axis)
+        den = jnp.where(den == 0.0, 1.0, den)
+        out = (num / den).astype(q.dtype)  # [B, H, Lq, D]
+        return jnp.transpose(out, (0, 2, 1, 3)), kv_local
+
+    out, kv_cache = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(axis)),
+        axis_names={axis},
+        check_vma=False,
+    )(
+        kv_cache, q, k_new, v_new, batch.out_slots, batch.page_table,
+        batch.positions, batch.seq_lens, layer_idx,
+    )
+    return out, kv_cache
+
+
 def cp_prefill_attention(
     q: jnp.ndarray,  # [B, L, H, D] queries in ZIGZAG order, sharded on L
     k: jnp.ndarray,  # [B, L, H, D] keys in zigzag order, sharded on L

@@ -135,6 +135,7 @@ class ModelRunner:
                 moe_a2a=getattr(server_args, "moe_a2a_backend", "none")
                 != "none",
                 pp_microbatches=getattr(server_args, "pp_microbatches", 0),
+                dcp=getattr(server_args, "enable_dcp", False),
             ),
             devices=devices,
         )
@@ -207,6 +208,11 @@ class ModelRunner:
             # re-key every program's SECOND call (one wasted compile per
             # bucket — and a warmup→serve cache miss).
             sharding=self.mesh_ctx.kv_cache_sharding,
+            dcp_shards=(
+                self.mesh_ctx.parallel.tp_size
+                if self.mesh_ctx.parallel.dcp
+                else 1
+            ),
         )
         self.kv_cache = self.kv_pool.kv_cache
         self.page_allocator = PageAllocator(
@@ -270,6 +276,17 @@ class ModelRunner:
     # ------------------------------------------------------------- backends
     def _pick_attn_backend(self, device) -> str:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
+            return "xla"
+        if self.mesh_ctx.parallel.dcp:
+            # DCP attention is its own shard_map path (page-sharded pool
+            # + LSE merge, layers/context_parallel.py); the model bypasses
+            # the pallas/xla dispatch entirely.
+            if not getattr(self.model, "supports_dcp", False):
+                raise ValueError(
+                    f"{type(self.model).__name__} does not support "
+                    "--enable-dcp (page-sharded KV attention)"
+                )
+            logger.info("DCP enabled: page-sharded KV, LSE-merge attention")
             return "xla"
         mc = self.model_config
         from sglang_tpu.configs.model_config import AttentionArch
@@ -1069,6 +1086,9 @@ class ModelRunner:
 
     def extract_pages(self, pages) -> np.ndarray:
         """Fetch whole pages (all layers) to host: [n, L, ps, 2, HD]."""
+        assert self.kv_pool.geometry.dcp_shards == 1, (
+            "page extraction not supported with the DCP-sharded pool yet"
+        )
         from sglang_tpu.utils import next_power_of_2
 
         n = len(pages)

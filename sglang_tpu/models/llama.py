@@ -112,9 +112,9 @@ class LlamaForCausalLM:
         col = name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
         if not col:
             return 1  # row-parallel: out axis replicated
+        if self._attn_replicated() and attn_proj:
+            return 1  # attention weights replicate (dp-attention / DCP)
         if self._dp_attention():
-            if attn_proj:
-                return 1  # attention weights replicate under dp-attention
             return mc.parallel.dp_size * mc.parallel.tp_size
         return mc.parallel.tp_size
 
@@ -139,6 +139,14 @@ class LlamaForCausalLM:
         axes = {AXIS_DP, AXIS_TP} | ({AXIS_CP} if seq_ax else set())
         col = name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
         attn_proj = name in ("q_proj", "k_proj", "v_proj", "o_proj")
+        if self._dcp() and attn_proj:
+            # attention weights replicated under DCP; the quant GEMM runs
+            # replicated too (batch not sharded)
+            return QuantShardInfo(
+                mesh=mc.mesh, axis_names=frozenset(axes),
+                x_spec=P(None, seq_ax, None), w_axis=None, col=col,
+                out_spec=P(None, seq_ax, None),
+            )
         if self._dp_attention():
             if attn_proj:  # weights replicated; batch shards over dp
                 return QuantShardInfo(
@@ -253,6 +261,17 @@ class LlamaForCausalLM:
             and getattr(self.mesh_ctx.parallel, "dp_attention", False)
         )
 
+    def _dcp(self) -> bool:
+        return (
+            self.mesh_ctx is not None
+            and getattr(self.mesh_ctx.parallel, "dcp", False)
+        )
+
+    def _attn_replicated(self) -> bool:
+        """Attention weights replicated over tp: DP-attention shards the
+        BATCH over dp instead; DCP shards the KV PAGES over tp instead."""
+        return self._dp_attention() or self._dcp()
+
     def _mlp_tp_axes(self):
         """MLP feature-sharding axes: plain TP, or the fused (dp, tp)
         axis pair under DP-attention (reference dp_attention.py:103 —
@@ -265,8 +284,9 @@ class LlamaForCausalLM:
         falls back to replicated for leaves whose in-ish dim is 1
         (per-channel fp8/int8 scales)."""
         attn_proj = name in ("q_proj", "k_proj", "v_proj", "o_proj")
-        if self._dp_attention() and attn_proj:
-            # attention weights replicate; batch shards over dp instead
+        if self._attn_replicated() and attn_proj:
+            # attention weights replicate; dp-attention shards the batch
+            # over dp, DCP shards the KV pages over tp
             spec = P(None, None, None)
         else:
             ax = self._mlp_tp_axes() if not attn_proj else AXIS_TP
@@ -491,6 +511,9 @@ class LlamaForCausalLM:
     embed_scale: float = 1.0
     # zigzag prefill context-parallel support (runner gates per batch)
     supports_cp = True
+    # decode context parallelism (page-sharded KV + LSE merge); MLA
+    # models keep their own attention path for now
+    supports_dcp = True
     # pp micro-batch wavefront (subclasses with mesh-wide shard_map MLPs
     # — MoE — opt out; their inner collectives don't nest under manual pp)
     supports_pp_wavefront = True
@@ -766,12 +789,29 @@ class LlamaForCausalLM:
                 if self.has_qk_norm:
                     q = self._norm(q, w["q_norm"])
                     k = self._norm(k, w["k_norm"])
-                head_ax = None if self._dp_attention() else AXIS_TP
+                head_ax = None if self._attn_replicated() else AXIS_TP
                 q = self._shard(q, AXIS_DP, None, head_ax, None)
                 k = self._shard(k, AXIS_DP, None, head_ax, None)
                 v = self._shard(v, AXIS_DP, None, head_ax, None)
                 q, k = rope(q, cos, sin), rope(k, cos, sin)
-                if context_parallel:
+                if self._dcp():
+                    # decode context parallelism: pages sharded over tp,
+                    # per-rank partials merge by LSE (layers/dcp/ role)
+                    from sglang_tpu.layers.context_parallel import (
+                        dcp_paged_attention,
+                    )
+
+                    attn_out, kv = dcp_paged_attention(
+                        q, k, v, kv, batch, li,
+                        num_layers=c.num_hidden_layers,
+                        page_size=page_size,
+                        sm_scale=self.sm_scale,
+                        mesh=self.mesh_ctx.mesh,
+                        logit_cap=c.attn_logit_softcap,
+                        sliding_window=window,
+                        axis=AXIS_TP,
+                    )
+                elif context_parallel:
                     # KV still lands in the pages (decode continues on the
                     # standard paged path afterwards); the chunk's attention
                     # runs sequence-sharded with the zigzag causal mask.

@@ -48,6 +48,12 @@ class ParallelConfig:
     # EP token dispatch via ragged all-to-all (reference
     # layers/moe/token_dispatcher/deepep.py) instead of replicate+psum
     moe_a2a: bool = False
+    # Decode context parallelism (reference layers/dcp/): KV PAGES shard
+    # over the tp axis (page p lives on rank p % tp), attention weights
+    # replicate, each rank attends over its local pages and partials
+    # merge by log-sum-exp.  Scales KV capacity per request past one
+    # shard's HBM — the head axis can't shard below one kv head.
+    dcp: bool = False
     # pp micro-batch wavefront count (0 = auto: pp_size); 1 serializes
     pp_microbatches: int = 0
 
@@ -116,6 +122,11 @@ class MeshContext:
     # lane axis shards into contiguous per-head blocks across tp.
     @cached_property
     def kv_cache_sharding(self) -> NamedSharding:
+        if self.parallel.dcp:
+            # DCP pool [tp, L*NP_local, ps, 2, Hkv*D]: the leading shard
+            # axis maps page p -> rank p % tp (striped ownership, so an
+            # in-order allocator balances pages across ranks for free).
+            return self.sharding(AXIS_TP, None, None, None, None)
         # Under pp, the [L*NP, ...] row axis shards by stage (layer rows
         # are contiguous per layer, so stage boundaries are page-aligned).
         row_ax = AXIS_PP if self.parallel.pp_size > 1 else None

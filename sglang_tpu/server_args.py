@@ -123,6 +123,12 @@ class ServerArgs:
     # ---- dp attention ----
     enable_dp_attention: bool = False
 
+    # ---- decode context parallelism (reference layers/dcp/) ----
+    # KV pages shard over the tp axis (page p -> rank p % tp), attention
+    # weights replicate, per-rank partials merge by LSE.  Lifts per-request
+    # context past one shard's HBM (the head axis can't shard below 1 head).
+    enable_dcp: bool = False
+
     # ---- lora ----
     enable_lora: bool = False
     max_loras_per_batch: int = 8
@@ -167,6 +173,20 @@ class ServerArgs:
             raise ValueError(
                 f"Unknown moe_a2a_backend {self.moe_a2a_backend!r}"
             )
+        if self.enable_dcp:
+            if self.tp_size < 2:
+                raise ValueError("--enable-dcp requires tp_size >= 2")
+            if self.enable_dp_attention or self.cp_size > 1 or self.pp_size > 1:
+                raise ValueError(
+                    "--enable-dcp is incompatible with dp-attention / cp / pp"
+                )
+            if self.kv_cache_dtype not in ("auto", "bfloat16"):
+                raise ValueError("--enable-dcp requires bf16/native KV")
+            if self.enable_hierarchical_cache or self.hicache_storage_dir:
+                raise ValueError(
+                    "--enable-dcp: hierarchical cache not supported yet "
+                    "(page extraction assumes the unsharded pool layout)"
+                )
 
     # ------------------------------------------------------------------ CLI
     @staticmethod
