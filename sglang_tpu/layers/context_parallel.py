@@ -30,6 +30,18 @@ import numpy as np
 
 NEG_INF = -1e30
 
+# CP prefill: local token count at which the dense (allgather + full
+# score matrix) path gives way to the ring + blockwise-flash path.
+RING_THRESHOLD = 1024
+
+
+def _cp_block(ll: int) -> int:
+    """Flash tile size for a local shard of ``ll`` tokens (divides ll)."""
+    b = 512
+    while ll % b:
+        b //= 2
+    return max(b, 1)
+
 
 # ------------------------------------------------------------- zigzag maps
 def zigzag_split(seq_len: int, cp: int) -> np.ndarray:
@@ -239,14 +251,24 @@ def cp_prefill_attention(
     axis: str = "tp",
 ) -> jnp.ndarray:
     """Causal self-attention with the sequence zigzag-sharded over
-    ``axis`` (prefill CP).  Every shard allgathers K/V (ICI ring under
-    XLA) and attends its local query block against the full sequence
-    with the causal mask taken from original positions — the zigzag
-    layout balances the causal FLOPs across shards (reference
-    cp/zigzag.py)."""
+    ``axis`` (prefill CP).
+
+    Short shards take the dense path (one allgather + full score
+    matrix).  Past ``RING_THRESHOLD`` local tokens the RING + FLASH
+    path engages: K/V blocks rotate around the cp ring via ``ppermute``
+    (one hop per step — ICI neighbour traffic, never a full allgather)
+    while each rank folds the visiting block into running flash
+    accumulators (m, l, acc) with blockwise tiling, so peak memory is
+    O(L/cp · block) instead of O((L/cp) · L) scores + O(L) gathered
+    K/V.  The zigzag layout balances the causal FLOPs across ranks
+    (reference cp/zigzag.py; ring schedule = reference's distributed
+    flash decode over cp)."""
     from jax.sharding import PartitionSpec as P
 
-    def fn(q, k, v, pos):
+    cp = mesh.shape[axis]
+    Ll = q.shape[1] // cp  # local tokens per rank (inside the shard_map)
+
+    def dense_fn(q, k, v, pos):
         k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
         pos_full = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
@@ -264,6 +286,86 @@ def cp_prefill_attention(
         )
         return out.astype(q.dtype)
 
+    def ring_fn(q, k, v, pos):
+        B, ll, H, D = q.shape
+        assert ll == Ll, (ll, Ll)
+        qb = _cp_block(Ll)
+        nq = Ll // qb
+        qs = q.reshape(B, nq, qb, H, D)
+        qpos = pos.reshape(B, nq, qb)
+        perm = [(i, (i + 1) % cp) for i in range(cp)]
+
+        def ring_step(carry, _):
+            kb, vb, pb, m, l, acc = carry
+
+            def q_block(qcarry, xs):
+                qi, qp = xs  # [B, qb, H, D], [B, qb]
+                mi, li, ai = qcarry  # [B,H,qb,1], [B,H,qb,1], [B,H,qb,D]
+
+                def kv_block(fcarry, ks):
+                    kbj, vbj, pbj = ks
+                    mi, li, ai = fcarry
+                    s = jnp.einsum(
+                        "bqhd,bkhd->bhqk", qi, kbj,
+                        preferred_element_type=jnp.float32,
+                    ) * sm_scale
+                    causal = pbj[:, None, None, :] <= qp[:, None, :, None]
+                    s = jnp.where(causal, s, NEG_INF)
+                    m_new = jnp.maximum(
+                        mi, jnp.max(s, axis=-1, keepdims=True)
+                    )
+                    corr = jnp.exp(mi - m_new)
+                    p = jnp.exp(s - m_new)
+                    p = jnp.where(causal, p, 0.0)
+                    li = li * corr + jnp.sum(p, axis=-1, keepdims=True)
+                    ai = ai * corr + jnp.einsum(
+                        "bhqk,bkhd->bhqd", p, vbj.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return (m_new, li, ai), None
+
+                kvb = _cp_block(Ll)
+                nk = Ll // kvb
+                (mi, li, ai), _ = jax.lax.scan(
+                    kv_block,
+                    (mi, li, ai),
+                    (
+                        kb.reshape(B, nk, kvb, H, D).swapaxes(0, 1),
+                        vb.reshape(B, nk, kvb, H, D).swapaxes(0, 1),
+                        pb.reshape(B, nk, kvb).swapaxes(0, 1),
+                    ),
+                )
+                return (mi, li, ai), None
+
+            # fold this ring block into every q block's accumulators
+            m2, l2, a2 = [], [], []
+            for j in range(nq):
+                (mj, lj, aj), _ = q_block(
+                    (m[:, :, j], l[:, :, j], acc[:, :, j]),
+                    (qs[:, j], qpos[:, j]),
+                )
+                m2.append(mj)
+                l2.append(lj)
+                a2.append(aj)
+            m = jnp.stack(m2, axis=2)
+            l = jnp.stack(l2, axis=2)
+            acc = jnp.stack(a2, axis=2)
+            kb = jax.lax.ppermute(kb, axis, perm)
+            vb = jax.lax.ppermute(vb, axis, perm)
+            pb = jax.lax.ppermute(pb, axis, perm)
+            return (kb, vb, pb, m, l, acc), None
+
+        m0 = jnp.full((B, H, nq, qb, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, H, nq, qb, 1), jnp.float32)
+        a0 = jnp.zeros((B, H, nq, qb, D), jnp.float32)
+        (_, _, _, m, l, acc), _ = jax.lax.scan(
+            ring_step, (k, v, pos, m0, l0, a0), None, length=cp
+        )
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = (acc / l).astype(q.dtype)  # [B, H, nq, qb, D]
+        return jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(B, Ll, H, D)
+
+    fn = ring_fn if Ll >= RING_THRESHOLD else dense_fn
     return jax.shard_map(
         fn,
         mesh=mesh,

@@ -84,6 +84,73 @@ def test_cp_prefill_matches_dense_causal():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("force_ring", [False, True])
+def test_cp_prefill_ring_flash_matches_dense(monkeypatch, force_ring):
+    """The ring+flash path (engaged past RING_THRESHOLD local tokens,
+    forced here) must match the dense path bit-for-tolerance."""
+    import sglang_tpu.layers.context_parallel as cpmod
+
+    if force_ring:
+        monkeypatch.setattr(cpmod, "RING_THRESHOLD", 1)
+    mesh = _mesh(4)
+    cp = 4
+    rng = np.random.RandomState(7)
+    B, L, H, D = 2, 64, 2, 16
+    q = rng.randn(B, L, H, D).astype(np.float32) * 0.4
+    k = rng.randn(B, L, H, D).astype(np.float32) * 0.4
+    v = rng.randn(B, L, H, D).astype(np.float32) * 0.4
+    scores = np.einsum("blhd,bchd->bhlc", q, k) * 0.3
+    causal = np.tril(np.ones((L, L), bool))
+    scores = np.where(causal[None, None], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = np.where(causal[None, None], p, 0.0)
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhlc,bchd->blhd", p, v)
+
+    order = zigzag_split(L, cp)
+    inv = zigzag_merge(L, cp)
+    pos = np.broadcast_to(order[None, :], (B, L)).astype(np.int32)
+    out_z = cpmod.cp_prefill_attention(
+        jnp.asarray(q[:, order]), jnp.asarray(k[:, order]),
+        jnp.asarray(v[:, order]), jnp.asarray(pos), 0.3, mesh,
+    )
+    out = np.asarray(out_z)[:, inv]
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_cp_prefill_ring_flash_long_shard():
+    """A real >=RING_THRESHOLD-per-rank case (L=4096, cp=2): the ring
+    path engages on its own and matches the allgather-dense compute."""
+    import sglang_tpu.layers.context_parallel as cpmod
+
+    mesh = _mesh(2)
+    cp = 2
+    rng = np.random.RandomState(3)
+    B, L, H, D = 1, 4096, 1, 16
+    q = (rng.randn(B, L, H, D) * 0.2).astype(np.float32)
+    k = (rng.randn(B, L, H, D) * 0.2).astype(np.float32)
+    v = (rng.randn(B, L, H, D) * 0.2).astype(np.float32)
+    order = zigzag_split(L, cp)
+    inv = zigzag_merge(L, cp)
+    pos = np.broadcast_to(order[None, :], (B, L)).astype(np.int32)
+    out_z = cpmod.cp_prefill_attention(
+        jnp.asarray(q[:, order]), jnp.asarray(k[:, order]),
+        jnp.asarray(v[:, order]), jnp.asarray(pos), 0.25, mesh,
+    )
+    out = np.asarray(out_z)[:, inv]
+    # spot-check rows against a dense numpy reference (full L x L is
+    # fine at 4096 in f64 numpy, but row-subset keeps the test fast)
+    rows = [0, 1, 513, 2047, 4095]
+    scores = np.einsum("lhd,chd->hlc", q[0, rows], k[0]) * 0.25
+    mask = np.arange(L)[None, None, :] <= np.asarray(rows)[None, :, None]
+    scores = np.where(mask, scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = np.where(mask, p, 0.0)
+    p /= p.sum(-1, keepdims=True)
+    ref_rows = np.einsum("hlc,chd->lhd", p, v[0])
+    np.testing.assert_allclose(out[0, rows], ref_rows, rtol=1e-4, atol=1e-4)
+
+
 # -------------------------------------------------- serving-path wiring
 def _cp_engine(cp_size):
     from sglang_tpu.configs.model_config import ModelConfig
