@@ -99,6 +99,10 @@ class Req:
         # embedding request (Engine.encode): pooled vector lands here
         self.is_embedding = False
         self.embedding = None
+        # Diffusion-LM request (served block-wise by the scheduler's
+        # dllm loop instead of the paged autoregressive path)
+        self.is_diffusion = False
+        self.dllm_canvas = None  # Optional[np.ndarray [L]] denoise state
         # multimodal: rows for sentinel prompt positions (fill_ids[j] < 0
         # means "use input_embeds[-fill_ids[j] - 1]" instead of the token
         # embedding; reference Req.input_embeds / multimodal inputs)
@@ -127,6 +131,8 @@ class Req:
             return "embed"
         if self.is_scoring:
             return "score"
+        if self.is_diffusion:
+            return "diffusion"
         return "generate"
 
     @property

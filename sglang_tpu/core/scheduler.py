@@ -80,6 +80,8 @@ class Scheduler:
         # background sender streams page slabs while the loop keeps
         # prefilling (radix lock held via the scheduler thread).
         self._pd_incoming: List[dict] = []
+        self._dllm_reqs: List[Req] = []
+        self._dllm_algo = None
         self._pd_sender_q: Optional["queue.Queue"] = None
         self._pd_sender_thread: Optional[threading.Thread] = None
         self.num_pd_adopted = 0
@@ -442,6 +444,7 @@ class Scheduler:
             return
         if (
             self.running.reqs or self.waiting or self.chunked_req
+            or self._dllm_reqs
             or self._inflight
         ):
             return
@@ -458,6 +461,7 @@ class Scheduler:
             return
         if (
             self.running.reqs or self.waiting or self.chunked_req
+            or self._dllm_reqs
             or self._inflight
         ):
             return  # wait for idle; checked again every step
@@ -911,7 +915,8 @@ class Scheduler:
         """One scheduler iteration. Returns True if a batch ran."""
         self.watchdog.heartbeat()
         self.watchdog.set_busy(
-            bool(self.running.reqs or self.waiting or self.chunked_req)
+            bool(self.running.reqs or self.waiting or self.chunked_req
+            or self._dllm_reqs)
         )
         if self._pending_emit_reqs and not self._inflight:
             # nothing left to overlap them under — deliver now, BEFORE
@@ -936,6 +941,9 @@ class Scheduler:
             # dispatches behind the windows and the window fetch hides
             # under its device execution — see the prefill branch below)
             self._drain_inflight()
+        if self._dllm_step():
+            self.num_steps += 1
+            return True
         batch = self._get_prefill_batch(kind="score")
         if batch is not None:
             B, L, P = extend_buckets(
@@ -1858,6 +1866,84 @@ class Scheduler:
         self._eagle_apply_results(batch, tokens, accept_len, lp, bootstrap, k)
         return True
 
+    # ------------------------------------------------------------- dLLM
+    # Diffusion-LM serving (reference dllm/ hooked into tp_worker.py:432):
+    # requests with prefill_kind "diffusion" run block-wise through the
+    # scheduler loop — each step denoises ONE semi-AR block for the whole
+    # batch, so new requests join at block boundaries (continuous
+    # batching at block granularity) and revealed prefixes stream.
+    def _dllm_step(self) -> bool:
+        waiting = [r for r in self.waiting if r.prefill_kind == "diffusion"]
+        if not waiting and not self._dllm_reqs:
+            return False
+        from sglang_tpu.dllm import DllmAlgorithm
+
+        if self._dllm_algo is None:
+            self._dllm_algo = DllmAlgorithm(self.runner, block_len=32)
+        algo = self._dllm_algo
+        # admit at the block boundary
+        room = self.server_args.max_running_requests - len(self._dllm_reqs)
+        for r in waiting[: max(room, 0)]:
+            self.waiting.remove(r)
+            r.status = ReqStatus.RUNNING
+            gen = r.sampling_params.max_new_tokens
+            r.dllm_canvas = np.concatenate(
+                [
+                    np.asarray(r.fill_ids, np.int32),
+                    np.full((gen,), algo.mask_id, np.int32),
+                ]
+            )
+            self._dllm_reqs.append(r)
+        reqs = self._dllm_reqs
+        if not reqs:
+            return False
+        from sglang_tpu.utils import next_power_of_2
+
+        B = next_power_of_2(len(reqs))
+        L = next_power_of_2(max(len(r.dllm_canvas) for r in reqs))
+        x = np.zeros((B, L), np.int32)
+        gen_start = np.full((B,), L, np.int32)  # pad rows: empty window
+        gen_end = np.full((B,), L, np.int32)
+        temp = np.zeros((B,), np.float32)
+        for i, r in enumerate(reqs):
+            n = len(r.dllm_canvas)
+            x[i, :n] = r.dllm_canvas
+            gen_start[i] = len(r.fill_ids)
+            gen_end[i] = n
+            temp[i] = r.sampling_params.temperature
+        blk = algo.block_len or 32
+        # reveal ~1 block per call: blk steps at quota 1 (LLaDA default
+        # schedule); finalize on rows whose window fits in this call
+        x = algo.denoise_block(
+            x, gen_start, gen_end, temp,
+            steps=blk, per_step=1, finalize=False,
+            seed=self.num_steps,
+        )
+        updates = []
+        for i, r in enumerate(list(reqs)):
+            n = len(r.dllm_canvas)
+            r.dllm_canvas = x[i, :n].copy()
+            window = r.dllm_canvas[len(r.fill_ids):]
+            # revealed prefix: tokens before the first remaining mask
+            masked = window == algo.mask_id
+            prefix = int(np.argmax(masked)) if masked.any() else len(window)
+            new = window[len(r.output_ids):prefix]
+            for t in new:
+                r.append_output_token(int(t))
+                self.num_generated_tokens += 1
+                if r.check_finished(self.eos_token_ids, self.max_context_len):
+                    break
+            if not masked.any() and not r.finished:
+                r._finish(FinishReason.LENGTH)
+            if r.finished:
+                self._dllm_reqs.remove(r)
+                updates.append(r)
+            elif r.stream and len(new):
+                updates.append(r)
+        if updates:
+            self._emit_updates(updates)
+        return True
+
     def _grammar_accept(self, req: Req, token: int):
         if req.grammar is None or req.finished:
             return
@@ -1917,6 +2003,7 @@ class Scheduler:
             # otherwise poll it non-blocking between steps.
             idle = not (
                 self.running.reqs or self.waiting or self.chunked_req
+            or self._dllm_reqs
             )
             try:
                 self.step(block=idle)

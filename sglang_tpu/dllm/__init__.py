@@ -42,14 +42,18 @@ def _denoise_scan(
     block_len: int,
     temperature: jnp.ndarray,  # [B]
     rng: jnp.ndarray,
+    per_step: Optional[int] = None,  # reveal quota (None: derive)
+    finalize: bool = True,  # greedy-resolve leftover masks at the end
+    gen_end: Optional[jnp.ndarray] = None,  # [B] per-row window end
 ):
     B, L = x0.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    in_window = (pos >= gen_start[:, None]) & (
-        pos < gen_start[:, None] + gen_len
-    )
+    if gen_end is None:
+        gen_end = gen_start + gen_len
+    in_window = (pos >= gen_start[:, None]) & (pos < gen_end[:, None])
     # per-step reveal quota (last step mops up the remainder)
-    per_step = -(-gen_len // steps)
+    if per_step is None:
+        per_step = -(-gen_len // steps)
     greedy = (temperature <= 0.0)[:, None]
     temp = jnp.where(greedy, 1.0, temperature[:, None])
 
@@ -102,10 +106,11 @@ def _denoise_scan(
     (x, _), _ = jax.lax.scan(
         step, (x0, rng), np.arange(steps, dtype=np.int32)
     )
-    # safety: any position still masked after T steps resolves greedily
-    logits = model.forward_dense(params, x)
-    final = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    x = jnp.where((x == mask_id) & in_window, final, x)
+    if finalize:
+        # safety: any position still masked after T steps resolves greedily
+        logits = model.forward_dense(params, x)
+        final = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        x = jnp.where((x == mask_id) & in_window, final, x)
     return x
 
 
@@ -182,3 +187,53 @@ class DllmAlgorithm:
         )
         out = np.asarray(out)
         return [out[i, Lp : Lp + gen_len].tolist() for i in range(B)]
+
+    # ------------------------------------------------- serving (stateful)
+    def denoise_block(
+        self,
+        x: np.ndarray,  # [B, L] current canvas (prompt + partial reveal)
+        gen_start: np.ndarray,  # [B]
+        gen_end: np.ndarray,  # [B]
+        temperature: np.ndarray,  # [B]
+        steps: int,
+        per_step: int,
+        finalize: bool,
+        seed: int,
+    ) -> np.ndarray:
+        """Advance the batch by ``steps`` denoise steps (semi-AR: only
+        each row's leftmost unfinished block denoises).  The canvas ``x``
+        IS the whole state, so the scheduler can re-batch between calls —
+        that is what makes diffusion requests continuously batchable
+        (rows join/leave at block boundaries; reference tp_worker.py:432
+        runs dllm batches inside the scheduler loop the same way)."""
+        B, L = x.shape
+        gen_max = int((gen_end - gen_start).max()) if B else 0
+        key = ("serve", B, L, gen_max, steps, per_step,
+               self.block_len or 32, finalize)
+        fn = self._fns.get(key)
+        if fn is None:
+            logger.info(
+                "compiling dllm serve block: B=%d L=%d steps=%d", B, L, steps
+            )
+            fn = jax.jit(
+                functools.partial(
+                    _denoise_scan,
+                    self.runner.model,
+                    gen_len=gen_max,
+                    mask_id=self.mask_id,
+                    steps=steps,
+                    block_len=self.block_len or 32,
+                    per_step=per_step,
+                    finalize=finalize,
+                )
+            )
+            self._fns[key] = fn
+        out = fn(
+            self.runner.params,
+            jnp.asarray(x, jnp.int32),
+            jnp.asarray(gen_start, jnp.int32),
+            temperature=jnp.asarray(temperature, jnp.float32),
+            rng=jax.random.PRNGKey(seed),
+            gen_end=jnp.asarray(gen_end, jnp.int32),
+        )
+        return np.asarray(out)

@@ -205,6 +205,13 @@ class Engine:
             if self.lora_manager is None:
                 raise ValueError("lora_path given but --enable-lora is off")
             req.lora_slot = self.lora_manager.slot_of(lora_path)
+        if (
+            getattr(self.scheduler.runner.model, "is_diffusion", False)
+            and sp.max_new_tokens > 0
+        ):
+            # diffusion LMs serve through the scheduler's block-wise
+            # denoise loop instead of the paged autoregressive path
+            req.is_diffusion = True
         if input_embeds is not None:
             req.input_embeds = input_embeds
         if sp.regex or sp.json_schema or sp.ebnf:
