@@ -212,6 +212,10 @@ class Engine:
             # diffusion LMs serve through the scheduler's block-wise
             # denoise loop instead of the paged autoregressive path
             req.is_diffusion = True
+        if getattr(self.scheduler.runner.model, "is_encoder_only", False):
+            # BERT-family encoders only embed — every request routes
+            # through the embedding path regardless of entrypoint
+            req.is_embedding = True
         if input_embeds is not None:
             req.input_embeds = input_embeds
         if sp.regex or sp.json_schema or sp.ebnf:

@@ -215,6 +215,19 @@ class ModelRunner:
             ),
         )
         self.kv_cache = self.kv_pool.kv_cache
+        if getattr(self.model, "is_encoder_only", False):
+            # encoders see the whole sequence at once — chunked prefill
+            # cannot split an embedding forward
+            mp = model_config.max_position_embeddings
+            if (server_args.chunked_prefill_size or 0) < mp:
+                server_args.chunked_prefill_size = mp
+                server_args.max_prefill_tokens = max(
+                    server_args.max_prefill_tokens, mp
+                )
+                logger.info(
+                    "encoder-only model: chunked prefill disabled "
+                    "(chunk=%d)", mp,
+                )
         self.page_allocator = PageAllocator(
             self.kv_pool.geometry.num_pages, self.kv_pool.page_size
         )
@@ -559,6 +572,13 @@ class ModelRunner:
         classification models override ``compute_score`` and return raw
         score-head logits instead (reference reward-model classes)."""
         batch = unpack_extend_batch(packed, B, L, P)
+        if getattr(self.model, "is_encoder_only", False):
+            # BERT-family encoders: one dense bidirectional forward (no
+            # KV cache / paging — reference srt/models/bert.py family)
+            emb = self.model.forward_dense_embed(
+                params, batch.input_ids, batch.seq_lens
+            )
+            return emb.astype(jnp.float32), kv_cache
         hidden, kv_cache = self._forward_batch(params, kv_cache, batch)
         if hasattr(self.model, "compute_score"):
             return (
