@@ -82,6 +82,7 @@ class Scheduler:
         self._pd_incoming: List[dict] = []
         self._dllm_reqs: List[Req] = []
         self._dllm_algo = None
+        self._prefetch_pool = None  # hicache storage prefetch workers
         self._pd_sender_q: Optional["queue.Queue"] = None
         self._pd_sender_thread: Optional[threading.Thread] = None
         self.num_pd_adopted = 0
@@ -492,6 +493,8 @@ class Scheduler:
             elif isinstance(item, tuple) and item and item[0] == "pd_send_done":
                 if item[1] is not None:
                     self.radix.dec_lock_ref(item[1])
+            elif isinstance(item, tuple) and item and item[0] == "hicache_loaded":
+                self._finish_prefetch(*item[1:])
             elif isinstance(item, tuple) and item and item[0] == "flush_cache":
                 self._pending_flushes.append(item[1])
             elif isinstance(item, tuple) and item and item[0] == "idle_call":
@@ -527,6 +530,78 @@ class Scheduler:
                 )
         self._admit_new_request(req)
 
+    # ------------------------------------------- hicache async prefetch
+    # Storage-tier promotion runs OFF the scheduler thread (reference
+    # cache_controller.py:869 async load_back / prefetch threads): the
+    # hash-chain probes and blob reads are file IO, so a background
+    # worker fetches them while the scheduler keeps stepping; the
+    # request waits in the queue (bounded by a deadline) and the device
+    # inject happens back on the scheduler thread — the host→device
+    # transfer itself overlaps forward compute via XLA async dispatch
+    # (our analogue of the reference's layer-by-layer LayerDoneCounter).
+    def _maybe_start_prefetch(self, req: Req) -> None:
+        radix = self.radix
+        if (
+            getattr(radix, "storage", None) is None
+            or radix.disable
+            or req.lora_slot
+            or req.input_embeds is not None
+            or req.is_diffusion
+        ):
+            return
+        key = req.fill_ids[: len(req.fill_ids) - 1]
+        m = radix.match_prefix(key)
+        extra, _ = radix.match_host_extension(key, m.matched_tokens)
+        if extra > 0:
+            return  # host tier covers it; promoted inline at admit
+        if self._prefetch_pool is None:
+            import concurrent.futures as _f
+
+            self._prefetch_pool = _f.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="hicache-prefetch"
+            )
+        req._prefetch_deadline = time.monotonic() + 2.0
+        matched = m.matched_tokens
+
+        def job():
+            try:
+                s_extra, s_keys = radix.match_storage_extension(key, matched)
+                blobs = []
+                if s_extra > 0:
+                    for k in s_keys:
+                        b = radix.storage.get(k)
+                        if b is None:
+                            s_keys = s_keys[: len(blobs)]
+                            break
+                        blobs.append(b)
+                self.input_queue.put(
+                    ("hicache_loaded", req, key, matched, s_keys, blobs)
+                )
+                self.input_queue.put(None)
+            except Exception:
+                logger.exception("hicache prefetch failed")
+                self.input_queue.put(("hicache_loaded", req, key, matched,
+                                      [], []))
+                self.input_queue.put(None)
+
+        self._prefetch_pool.submit(job)
+
+    def _finish_prefetch(self, req: Req, key, matched, s_keys, blobs):
+        req._prefetch_deadline = 0.0
+        if not blobs:
+            return
+        m = self.radix.match_prefix(key)
+        if m.matched_tokens > matched:
+            return  # someone else promoted meanwhile
+        new_pages = self._alloc_pages(len(blobs))
+        if new_pages is None:
+            return
+        self.radix.inject_pages(list(new_pages), np.stack(blobs))
+        total = (len(m.pages) + len(new_pages)) * self.page_size
+        self.radix.insert(key[:total], list(m.pages) + list(new_pages))
+        self.radix.num_promotions += len(new_pages)
+        self.radix.num_storage_hits += len(new_pages)
+
     def _admit_new_request(self, req: Req):
         if (
             self.server_args.max_queued_requests is not None
@@ -541,6 +616,7 @@ class Scheduler:
             return
         self.reqs_by_rid[req.rid] = req
         self.waiting.append(req)
+        self._maybe_start_prefetch(req)
 
     def _apply_aborts(self):
         rids = self._abort_rids
@@ -631,25 +707,12 @@ class Scheduler:
                 key, m.matched_tokens
             )
             if extra > 0 and host_pages:
+                # host tier: the page copy is a memcpy and the device
+                # transfer dispatches async under XLA — promote inline
                 new_pages = self._alloc_pages(len(host_pages))
                 if new_pages is not None:
                     self.radix.promote(key, m.pages, new_pages, host_pages)
                     m = self.radix.match_prefix(key)
-            elif hasattr(self.radix, "match_storage_extension"):
-                # 3rd tier: a longer prefix may live in storage
-                s_extra, s_keys = self.radix.match_storage_extension(
-                    key, m.matched_tokens
-                )
-                if s_extra > 0 and s_keys:
-                    new_pages = self._alloc_pages(len(s_keys))
-                    if new_pages is not None:
-                        if self.radix.promote_from_storage(
-                            key, s_keys, m.pages, new_pages,
-                            m.matched_tokens,
-                        ):
-                            m = self.radix.match_prefix(key)
-                        else:
-                            self.allocator.free(new_pages)
         req.pages = list(m.pages)
         req.prefix_pages_len = len(m.pages)
         req.cached_len = m.matched_tokens
@@ -780,7 +843,12 @@ class Scheduler:
         return finish, capture_ecounts
 
     def _get_prefill_batch(self, kind: str = "generate") -> Optional[HostBatch]:
-        waiting = [r for r in self.waiting if r.prefill_kind == kind]
+        now = time.monotonic()
+        waiting = [
+            r for r in self.waiting
+            if r.prefill_kind == kind
+            and getattr(r, "_prefetch_deadline", 0.0) <= now
+        ]
         chunked_ok = (
             self.chunked_req is not None
             and self.chunked_req.prefill_kind == kind
@@ -1093,8 +1161,10 @@ class Scheduler:
         prepared = self._prepare_decode()
         if prepared is None:
             self._flush_pending_emits()
-            if self._pd_incoming:
-                time.sleep(0.002)  # waiting on a KV transfer; don't spin hot
+            if self._pd_incoming or any(
+                getattr(r, "_prefetch_deadline", 0.0) > 0 for r in self.waiting
+            ):
+                time.sleep(0.002)  # waiting on a transfer/prefetch; no hot spin
             return False
         batch, K = prepared
         self._inflight = [self._dispatch_decode(batch, K)]

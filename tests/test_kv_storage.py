@@ -72,5 +72,9 @@ def test_storage_tier_survives_full_eviction(tmp_path):
         assert out2["output_ids"] == out1["output_ids"]
         assert radix.num_storage_hits > 0, "storage tier never hit"
         assert out2["meta_info"]["cached_tokens"] > 0
+        # the storage promotion ran through the ASYNC prefetch worker
+        # (blob IO off the scheduler thread; reference cache_controller
+        # prefetch threads), not a synchronous admit-time read
+        assert eng.scheduler._prefetch_pool is not None
     finally:
         eng.shutdown()
