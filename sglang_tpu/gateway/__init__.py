@@ -54,10 +54,14 @@ class GatewayProcess:
 
     def __init__(self, port: int, workers: List[str],
                  policy: str = "cache_aware",
-                 cache_threshold: float = 0.5):
+                 cache_threshold: float = 0.5,
+                 max_retries: int = 2,
+                 health_interval_ms: int = 2000):
         binary = build_gateway()
         args = [binary, "--port", str(port), "--policy", policy,
-                "--cache-threshold", str(cache_threshold)]
+                "--cache-threshold", str(cache_threshold),
+                "--max-retries", str(max_retries),
+                "--health-interval-ms", str(health_interval_ms)]
         for w in workers:
             args += ["--worker", w]
         self.proc = subprocess.Popen(

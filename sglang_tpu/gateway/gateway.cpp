@@ -30,6 +30,7 @@
 #include <memory>
 #include <mutex>
 #include <string>
+#include <chrono>
 #include <thread>
 #include <vector>
 
@@ -92,52 +93,103 @@ struct Worker {
   int port;
   std::atomic<int64_t> in_flight{0};
   std::atomic<int64_t> total{0};
+  std::atomic<int64_t> failures{0};   // connect/relay errors (passive)
+  std::atomic<int> probe_fails{0};    // consecutive active-probe failures
+  std::atomic<bool> healthy{true};
   PrefixTree tree;
   std::mutex tree_mu;
 };
 
+using WorkerPtr = std::shared_ptr<Worker>;
+
 struct Gateway {
-  std::vector<std::unique_ptr<Worker>> workers;
+  // Registry is mutable at runtime (reference core/worker_manager.rs):
+  // snapshot under the lock, relays keep their shared_ptr alive across
+  // removal.
+  std::vector<WorkerPtr> workers;
+  std::mutex workers_mu;
   std::string policy = "cache_aware";
   double cache_threshold = 0.5;
+  int max_retries = 2;          // failover attempts across workers
+  int unhealthy_after = 3;      // consecutive probe failures → ejected
   std::atomic<uint64_t> rr{0};
+
+  std::vector<WorkerPtr> snapshot(bool healthy_only = true) {
+    std::lock_guard<std::mutex> g(workers_mu);
+    std::vector<WorkerPtr> out;
+    for (auto& w : workers)
+      if (!healthy_only || w->healthy) out.push_back(w);
+    // all unhealthy → fall back to the full set (last-resort routing)
+    if (out.empty() && healthy_only) out = workers;
+    return out;
+  }
+
+  WorkerPtr add_worker(const std::string& host, int port) {
+    auto w = std::make_shared<Worker>();
+    w->host = host;
+    w->port = port;
+    std::lock_guard<std::mutex> g(workers_mu);
+    workers.push_back(w);
+    return w;
+  }
+
+  bool remove_worker(const std::string& host, int port) {
+    std::lock_guard<std::mutex> g(workers_mu);
+    for (auto it = workers.begin(); it != workers.end(); ++it) {
+      if ((*it)->host == host && (*it)->port == port) {
+        workers.erase(it);
+        return true;
+      }
+    }
+    return false;
+  }
 
   // Pick a worker (reference cache_aware.rs decision: best prefix match
   // if above threshold AND load roughly balanced; else shortest queue).
-  Worker* pick(const std::string& text) {
-    if (workers.empty()) return nullptr;
+  // `exclude` skips workers that already failed this request (failover).
+  WorkerPtr pick(const std::string& text,
+                 const std::vector<Worker*>& exclude = {}) {
+    auto pool = snapshot();
+    pool.erase(std::remove_if(pool.begin(), pool.end(),
+                              [&](const WorkerPtr& w) {
+                                return std::find(exclude.begin(),
+                                                 exclude.end(),
+                                                 w.get()) != exclude.end();
+                              }),
+               pool.end());
+    if (pool.empty()) return nullptr;
     if (policy == "round_robin" || text.empty()) {
-      return workers[rr++ % workers.size()].get();
+      return pool[rr++ % pool.size()];
     }
     // shortest queue; ties break on fewest total routed so idle
     // workers still spread (reference worker_manager load tracking)
-    Worker* shortest = workers[0].get();
-    for (auto& w : workers) {
+    WorkerPtr shortest = pool[0];
+    for (auto& w : pool) {
       if (w->in_flight < shortest->in_flight ||
           (w->in_flight == shortest->in_flight &&
            w->total < shortest->total))
-        shortest = w.get();
+        shortest = w;
     }
     if (policy == "shortest_queue") return shortest;
 
     // cache_aware
-    Worker* best = nullptr;
+    WorkerPtr best = nullptr;
     size_t best_len = 0;
     int64_t min_load = INT64_MAX, max_load = 0;
-    for (auto& w : workers) {
+    for (auto& w : pool) {
       min_load = std::min(min_load, w->in_flight.load());
       max_load = std::max(max_load, w->in_flight.load());
       std::lock_guard<std::mutex> g(w->tree_mu);
       size_t m = w->tree.match_len(text);
       if (m > best_len) {
         best_len = m;
-        best = w.get();
+        best = w;
       }
     }
     bool imbalanced =
         (max_load - min_load) > 8 && max_load > 2 * std::max<int64_t>(min_load, 1);
     double frac = text.empty() ? 0.0 : double(best_len) / double(text.size());
-    Worker* chosen =
+    WorkerPtr chosen =
         (best != nullptr && frac >= cache_threshold && !imbalanced) ? best
                                                                     : shortest;
     {
@@ -230,6 +282,63 @@ int connect_to(const std::string& host, int port) {
 
 Gateway g_gateway;
 std::atomic<int64_t> g_requests{0};
+std::atomic<int64_t> g_retries{0};
+
+// -------------------------------------------------------------- health
+// Active health checks (reference worker_manager health loop): probe
+// GET /health on every registered worker; `unhealthy_after` consecutive
+// failures eject it from routing, one success re-admits it.
+bool probe_worker(const WorkerPtr& w, int timeout_ms = 2000) {
+  int fd = connect_to(w->host, w->port);
+  if (fd < 0) return false;
+  timeval tv{timeout_ms / 1000, (timeout_ms % 1000) * 1000};
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  std::string req = "GET /health HTTP/1.1\r\nHost: " + w->host +
+                    "\r\nConnection: close\r\n\r\n";
+  bool ok = send_all(fd, req.data(), req.size());
+  char buf[256] = {0};
+  ssize_t n = ok ? recv(fd, buf, sizeof(buf) - 1, 0) : -1;
+  close(fd);
+  return n > 0 && strstr(buf, " 200 ") != nullptr;
+}
+
+void health_loop(int interval_ms) {
+  while (true) {
+    for (auto& w : g_gateway.snapshot(/*healthy_only=*/false)) {
+      bool ok = probe_worker(w);
+      if (ok) {
+        w->probe_fails = 0;
+        if (!w->healthy.exchange(true))
+          fprintf(stderr, "gateway: worker %s:%d recovered\n",
+                  w->host.c_str(), w->port);
+      } else if (++w->probe_fails >= g_gateway.unhealthy_after) {
+        if (w->healthy.exchange(false))
+          fprintf(stderr, "gateway: worker %s:%d marked UNHEALTHY\n",
+                  w->host.c_str(), w->port);
+      }
+    }
+    std::this_thread::sleep_for(std::chrono::milliseconds(interval_ms));
+  }
+}
+
+// "host:port" out of a JSON body {"url": "host:port"} or raw host:port
+bool parse_worker_spec(const std::string& body, std::string& host,
+                       int& port) {
+  std::string s = body;
+  size_t p = s.find("\"url\"");
+  if (p != std::string::npos) {
+    p = s.find('"', s.find(':', p));
+    if (p == std::string::npos) return false;
+    size_t e = s.find('"', p + 1);
+    if (e == std::string::npos) return false;
+    s = s.substr(p + 1, e - p - 1);
+  }
+  size_t c = s.rfind(':');
+  if (c == std::string::npos) return false;
+  host = s.substr(0, c);
+  port = atoi(s.c_str() + c + 1);
+  return !host.empty() && port > 0;
+}
 
 void serve_client(int cfd) {
   std::string buf;
@@ -260,16 +369,20 @@ void serve_client(int cfd) {
     return;
   }
   if (head.rfind("GET /gateway/workers", 0) == 0) {
+    auto pool = g_gateway.snapshot(/*healthy_only=*/false);
     std::string j = "{\"workers\":[";
-    for (size_t i = 0; i < g_gateway.workers.size(); ++i) {
-      auto& w = g_gateway.workers[i];
+    for (size_t i = 0; i < pool.size(); ++i) {
+      auto& w = pool[i];
       if (i) j += ",";
       j += "{\"host\":\"" + w->host + "\",\"port\":" +
            std::to_string(w->port) + ",\"in_flight\":" +
            std::to_string(w->in_flight.load()) + ",\"total\":" +
-           std::to_string(w->total.load()) + "}";
+           std::to_string(w->total.load()) + ",\"failures\":" +
+           std::to_string(w->failures.load()) + ",\"healthy\":" +
+           (w->healthy ? "true" : "false") + "}";
     }
-    j += "],\"requests\":" + std::to_string(g_requests.load()) + "}";
+    j += "],\"requests\":" + std::to_string(g_requests.load()) +
+         ",\"retries\":" + std::to_string(g_retries.load()) + "}";
     std::string resp = "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
                        "Content-Length: " + std::to_string(j.size()) +
                        "\r\nConnection: close\r\n\r\n" + j;
@@ -277,27 +390,31 @@ void serve_client(int cfd) {
     close(cfd);
     return;
   }
+  // worker registry admin (reference worker_manager add/remove routes)
+  if (head.rfind("POST /gateway/add_worker", 0) == 0 ||
+      head.rfind("POST /gateway/remove_worker", 0) == 0) {
+    std::string host;
+    int port = 0;
+    bool add = head.rfind("POST /gateway/add_worker", 0) == 0;
+    bool ok = parse_worker_spec(body, host, port);
+    if (ok && add) {
+      g_gateway.add_worker(host, port);
+      fprintf(stderr, "gateway: worker %s:%d added\n", host.c_str(), port);
+    } else if (ok) {
+      ok = g_gateway.remove_worker(host, port);
+      if (ok)
+        fprintf(stderr, "gateway: worker %s:%d removed\n", host.c_str(),
+                port);
+    }
+    std::string resp = ok
+        ? "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nConnection: close\r\n\r\nok"
+        : "HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n"
+          "Connection: close\r\n\r\n";
+    send_all(cfd, resp.data(), resp.size());
+    close(cfd);
+    return;
+  }
 
-  Worker* w = g_gateway.pick(cache_key(body));
-  if (!w) {
-    std::string resp = "HTTP/1.1 503 Service Unavailable\r\nContent-Length: "
-                       "0\r\nConnection: close\r\n\r\n";
-    send_all(cfd, resp.data(), resp.size());
-    close(cfd);
-    return;
-  }
-  ++g_requests;
-  ++w->in_flight;
-  ++w->total;
-  int ufd = connect_to(w->host, w->port);
-  if (ufd < 0) {
-    --w->in_flight;
-    std::string resp = "HTTP/1.1 502 Bad Gateway\r\nContent-Length: 0\r\n"
-                       "Connection: close\r\n\r\n";
-    send_all(cfd, resp.data(), resp.size());
-    close(cfd);
-    return;
-  }
   // force upstream connection close so EOF terminates the relay
   std::string fwd_head = head;
   size_t cp = fwd_head.find("Connection:");
@@ -307,17 +424,52 @@ void serve_client(int cfd) {
     fwd_head.erase(cp, eol + 2 - cp);
   }
   fwd_head.insert(fwd_head.size() - 2, "Connection: close\r\n");
-  bool ok = send_all(ufd, fwd_head.data(), fwd_head.size()) &&
-            (body.empty() || send_all(ufd, body.data(), body.size()));
-  if (ok) {
-    char tmp[16384];
-    ssize_t n;
-    while ((n = recv(ufd, tmp, sizeof(tmp), 0)) > 0) {
-      if (!send_all(cfd, tmp, n)) break;  // SSE chunks relay as they land
+
+  // Route with failover: a connect/early-send failure moves to the next
+  // worker (up to max_retries); once bytes have streamed back, no retry.
+  std::string key = cache_key(body);
+  std::vector<Worker*> tried;
+  bool responded = false;
+  for (int attempt = 0; attempt <= g_gateway.max_retries; ++attempt) {
+    WorkerPtr w = g_gateway.pick(key, tried);
+    if (!w) break;
+    tried.push_back(w.get());
+    if (attempt > 0) ++g_retries;
+    int ufd = connect_to(w->host, w->port);
+    if (ufd < 0) {
+      ++w->failures;
+      if (++w->probe_fails >= g_gateway.unhealthy_after)
+        w->healthy = false;  // passive ejection; probe loop re-admits
+      continue;
     }
+    ++g_requests;
+    ++w->in_flight;
+    ++w->total;
+    bool sent = send_all(ufd, fwd_head.data(), fwd_head.size()) &&
+                (body.empty() || send_all(ufd, body.data(), body.size()));
+    bool any_bytes = false;
+    if (sent) {
+      char tmp[16384];
+      ssize_t n;
+      while ((n = recv(ufd, tmp, sizeof(tmp), 0)) > 0) {
+        any_bytes = true;
+        if (!send_all(cfd, tmp, n)) break;  // SSE chunks relay as they land
+      }
+    }
+    close(ufd);
+    --w->in_flight;
+    w->probe_fails = 0;
+    if (sent && any_bytes) {
+      responded = true;
+      break;
+    }
+    ++w->failures;  // upstream died before responding: fail over
   }
-  close(ufd);
-  --w->in_flight;
+  if (!responded) {
+    std::string resp = "HTTP/1.1 502 Bad Gateway\r\nContent-Length: 0\r\n"
+                       "Connection: close\r\n\r\n";
+    send_all(cfd, resp.data(), resp.size());
+  }
   close(cfd);
 }
 
@@ -326,25 +478,29 @@ void serve_client(int cfd) {
 int main(int argc, char** argv) {
   signal(SIGPIPE, SIG_IGN);
   int port = 8080;
+  int health_interval_ms = 2000;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     if (a == "--port" && i + 1 < argc) port = atoi(argv[++i]);
     else if (a == "--policy" && i + 1 < argc) g_gateway.policy = argv[++i];
     else if (a == "--cache-threshold" && i + 1 < argc)
       g_gateway.cache_threshold = atof(argv[++i]);
+    else if (a == "--max-retries" && i + 1 < argc)
+      g_gateway.max_retries = atoi(argv[++i]);
+    else if (a == "--health-interval-ms" && i + 1 < argc)
+      health_interval_ms = atoi(argv[++i]);
     else if (a == "--worker" && i + 1 < argc) {
       std::string spec = argv[++i];
       size_t c = spec.rfind(':');
-      auto w = std::make_unique<Worker>();
-      w->host = spec.substr(0, c);
-      w->port = atoi(spec.c_str() + c + 1);
-      g_gateway.workers.push_back(std::move(w));
+      g_gateway.add_worker(spec.substr(0, c), atoi(spec.c_str() + c + 1));
     }
   }
-  if (g_gateway.workers.empty()) {
+  if (g_gateway.snapshot(false).empty()) {
     fprintf(stderr, "gateway: no --worker given\n");
     return 1;
   }
+  if (health_interval_ms > 0)
+    std::thread(health_loop, health_interval_ms).detach();
   int sfd = socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
   setsockopt(sfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));

@@ -137,3 +137,64 @@ def test_gateway_sse_stream_relay(two_workers):
         assert any("output_ids" in c for c in chunks)
     finally:
         gw.stop()
+
+
+def test_gateway_worker_registry_and_failover(two_workers):
+    """Production machinery (reference worker_manager.rs): dynamic
+    add/remove, active health ejection of a dead worker, retry/failover
+    so requests keep succeeding, and recovery re-admission."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    # one REAL worker + one DEAD address; short health interval
+    dead_port = _free_port()
+    gw = GatewayProcess(
+        0, [two_workers[0], f"127.0.0.1:{dead_port}"],
+        policy="round_robin", health_interval_ms=200,
+    )
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        # requests succeed despite the dead worker (connect failover)
+        for i in range(4):
+            r = httpx.post(base + "/generate", json={
+                "input_ids": [9 + i, 6, 7],
+                "sampling_params": {"max_new_tokens": 3, "temperature": 0.0,
+                                    "ignore_eos": True},
+            }, timeout=60)
+            assert r.status_code == 200, r.text
+        # the health loop marks the dead worker unhealthy
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            info = httpx.get(base + "/gateway/workers", timeout=10).json()
+            by_port = {w["port"]: w for w in info["workers"]}
+            if not by_port[dead_port]["healthy"]:
+                break
+            time.sleep(0.2)
+        assert not by_port[dead_port]["healthy"], info
+        assert info["retries"] >= 1  # failover happened
+
+        # dynamic remove + add
+        r = httpx.post(base + "/gateway/remove_worker",
+                       json={"url": f"127.0.0.1:{dead_port}"}, timeout=10)
+        assert r.status_code == 200
+        r = httpx.post(base + "/gateway/add_worker",
+                       json={"url": two_workers[1]}, timeout=10)
+        assert r.status_code == 200
+        # the added worker serves traffic
+        deadline = time.time() + 5
+        served = False
+        while time.time() < deadline and not served:
+            httpx.post(base + "/generate", json={
+                "input_ids": [30, 31, 32],
+                "sampling_params": {"max_new_tokens": 2, "temperature": 0.0,
+                                    "ignore_eos": True},
+            }, timeout=60)
+            info = httpx.get(base + "/gateway/workers", timeout=10).json()
+            port2 = int(two_workers[1].rsplit(":", 1)[1])
+            served = any(
+                w["port"] == port2 and w["total"] > 0
+                for w in info["workers"]
+            )
+        assert served, info
+        assert len(info["workers"]) == 2
+    finally:
+        gw.stop()
