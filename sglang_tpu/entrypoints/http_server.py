@@ -558,6 +558,48 @@ class HttpServer:
                 ],
             )
             await self._write_sse(resp, first.model_dump(exclude_none=True))
+            # streaming tool-call extraction (reference function_call/
+            # parse_streaming_increment): marker text is held back and
+            # tool_calls deltas stream OpenAI-style (name first, then
+            # partial argument-JSON chunks)
+            tool_parser = None
+            if req.tools and req.tool_choice != "none":
+                from sglang_tpu.parsers import StreamingFunctionCallParser
+
+                fmt = self.server_args.tool_call_parser
+                tool_parser = StreamingFunctionCallParser(
+                    req.tools, fmt,
+                    model_type=(
+                        self.engine.scheduler.runner.model_config.hf_config
+                        or {}
+                    ).get("model_type"),
+                )
+
+            async def emit_tool_events(events, fr=None):
+                for ev in events:
+                    if ev["type"] == "name":
+                        d = {"index": ev["index"],
+                             "id": f"call_{cid[-6:]}_{ev['index']}",
+                             "type": "function",
+                             "function": {"name": ev["name"],
+                                          "arguments": ""}}
+                    elif ev["type"] == "args":
+                        d = {"index": ev["index"],
+                             "function": {"arguments": ev["delta"]}}
+                    else:
+                        continue
+                    chunk = ChatCompletionChunk(
+                        id=cid, model=self.model_name,
+                        choices=[ChatCompletionChunkChoice(
+                            index=0,
+                            delta=DeltaMessage(tool_calls=[d]),
+                            finish_reason=fr,
+                        )],
+                    )
+                    await self._write_sse(
+                        resp, chunk.model_dump(exclude_none=True)
+                    )
+
             sent = 0
             last_meta = {}
             async for out in gen:
@@ -565,18 +607,32 @@ class HttpServer:
                 delta, sent = text[sent:], len(text)
                 last_meta = out["meta_info"]
                 fr = _finish_reason(out["meta_info"])
-                chunk = ChatCompletionChunk(
-                    id=cid,
-                    model=self.model_name,
-                    choices=[
-                        ChatCompletionChunkChoice(
-                            index=0,
-                            delta=DeltaMessage(content=delta),
-                            finish_reason=fr,
-                        )
-                    ],
-                )
-                await self._write_sse(resp, chunk.model_dump(exclude_none=True))
+                events = []
+                if tool_parser is not None:
+                    delta, events = tool_parser.push(delta)
+                    if fr is not None:
+                        tail, ev2, calls = tool_parser.finish()
+                        delta += tail
+                        events = events + ev2
+                        if calls:
+                            fr = "tool_calls"
+                if events:
+                    await emit_tool_events(events)
+                if delta or fr is not None:
+                    chunk = ChatCompletionChunk(
+                        id=cid,
+                        model=self.model_name,
+                        choices=[
+                            ChatCompletionChunkChoice(
+                                index=0,
+                                delta=DeltaMessage(content=delta or None),
+                                finish_reason=fr,
+                            )
+                        ],
+                    )
+                    await self._write_sse(
+                        resp, chunk.model_dump(exclude_none=True)
+                    )
             usage = _usage([last_meta])
             await self._write_sse(
                 resp,

@@ -181,6 +181,7 @@ class ChatCompletionResponse(BaseModel):
 class DeltaMessage(BaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
+    tool_calls: Optional[List[dict]] = None
 
 
 class ChatCompletionChunkChoice(BaseModel):
