@@ -18,6 +18,8 @@ import queue
 import threading
 import time
 import uuid
+
+import numpy as np
 from typing import Any, AsyncIterator, Dict, Iterator, List, Optional, Union
 
 from sglang_tpu.core.req import Req
@@ -533,6 +535,22 @@ class Engine:
             "compile_seconds": round(compile_s, 1),
             "execute_seconds": round(float(exec_s or 0.0), 1),
         }
+
+    def recover_expert_fault(self, failed_ranks, counts=None) -> dict:
+        """Elastic-EP recovery (reference model_runner.py:3050): re-place
+        every expert onto surviving EP ranks from the DRAM backup; runs
+        idle-barriered so it never races in-flight steps."""
+        runner = self.scheduler.runner
+        eplb_counts = counts
+        if eplb_counts is None and self.scheduler.eplb_recorder is not None:
+            rec = self.scheduler.eplb_recorder
+            if getattr(rec, "counts", None) is not None and rec.counts.sum():
+                eplb_counts = np.asarray(rec.counts, np.float64)
+        return self._run_when_idle(
+            lambda: runner.recover_expert_rank_fault(
+                failed_ranks, counts=eplb_counts
+            )
+        )
 
     def update_weights_from_disk(self, model_path: str):
         """Reference /update_weights_from_disk (http_server.py:1286 family)."""

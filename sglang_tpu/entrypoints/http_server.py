@@ -149,6 +149,7 @@ class HttpServer:
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/recover_expert_fault", self.recover_expert_fault)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_get("/get_trace", self.get_trace)
@@ -281,6 +282,20 @@ class HttpServer:
         body = await request.json()
         self.engine.abort_request(body.get("rid", ""))
         return web.Response(text="ok")
+
+    async def recover_expert_fault(self, request: web.Request) -> web.Response:
+        """Elastic-EP recovery: {"failed_ranks": [r, ...]} — re-place
+        experts onto survivors from the DRAM backup (reference
+        elastic_ep controller surface)."""
+        body = await request.json()
+        loop = asyncio.get_running_loop()
+        info = await loop.run_in_executor(
+            None,
+            lambda: self.engine.recover_expert_fault(
+                body.get("failed_ranks", [])
+            ),
+        )
+        return web.json_response({"success": True, **info})
 
     async def start_profile(self, request: web.Request) -> web.Response:
         """Start a jax.profiler trace (reference /start_profile →

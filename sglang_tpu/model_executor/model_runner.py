@@ -189,6 +189,8 @@ class ModelRunner:
             time.monotonic() - t0,
             _params_bytes(self.params) / (1 << 30),
         )
+        if getattr(server_args, "enable_elastic_ep", False):
+            self.init_elastic_ep()
 
         # ---- KV pool + allocator ----
         hbm_total = _device_hbm_bytes(devices[0]) * server_args.tp_size
@@ -792,6 +794,122 @@ class ModelRunner:
             if r.input_embeds is not None:
                 return 1
         return cp
+
+    # --------------------------------------------------------- elastic EP
+    expert_backup = None  # ExpertBackupManager when --enable-elastic-ep
+
+    def init_elastic_ep(self):
+        """DRAM-snapshot the stacked expert tensors for rank-fault
+        recovery (reference expert_backup_manager.py)."""
+        from sglang_tpu.eplb.elastic import ExpertBackupManager
+
+        layer_key = (
+            "moe_layers" if "moe_layers" in self.params else "layers"
+        )
+        mgr = ExpertBackupManager(layer_key=layer_key)
+        host_view = {
+            layer_key: {
+                k: np.asarray(v)
+                for k, v in self.params[layer_key].items()
+                if k in ("moe_w1", "moe_w3", "moe_w2", "moe_gate",
+                         "gate_bias")
+            }
+        }
+        if not host_view[layer_key]:
+            raise ValueError("--enable-elastic-ep requires a MoE model")
+        mgr.refresh(host_view)
+        self.expert_backup = mgr
+
+    def recover_expert_rank_fault(
+        self, failed_ranks, counts: Optional[np.ndarray] = None
+    ) -> dict:
+        """Re-place every expert onto the surviving EP ranks from the
+        DRAM backup (reference model_runner.py:3050
+        _maybe_rebalance_after_rank_fault + elastic_ep/elastic_ep.py).
+
+        The mesh (and XLA program shape) keeps all ranks — a degraded
+        rank still participates in collectives — but its expert span is
+        filled with DUPLICATE slots whose selection bias is -1e30, so
+        routing never sends it a token and every real expert is served
+        by a survivor.  Outputs are bit-identical: the permutation only
+        relabels expert slots and masked duplicates are unreachable."""
+        assert self.expert_backup is not None, "init_elastic_ep() first"
+        from sglang_tpu.eplb.elastic import placement_for_rank_fault
+
+        ep = self.mesh_ctx.parallel.tp_size
+        bk = self.expert_backup.backup
+        Lm, E = bk["moe_gate"].shape[0], bk["moe_gate"].shape[2]
+        if counts is None:
+            counts = np.ones((Lm, E), np.float64)
+        failed = sorted(set(int(r) for r in failed_ranks))
+        perm, survivors = placement_for_rank_fault(counts, ep, failed)
+        per_rank = perm.shape[1] // survivors
+        E_new = per_rank * ep
+
+        perm_full = np.zeros((Lm, E_new), np.int64)
+        active = np.zeros((Lm, E_new), bool)
+        for layer in range(Lm):
+            s = 0
+            seen = set()
+            for r in range(ep):
+                span = slice(r * per_rank, (r + 1) * per_rank)
+                if r in failed:
+                    perm_full[layer, span] = 0  # inert duplicates
+                else:
+                    row = perm[layer, s * per_rank : (s + 1) * per_rank]
+                    perm_full[layer, span] = row
+                    for j, e in enumerate(row):
+                        if int(e) not in seen:
+                            seen.add(int(e))
+                            active[layer, r * per_rank + j] = True
+                    s += 1
+            assert len(seen) == E, (layer, len(seen), E)
+
+        layer_key = self.expert_backup.layer_key
+        old_layers = self.params[layer_key]
+        new_layers = dict(old_layers)
+        idx = perm_full  # [Lm, E_new]
+        for name in ("moe_w1", "moe_w3", "moe_w2"):
+            src = bk[name]  # [Lm, E, ...]
+            gathered = np.stack([src[l][idx[l]] for l in range(Lm)])
+            new_layers[name] = jax.device_put(
+                jnp.asarray(gathered), old_layers[name].sharding
+            )
+        gate = bk["moe_gate"]  # [Lm, H, E]
+        new_gate = np.stack([gate[l][:, idx[l]] for l in range(Lm)])
+        new_layers["moe_gate"] = jax.device_put(
+            jnp.asarray(new_gate), old_layers["moe_gate"].sharding
+        )
+        bias_src = bk.get("gate_bias")
+        bias = (
+            np.stack([bias_src[l][idx[l]] for l in range(Lm)])
+            if bias_src is not None
+            else np.zeros((Lm, E_new), np.float32)
+        ).astype(np.float32)
+        bias[~active] = -1e30
+        bias_sharding = (
+            old_layers["gate_bias"].sharding
+            if "gate_bias" in old_layers
+            else self.mesh_ctx.replicated
+        )
+        new_layers["gate_bias"] = jax.device_put(
+            jnp.asarray(bias), bias_sharding
+        )
+        params = dict(self.params)
+        params[layer_key] = new_layers
+        self.params = params
+        if hasattr(self.model, "num_experts"):
+            self.model.num_experts = E_new
+        logger.info(
+            "elastic EP: recovered from rank fault %s — %d experts "
+            "re-placed over %d survivors (E %d -> %d slots)",
+            failed, E, survivors, E, E_new,
+        )
+        return {
+            "failed_ranks": failed,
+            "survivors": survivors,
+            "num_expert_slots": E_new,
+        }
 
     def apply_expert_rebalance(self, perm: np.ndarray):
         """Permute stacked MoE expert weights (+ gate columns) by

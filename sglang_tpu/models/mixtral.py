@@ -95,6 +95,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
             top_k=self.top_k,
             norm_topk_prob=self.config.norm_topk_prob,
             hidden_act=self.config.hidden_act,
+            # elastic-EP recovery injects a selection bias that masks the
+            # failed rank's (duplicate) expert slots out of routing
+            gate_bias=w.get("gate_bias"),
             mesh=self.mesh_ctx.mesh if self.mesh_ctx is not None else None,
             expert_parallel=self._expert_parallel(),
             return_counts=capture,

@@ -107,6 +107,9 @@ class ServerArgs:
     tbo_token_threshold: int = 512  # min prefill tokens before splitting
     # ---- EPLB (expert-placement load balancing, MoE + EP) ----
     enable_eplb: bool = False
+    # Elastic EP: DRAM expert backups at load + rank-fault recovery API
+    # (reference elastic_ep/; /recover_expert_fault admin route)
+    enable_elastic_ep: bool = False
     eplb_rebalance_interval: int = 512  # scheduler steps between checks
     eplb_min_gain: float = 1.05  # required imbalance improvement factor
     eplb_min_tokens: int = 4096  # min recorded routings before rebalance

