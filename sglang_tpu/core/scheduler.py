@@ -1706,9 +1706,10 @@ class Scheduler:
                 return False
 
         tb = self.server_args.speculative_eagle_topk
-        if tb > 1 and all(
-            r.sampling_params.temperature <= 0.0 for r in batch.reqs
-        ):
+        if tb > 1:
+            # greedy rows verify by argmax-prefix; sampled rows by tree
+            # rejection sampling (reference reject_sampling.py) — mixed
+            # batches run both paths in one program
             done = self._eagle_tree_round(tb)
             if done is not None:
                 return done
@@ -1892,7 +1893,24 @@ class Scheduler:
             [ext_tokens.ravel(), ext_lens, base_pos, slot_idx, src_page,
              page_table.ravel(), dst_pages, branch_tables.ravel()]
         ).astype(np.int32)
-        drafts = self.runner.eagle_tree_draft_window(dpacked, B, A, P, tb)
+        from sglang_tpu.layers.sampler import pack_sampling_params
+
+        st_packed = pack_sampling_params(batch.reqs, B)
+        sampled = any(
+            r.sampling_params.temperature > 0.0 for r in batch.reqs
+        )
+        use_trunc = sampled and any(
+            r.sampling_params.temperature > 0.0
+            and (
+                r.sampling_params.top_p < 1.0
+                or r.sampling_params.top_k > 0
+                or r.sampling_params.min_p > 0.0
+            )
+            for r in batch.reqs
+        )
+        drafts, q0, qc = self.runner.eagle_tree_draft_window(
+            dpacked, st_packed, B, A, P, tb, sampled=sampled
+        )
 
         # ---- verify all branch rows ----
         L = k + 1
@@ -1920,7 +1938,9 @@ class Scheduler:
             branch_tables,
         )
         tokens, accept_len, winner, lp = self.runner.eagle_tree_verify_step(
-            packed, src_page, dst_pages, slot_idx, B, tb, L, P
+            packed, src_page, dst_pages, slot_idx, B, tb, L, P,
+            st_packed=st_packed, q0=q0, qc=qc, drafts=drafts,
+            bootstrap=bootstrap, sampled=sampled, use_trunc=use_trunc,
         )
 
         # ---- commit: adopt the winning branch's pages ----

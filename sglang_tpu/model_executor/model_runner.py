@@ -1664,8 +1664,9 @@ class ModelRunner:
     # extension).
 
     def _eagle_tree_draft_impl(
-        self, params, dparams, draft_kv, feats_pool, dpacked, rng, step,
-        *, B, A, P, K, TB,
+        self, params, dparams, draft_kv, feats_pool, dpacked, st_packed,
+        rng, step,
+        *, B, A, P, K, TB, sampled=False,
     ):
         from sglang_tpu.model_executor.forward_batch import DeviceBatch
 
@@ -1716,16 +1717,35 @@ class ModelRunner:
             draft_kv[src_rep], mode="drop"
         )
 
-        # ---- phase 2: top-b root tokens, then greedy chains ----
+        # ---- phase 2: root branching, then chained draft steps ----
+        # Greedy rows branch on the top-b root tokens; sampled rows draw
+        # TB i.i.d. root candidates from q0 (the tree rejection sampler's
+        # exactness requires i.i.d. proposals — reference
+        # reject_sampling.py tree sampling contract) and SAMPLE their
+        # chains, recording per-step q logits for chain rejection.
         q0 = self._head_logits(params, g_last[:, None])[:, 0]  # [B, V]
         _, top = jax.lax.top_k(q0, TB)
-        d0 = top.astype(jnp.int32).reshape(Bb)
+        d0 = top.astype(jnp.int32)  # [B, TB]
+        if sampled:
+            st = unpack_sampling_params(st_packed)
+            grd = st.temperature <= 0.0
+            temp = jnp.where(grd, 1.0, st.temperature)
+            rng = jax.random.fold_in(rng, step)
+            r0, rng = jax.random.split(rng)
+            samp0 = jax.random.categorical(
+                r0, (q0.astype(jnp.float32) / temp[:, None])[:, None, :],
+                axis=-1, shape=(B, TB),
+            ).astype(jnp.int32)
+            d0 = jnp.where(grd[:, None], d0, samp0)
+            temp_b = jnp.repeat(temp, TB, axis=0)
+            grd_b = jnp.repeat(grd, TB, axis=0)
+        d0 = d0.reshape(Bb)
         feat0 = jnp.repeat(g_last, TB, axis=0)  # [Bb, H]
         pos0 = jnp.repeat(base_pos + ext_lens, TB, axis=0)  # cached_len+1
         active = jnp.repeat(ext_lens > 0, TB, axis=0)
 
         def chain(carry, t):
-            d, feat, dkv = carry
+            d, feat, dkv, key = carry
             p1 = pos0 + t
             pg = jnp.take_along_axis(
                 branch_tables, (p1 // ps)[:, None], axis=1
@@ -1745,42 +1765,63 @@ class ModelRunner:
                 attn_backend=self.attn_backend,
             )
             feat2 = feat2[:, 0]
-            nd = jnp.argmax(
-                self._head_logits(params, feat2[:, None])[:, 0], axis=-1
-            ).astype(jnp.int32)
-            return (nd, feat2, dkv), d
+            ql = self._head_logits(params, feat2[:, None])[:, 0]  # [Bb, V]
+            nd = jnp.argmax(ql, axis=-1).astype(jnp.int32)
+            if sampled:
+                key, sub = jax.random.split(key)
+                samp = jax.random.categorical(
+                    sub, ql.astype(jnp.float32) / temp_b[:, None], axis=-1
+                ).astype(jnp.int32)
+                nd = jnp.where(grd_b, nd, samp)
+            return (nd, feat2, dkv, key), (d, ql if sampled else None)
 
-        (_, _, draft_kv), drafts = jax.lax.scan(
-            chain, (d0, feat0, draft_kv), np.arange(K, dtype=np.int32)
+        (_, _, draft_kv, _), ys = jax.lax.scan(
+            chain, (d0, feat0, draft_kv, rng), np.arange(K, dtype=np.int32)
         )
-        return drafts.T.reshape(B, TB, K), draft_kv
+        drafts, qls = ys
+        drafts = drafts.T.reshape(B, TB, K)
+        if sampled:
+            # qls[t] is the q distribution AFTER consuming draft t, i.e.
+            # the proposal for draft t+1 — chain rejection reads [:, 1:]
+            qc = jnp.moveaxis(qls, 0, 2).reshape(B, TB, K, -1)
+            qc = jnp.concatenate(
+                [jnp.zeros_like(qc[:, :, :1]), qc[:, :, :-1]], axis=2
+            )
+            return drafts, q0, qc, draft_kv
+        return drafts, draft_kv
 
-    def eagle_tree_draft_window(self, dpacked, B, A, P, TB):
-        key = (B, A, P, TB)
+    def eagle_tree_draft_window(self, dpacked, st_packed, B, A, P, TB,
+                                sampled=False):
+        key = (B, A, P, TB, sampled)
         fn = self._eagle_tree_draft_fns.get(key)
         if fn is None:
             logger.info(
-                "compiling eagle tree draft: B=%d A=%d P=%d TB=%d",
-                B, A, P, TB,
+                "compiling eagle tree draft: B=%d A=%d P=%d TB=%d sampled=%s",
+                B, A, P, TB, sampled,
             )
             fn = jax.jit(
                 functools.partial(
                     self._eagle_tree_draft_impl,
-                    B=B, A=A, P=P, K=self.eagle_k, TB=TB,
+                    B=B, A=A, P=P, K=self.eagle_k, TB=TB, sampled=sampled,
                 ),
                 donate_argnums=(2,),
             )
             self._eagle_tree_draft_fns[key] = fn
         self._step_counter += 1
-        drafts, self.eagle_kv = fn(
+        res = fn(
             self.params, self.eagle_params, self.eagle_kv, self.eagle_feats,
-            dpacked, self._base_rng, np.int32(self._step_counter),
+            dpacked, st_packed, self._base_rng, np.int32(self._step_counter),
         )
-        return np.asarray(drafts).astype(np.int64)
+        if sampled:
+            drafts, q0, qc, self.eagle_kv = res
+            return np.asarray(drafts).astype(np.int64), q0, qc
+        drafts, self.eagle_kv = res
+        return np.asarray(drafts).astype(np.int64), None, None
 
     def _eagle_tree_verify_impl(
         self, params, kv_cache, feats_pool, packed, src_page, dst_pages,
-        slot_idx, *, B, TB, L, P,
+        slot_idx, st_packed, q0, qc, drafts, bootstrap, rng, step,
+        *, B, TB, L, P, sampled=False, use_trunc=False,
     ):
         """Target extend over all branch rows + greedy argmax-prefix
         acceptance + per-request winner selection + feature refresh.
@@ -1822,6 +1863,29 @@ class ModelRunner:
         w_tokens = tstar[rows]
         w_lp = lp[rows]
         w_acc = accB[jnp.arange(B), winner]
+        if sampled:
+            # mixed batch: greedy rows keep the argmax-prefix result;
+            # sampled rows run tree rejection (root recursion + chain)
+            from sglang_tpu.speculative.eagle import tree_rejection_sample
+
+            st = unpack_sampling_params(st_packed)
+            trunc = (st.top_p, st.top_k, st.min_p) if use_trunc else None
+            s_tok, s_acc, s_win, s_lp = tree_rejection_sample(
+                logits.reshape(B, TB, L, -1),
+                q0,
+                qc,
+                drafts,
+                st.temperature,
+                jax.random.fold_in(jax.random.fold_in(rng, step), 7),
+                bootstrap=bootstrap,
+                trunc=trunc,
+            )
+            grd = st.temperature <= 0.0
+            winner = jnp.where(grd, winner, s_win)
+            rows = jnp.arange(B, dtype=jnp.int32) * TB + winner
+            w_tokens = jnp.where(grd[:, None], tstar[rows], s_tok)
+            w_lp = jnp.where(grd[:, None], lp[rows], s_lp)
+            w_acc = jnp.where(grd, accB[jnp.arange(B), winner], s_acc)
         featsB = feats.reshape(Bb, L, -1)[rows]
         S = feats_pool.shape[0]
         safe_slot = jnp.where(slot_idx >= 0, slot_idx, S)
@@ -1840,18 +1904,21 @@ class ModelRunner:
         return out, kv_cache, feats_pool
 
     def eagle_tree_verify_step(
-        self, packed, src_page, dst_pages, slot_idx, B, TB, L, P
+        self, packed, src_page, dst_pages, slot_idx, B, TB, L, P,
+        st_packed=None, q0=None, qc=None, drafts=None, bootstrap=None,
+        sampled=False, use_trunc=False,
     ):
-        key = (B, TB, L, P)
+        key = (B, TB, L, P, sampled, use_trunc)
         fn = self._eagle_tree_verify_fns.get(key)
         if fn is None:
             logger.info(
-                "compiling eagle tree verify: B=%d TB=%d L=%d P=%d",
-                B, TB, L, P,
+                "compiling eagle tree verify: B=%d TB=%d L=%d P=%d sampled=%s",
+                B, TB, L, P, sampled,
             )
             fn = jax.jit(
                 functools.partial(
-                    self._eagle_tree_verify_impl, B=B, TB=TB, L=L, P=P
+                    self._eagle_tree_verify_impl, B=B, TB=TB, L=L, P=P,
+                    sampled=sampled, use_trunc=use_trunc,
                 ),
                 donate_argnums=(1, 2),
             )
@@ -1861,6 +1928,19 @@ class ModelRunner:
             self.params, self.kv_cache, self.eagle_feats, packed,
             src_page.astype(np.int32), dst_pages.astype(np.int32),
             slot_idx.astype(np.int32),
+            st_packed
+            if st_packed is not None
+            else np.zeros((B, 8), np.float32),
+            q0 if q0 is not None else np.zeros((1,), np.float32),
+            qc if qc is not None else np.zeros((1,), np.float32),
+            jnp.asarray(drafts.astype(np.int32))
+            if drafts is not None
+            else np.zeros((1,), np.int32),
+            (bootstrap.astype(np.int32) > 0)
+            if bootstrap is not None
+            else np.zeros((B,), bool),
+            self._base_rng,
+            np.int32(self._step_counter),
         )
         out = np.asarray(out)
         tokens = out[:, :L].astype(np.int64)

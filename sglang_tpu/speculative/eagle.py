@@ -336,3 +336,120 @@ def chain_rejection_sample(
         )
     )
     return tokens, a.astype(jnp.int32), lp_all
+
+
+def tree_rejection_sample(
+    p_logits: jnp.ndarray,  # [B, TB, K+1, V] target logits per branch row
+    q0_logits: jnp.ndarray,  # [B, V] root draft logits
+    qc_logits: jnp.ndarray,  # [B, TB, K, V] chain draft logits (d_1..d_K-1 at [:, :, 1:])
+    drafts: jnp.ndarray,  # [B, TB, K] draft tokens (root at [:, :, 0])
+    temperature: jnp.ndarray,  # [B]
+    rng: jax.Array,
+    bootstrap: Optional[jnp.ndarray] = None,  # [B] bool
+    trunc: Optional[tuple] = None,
+):
+    """Sampled-mode TREE speculative sampling (reference
+    ``reject_sampling.py`` tree_speculative_sampling + SpecInfer
+    recursive rejection).
+
+    Root: the TB branch candidates are drawn i.i.d. from the draft's
+    root distribution q0; recursive rejection tries them in order —
+    accept c_j w.p. min(1, p(c_j)/q0(c_j)), on rejection the target
+    residual updates p ← norm(max(p − q0, 0)) — which reproduces the
+    target distribution exactly.  After a root acceptance, the winning
+    branch's chain verifies with :func:`chain_rejection_sample`; a full
+    root rejection emits one sample from the final residual.
+
+    Returns (tokens [B, K+1], accept_len [B], winner [B], lp [B, K+1])
+    with the same contract as the greedy tree verify: ``accept_len + 1``
+    tokens are emitted and ``winner`` names the branch whose private
+    pages hold the accepted KV.
+    """
+    B, TB, K1, V = p_logits.shape
+    K = K1 - 1
+    greedy = temperature <= 0.0
+    temp = jnp.where(greedy, 1.0, temperature)
+    boot = (
+        bootstrap.astype(bool)
+        if bootstrap is not None
+        else jnp.zeros((B,), bool)
+    )
+    r_root, r_resid, r_chain = jax.random.split(rng, 3)
+
+    # ---- root distributions ----
+    p_root_logits = p_logits[:, 0, 0]  # identical across branches
+    p_root = jax.nn.softmax(
+        p_root_logits.astype(jnp.float32) / temp[:, None], axis=-1
+    )
+    if trunc is not None:
+        from sglang_tpu.layers.sampler import truncate_probs
+
+        top_p, top_k, min_p = trunc
+        p_root = jnp.where(
+            greedy[:, None],
+            p_root,
+            truncate_probs(p_root, top_p, top_k, min_p),
+        )
+    q_root = jax.nn.softmax(
+        q0_logits.astype(jnp.float32) / temp[:, None], axis=-1
+    )
+
+    arange = jnp.arange(B)
+    accepted = jnp.zeros((B,), bool)
+    j_star = jnp.zeros((B,), jnp.int32)
+    root_tok = jnp.zeros((B,), jnp.int32)
+    p_cur = p_root
+    u = jax.random.uniform(r_root, (B, TB))
+    for j in range(TB):
+        c = drafts[:, j, 0]
+        pc = p_cur[arange, c]
+        qc = q_root[arange, c]
+        ok = (u[:, j] * qc < pc) & ~accepted & ~boot
+        j_star = jnp.where(ok, j, j_star)
+        root_tok = jnp.where(ok, c, root_tok)
+        accepted = accepted | ok
+        resid = jnp.maximum(p_cur - q_root, 0.0)
+        rs = jnp.sum(resid, axis=-1, keepdims=True)
+        resid = jnp.where(rs > 1e-9, resid / jnp.maximum(rs, 1e-9), p_cur)
+        p_cur = jnp.where(
+            (accepted | boot)[:, None], p_cur, resid
+        )
+    resid_tok = jax.random.categorical(
+        r_resid, jnp.log(jnp.maximum(p_cur, 1e-30)), axis=-1
+    ).astype(jnp.int32)
+    root_tok = jnp.where(accepted, root_tok, resid_tok)
+
+    # ---- winning branch's chain (K-1 drafts + bonus) ----
+    rows_p = p_logits[arange, j_star]  # [B, K+1, V]
+    if K > 1:
+        tok_c, a_c, lp_c = chain_rejection_sample(
+            rows_p[:, 1:],  # [B, K, V] = K-1 drafts + bonus row
+            qc_logits[arange, j_star][:, 1:],  # [B, K-1, V]
+            drafts[arange, j_star][:, 1:],  # [B, K-1]
+            temperature,
+            r_chain,
+            trunc=trunc,
+        )
+    else:
+        lp_b = jnp.log(
+            jnp.maximum(
+                jax.nn.softmax(
+                    rows_p[:, 1].astype(jnp.float32) / temp[:, None], -1
+                ),
+                1e-30,
+            )
+        )
+        tok_c = jax.random.categorical(r_chain, lp_b, axis=-1).astype(
+            jnp.int32
+        )[:, None]
+        a_c = jnp.zeros((B,), jnp.int32)
+        lp_c = jnp.take_along_axis(lp_b, tok_c, axis=-1)
+
+    accept_len = jnp.where(accepted, 1 + a_c, 0).astype(jnp.int32)
+    tokens = jnp.concatenate([root_tok[:, None], tok_c], axis=1)[:, :K1]
+    lp_root = jnp.log(
+        jnp.maximum(p_root[arange, root_tok], 1e-30)
+    )
+    lp = jnp.concatenate([lp_root[:, None], lp_c], axis=1)[:, :K1]
+    winner = jnp.where(accepted, j_star, 0).astype(jnp.int32)
+    return tokens, accept_len, winner, lp

@@ -295,8 +295,8 @@ def test_eagle_tree_random_draft_still_exact_greedy():
 
 
 def test_eagle_tree_batch_and_sampled_fallback():
-    """Mixed batch runs; sampled requests fall back to the chain round
-    (tree is greedy-only) and still serve."""
+    """Mixed batch runs; sampled requests go through the SAMPLED tree
+    round (tree rejection sampling) and still serve."""
     eagle = _make_engine("EAGLE", speculative_eagle_topk=2)
     try:
         runner = eagle.scheduler.runner
@@ -311,6 +311,78 @@ def test_eagle_tree_batch_and_sampled_fallback():
         out = eagle.generate(
             input_ids=[5, 6, 7, 8],
             sampling_params={"max_new_tokens": 8, "temperature": 0.7,
+                             "ignore_eos": True},
+        )
+        assert len(out["output_ids"]) == 8
+    finally:
+        eagle.shutdown()
+
+
+def test_tree_rejection_sample_distribution():
+    """Sampled TREE verify must preserve the target distribution exactly:
+    TB i.i.d. root candidates from q0, recursive rejection + residual
+    (reference reject_sampling.py tree sampling; SpecInfer scheme)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.speculative.eagle import tree_rejection_sample
+
+    rng = np.random.RandomState(3)
+    V, K, TB, N = 8, 3, 2, 30000
+    root_logits = jnp.asarray(rng.randn(1, V).astype(np.float32) * 1.5)
+    q0_logits = jnp.asarray(rng.randn(1, V).astype(np.float32) * 1.5)
+    # branch-row target logits: position 0 shared (root), rest arbitrary
+    p_logits = jnp.asarray(
+        rng.randn(1, TB, K + 1, V).astype(np.float32) * 1.5
+    )
+    p_logits = p_logits.at[:, :, 0].set(root_logits[:, None, :])
+    qc = jnp.asarray(rng.randn(1, TB, K, V).astype(np.float32) * 1.5)
+    temp = jnp.ones((1,), jnp.float32)
+    p0 = np.asarray(jax.nn.softmax(root_logits[0]))
+
+    def run(key):
+        d0 = jax.random.categorical(
+            key, q0_logits[:, None, :], axis=-1, shape=(1, TB)
+        ).astype(jnp.int32)
+        chain = jax.random.randint(
+            jax.random.fold_in(key, 2), (1, TB, K - 1), 0, V, jnp.int32
+        )
+        drafts = jnp.concatenate([d0[..., None], chain], axis=2)
+        toks, a, w, _ = tree_rejection_sample(
+            p_logits, q0_logits, qc, drafts, temp,
+            jax.random.fold_in(key, 1),
+        )
+        return toks[0, 0]
+
+    keys = jax.random.split(jax.random.PRNGKey(11), N)
+    first = np.asarray(jax.vmap(run)(keys))
+    freq = np.bincount(first, minlength=V) / N
+    tv = 0.5 * np.abs(freq - p0).sum()
+    assert tv < 0.02, (tv, freq, p0)
+
+
+def test_eagle_tree_sampled_serving():
+    """Sampled requests now run the TREE round (no chain fallback): the
+    sampled tree draft/verify programs engage and serving stays correct."""
+    eagle = _make_engine("EAGLE", speculative_eagle_topk=2)
+    try:
+        runner = eagle.scheduler.runner
+        runner.eagle_params = _self_consistent_draft(runner)
+        outs = eagle.generate(
+            input_ids=[[5, 6, 7, 8], [9, 10, 11]],
+            sampling_params={"max_new_tokens": 10, "temperature": 0.8,
+                             "top_p": 0.9, "ignore_eos": True},
+        )
+        assert all(len(o["output_ids"]) == 10 for o in outs)
+        assert any(
+            k[-2] or k[-1]  # a (sampled=True, use_trunc) tree verify ran
+            for k in runner._eagle_tree_verify_fns
+        ), list(runner._eagle_tree_verify_fns)
+        # greedy after sampled on the same engine: the argmax-prefix
+        # path still serves exactly
+        out = eagle.generate(
+            input_ids=[1, 2, 3, 4],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
                              "ignore_eos": True},
         )
         assert len(out["output_ids"]) == 8
