@@ -1423,12 +1423,16 @@ class ModelRunner:
         logger.info("EAGLE enabled: k=%d, %d spec slots", k, spec_slots)
 
     def _head_logits(self, params, features):
-        """lm_head(final_norm(features)) — draft/verify token dists."""
+        """lm_head(final_norm(features)) — draft/verify token dists.
+        MTP/NextN drafts carry their own shared_head norm."""
         from sglang_tpu.layers.norm import rms_norm
 
-        normed = rms_norm(
-            features, params["final_ln"], self.model_config.rms_norm_eps
+        w = (
+            self.eagle_params["head_norm"]
+            if getattr(self.eagle, "has_head_norm", False)
+            else params["final_ln"]
         )
+        normed = rms_norm(features, w, self.model_config.rms_norm_eps)
         return self.model.compute_logits(
             params, normed.reshape(-1, normed.shape[-1])
         ).reshape(*features.shape[:-1], -1)

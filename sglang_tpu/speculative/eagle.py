@@ -55,6 +55,9 @@ NEG_INF = -1e30
 class EagleDraft:
     """Draft-model definition: params schema + one-layer forward."""
 
+    has_eh_norms = False
+    has_head_norm = False
+
     def __init__(self, config: ModelConfig):
         self.config = config
         c = config
@@ -75,6 +78,14 @@ class EagleDraft:
         return {
             "fc": (2 * H, H),
             "fc_bias": (H,),
+            # MTP/NextN drafts (DeepSeek-V3 MTP module, llama_nextn):
+            # enorm/hnorm RMS-normalize the [embed, feature] halves
+            # before eh_proj, and shared_head.norm replaces the target's
+            # final norm ahead of the (shared) lm_head.  All identity
+            # when absent (plain EAGLE-1 geometry).
+            "enorm": (H,),
+            "hnorm": (H,),
+            "head_norm": (H,),
             "input_ln": (H,),  # identity (ones) when absent from ckpt
             "q_proj": (H, hq * d),
             "k_proj": (H, hkv * d),
@@ -95,6 +106,9 @@ class EagleDraft:
         return {
             "fc": P(None, None),
             "fc_bias": P(None),
+            "enorm": P(None),
+            "hnorm": P(None),
+            "head_norm": P(None),
             "input_ln": P(None),
             "q_proj": col,
             "k_proj": col,
@@ -108,25 +122,43 @@ class EagleDraft:
 
     def hf_weight_mapping(self):
         """EAGLE draft checkpoint names → our paths (input_ln/fc_bias are
-        optional in released checkpoints; absent → identity/zero)."""
+        optional in released checkpoints; absent → identity/zero).
+
+        MTP/NextN checkpoints (reference models/llama_nextn.py family,
+        deepseek_nextn.py) embed the draft as an extra decoder layer at
+        ANY index, with ``eh_proj`` instead of ``fc`` and enorm/hnorm/
+        shared_head.norm around it — the layer index is stripped and the
+        MTP names alias onto the same schema."""
+        import re as _re
+
+        layer_re = _re.compile(r"^layers\.\d+\.(.*)$")
 
         def mapping(name: str):
             name = name.removeprefix("model.")
+            m = layer_re.match(name)
+            tail = m.group(1) if m else name
             table = {
                 "fc.weight": ("fc", "t"),
                 "fc.bias": ("fc_bias", None),
-                "layers.0.input_layernorm.weight": ("input_ln", None),
-                "layers.0.self_attn.q_proj.weight": ("q_proj", "t"),
-                "layers.0.self_attn.k_proj.weight": ("k_proj", "t"),
-                "layers.0.self_attn.v_proj.weight": ("v_proj", "t"),
-                "layers.0.self_attn.o_proj.weight": ("o_proj", "t"),
-                "layers.0.post_attention_layernorm.weight": ("post_ln", None),
-                "layers.0.mlp.gate_proj.weight": ("gate_proj", "t"),
-                "layers.0.mlp.up_proj.weight": ("up_proj", "t"),
-                "layers.0.mlp.down_proj.weight": ("down_proj", "t"),
+                # ---- MTP / NextN names ----
+                "eh_proj.weight": ("fc", "t"),
+                "enorm.weight": ("enorm", None),
+                "hnorm.weight": ("hnorm", None),
+                "shared_head.norm.weight": ("head_norm", None),
+                "final_layernorm.weight": ("head_norm", None),
+                # ---- decoder-layer names (index stripped) ----
+                "input_layernorm.weight": ("input_ln", None),
+                "self_attn.q_proj.weight": ("q_proj", "t"),
+                "self_attn.k_proj.weight": ("k_proj", "t"),
+                "self_attn.v_proj.weight": ("v_proj", "t"),
+                "self_attn.o_proj.weight": ("o_proj", "t"),
+                "post_attention_layernorm.weight": ("post_ln", None),
+                "mlp.gate_proj.weight": ("gate_proj", "t"),
+                "mlp.up_proj.weight": ("up_proj", "t"),
+                "mlp.down_proj.weight": ("down_proj", "t"),
             }
-            if name in table:
-                path, tf = table[name]
+            if tail in table:
+                path, tf = table[tail]
                 return (path, None, tf)
             return None
 
@@ -144,9 +176,11 @@ class EagleDraft:
             host = {
                 k: np.zeros(v, np.float32) for k, v in shapes.items()
             }
-            host["input_ln"][:] = 1.0  # identity default
+            for nm in ("input_ln", "enorm", "hnorm", "head_norm"):
+                host[nm][:] = 1.0  # identity default
             mapping = self.hf_weight_mapping()
             n = 0
+            seen = set()
             for f in sorted(
                 glob.glob(os.path.join(draft_path, "*.safetensors"))
             ):
@@ -160,10 +194,17 @@ class EagleDraft:
                     if tf == "t":
                         t = t.T
                     np.copyto(host[path], t.astype(np.float32))
+                    seen.add(path)
                     n += 1
             if n == 0:
                 raise ValueError(f"no EAGLE draft tensors in {draft_path}")
-            logger.info("EAGLE draft: loaded %d tensors", n)
+            # MTP geometry flags decide the forward's norm placement
+            self.has_eh_norms = "enorm" in seen or "hnorm" in seen
+            self.has_head_norm = "head_norm" in seen
+            logger.info(
+                "EAGLE draft: loaded %d tensors%s", n,
+                " (MTP/NextN geometry)" if self.has_eh_norms else "",
+            )
             return {k: jnp.asarray(v, dtype) for k, v in host.items()}
         # dummy: random per-leaf (norms = 1)
         rng = np.random.RandomState(1234)
@@ -211,8 +252,13 @@ class EagleDraft:
         hq, hkv, d = self.hq, self.hkv, self.hd
 
         x_emb = embed[batch.input_ids]  # [B, L, H]
+        feat = feat_prev.astype(x_emb.dtype)
+        if self.has_eh_norms:
+            # MTP/NextN: normalize both halves before eh_proj
+            x_emb = rms_norm(x_emb, dp["enorm"], c.rms_norm_eps)
+            feat = rms_norm(feat, dp["hnorm"], c.rms_norm_eps)
         h = jnp.concatenate(
-            [x_emb, feat_prev.astype(x_emb.dtype)], axis=-1
+            [x_emb, feat], axis=-1
         ) @ dp["fc"] + dp["fc_bias"]
         residual = h
         normed = rms_norm(h, dp["input_ln"], c.rms_norm_eps)

@@ -388,3 +388,59 @@ def test_eagle_tree_sampled_serving():
         assert len(out["output_ids"]) == 8
     finally:
         eagle.shutdown()
+
+
+def test_nextn_mtp_draft_checkpoint_served(tmp_path):
+    """A NextN/MTP-geometry draft checkpoint (eh_proj + enorm/hnorm +
+    shared_head.norm embedded as decoder layer N — reference
+    models/llama_nextn.py / deepseek MTP module) loads into the draft
+    schema and serves; greedy output stays token-exact vs plain decode
+    regardless of draft quality."""
+    import safetensors.numpy as stnp
+
+    from tests.conftest import TINY_HF_CONFIG
+
+    H = TINY_HF_CONFIG["hidden_size"]
+    hq = TINY_HF_CONFIG["num_attention_heads"]
+    hkv = TINY_HF_CONFIG["num_key_value_heads"]
+    d = TINY_HF_CONFIG["head_dim"]
+    I = TINY_HF_CONFIG["intermediate_size"]
+    rng = np.random.RandomState(5)
+
+    def w(*shape):
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    pre = "model.layers.2."  # MTP layer appended at index 2
+    sd = {
+        pre + "eh_proj.weight": w(H, 2 * H),
+        pre + "enorm.weight": np.ones(H, np.float32),
+        pre + "hnorm.weight": np.ones(H, np.float32),
+        pre + "shared_head.norm.weight": np.ones(H, np.float32),
+        pre + "input_layernorm.weight": np.ones(H, np.float32),
+        pre + "self_attn.q_proj.weight": w(hq * d, H),
+        pre + "self_attn.k_proj.weight": w(hkv * d, H),
+        pre + "self_attn.v_proj.weight": w(hkv * d, H),
+        pre + "self_attn.o_proj.weight": w(H, hq * d),
+        pre + "post_attention_layernorm.weight": np.ones(H, np.float32),
+        pre + "mlp.gate_proj.weight": w(I, H),
+        pre + "mlp.up_proj.weight": w(I, H),
+        pre + "mlp.down_proj.weight": w(H, I),
+    }
+    stnp.save_file(sd, str(tmp_path / "model.safetensors"))
+
+    eagle = _make_engine(
+        "EAGLE", speculative_draft_model_path=str(tmp_path)
+    )
+    plain = _make_engine(None)
+    try:
+        runner = eagle.scheduler.runner
+        assert runner.eagle.has_eh_norms
+        assert runner.eagle.has_head_norm
+        prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+        sp = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+        oe = eagle.generate(input_ids=prompt, sampling_params=sp)
+        op = plain.generate(input_ids=prompt, sampling_params=sp)
+        assert oe["output_ids"] == op["output_ids"]
+    finally:
+        eagle.shutdown()
+        plain.shutdown()
