@@ -516,6 +516,11 @@ class Engine:
         into the persistent XLA cache; phase 2 executes each program once
         on the scheduler thread so live traffic never waits on a compile."""
         runner = self.scheduler.runner
+        if getattr(runner, "is_multihost_leader", False):
+            # warmup executions are not part of the broadcast step stream;
+            # followers would never join the collectives (and the shared
+            # step counter would diverge)
+            return {"num_programs": 0, "skipped": "multihost"}
         specs = runner.warmup_plan(
             self.scheduler.decode_bs_buckets,
             self.server_args.decode_window_size,

@@ -43,7 +43,9 @@ logger = get_logger(__name__)
 (
     K_EXTEND, K_DECODE, K_VERIFY, K_SCORE, K_EMBED, K_STOP,
     K_LORA_LOAD, K_LORA_UNLOAD, K_DECODE_ASYNC, K_EPLB,
-) = range(10)
+    K_EAGLE_EXTEND, K_EAGLE_DRAFT, K_EAGLE_VERIFY,
+    K_EAGLE_TREE_DRAFT, K_EAGLE_TREE_VERIFY,
+) = range(15)
 DESC_LEN = 12  # kind, B, L_or_K, P, use_pen+penW, use_mask, use_lora, tl_k, use_chain, …
 NAME_LEN = 256  # fixed-size utf-8 buffer for lora name/path broadcasts
 
@@ -228,6 +230,73 @@ class LeaderRunner:
         self._send(desc, [perm.astype(np.int32)])
         return self.runner.apply_expert_rebalance(perm)
 
+    # ---- EAGLE speculative decoding (protocol v3). Draft RESULTS are
+    # never broadcast: followers run the identical draft program on the
+    # identical broadcast inputs with the shared seed, so their drafts /
+    # q logits match the leader's bit-for-bit; each follower caches its
+    # own last draft output and feeds it to the next verify.
+    def eagle_extend_step(self, packed, st_packed, slot_idx, B, L, P):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[:4] = (K_EAGLE_EXTEND, B, L, P)
+        self._send(desc, [packed.astype(np.int32), st_packed,
+                          slot_idx.astype(np.int32)])
+        return self.runner.eagle_extend_step(
+            packed, st_packed, slot_idx, B, L, P
+        )
+
+    def eagle_draft_window(self, dpacked, st_packed, B, A, P):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[:4] = (K_EAGLE_DRAFT, B, A, P)
+        self._send(desc, [dpacked.astype(np.int32), st_packed])
+        return self.runner.eagle_draft_window(dpacked, st_packed, B, A, P)
+
+    def eagle_verify_step(self, packed, st_packed, q_logits, drafts,
+                          slot_idx, bootstrap, B, L, P, use_trunc=False):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[:5] = (K_EAGLE_VERIFY, B, L, P, 1 if use_trunc else 0)
+        self._send(desc, [packed.astype(np.int32), st_packed,
+                          slot_idx.astype(np.int32),
+                          bootstrap.astype(np.int32)])
+        return self.runner.eagle_verify_step(
+            packed, st_packed, q_logits, drafts, slot_idx, bootstrap,
+            B, L, P, use_trunc=use_trunc,
+        )
+
+    def eagle_tree_draft_window(self, dpacked, st_packed, B, A, P, TB,
+                                sampled=False):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[:6] = (K_EAGLE_TREE_DRAFT, B, A, P, TB,
+                    1 if sampled else 0)
+        self._send(desc, [dpacked.astype(np.int32), st_packed])
+        return self.runner.eagle_tree_draft_window(
+            dpacked, st_packed, B, A, P, TB, sampled=sampled
+        )
+
+    def eagle_tree_verify_step(self, packed, src_page, dst_pages, slot_idx,
+                               B, TB, L, P, st_packed=None, q0=None,
+                               qc=None, drafts=None, bootstrap=None,
+                               sampled=False, use_trunc=False):
+        desc = np.zeros(DESC_LEN, np.int32)
+        desc[:7] = (K_EAGLE_TREE_VERIFY, B, L, P, TB,
+                    1 if sampled else 0, 1 if use_trunc else 0)
+        bufs = [packed.astype(np.int32), src_page.astype(np.int32),
+                dst_pages.astype(np.int32), slot_idx.astype(np.int32)]
+        if st_packed is not None:
+            bufs.append(st_packed)
+        else:
+            bufs.append(np.zeros((B, 8), np.float32))
+        bufs.append(
+            bootstrap.astype(np.int32)
+            if bootstrap is not None
+            else np.zeros((B,), np.int32)
+        )
+        self._send(desc, bufs)
+        return self.runner.eagle_tree_verify_step(
+            packed, src_page, dst_pages, slot_idx, B, TB, L, P,
+            st_packed=st_packed, q0=q0, qc=qc, drafts=drafts,
+            bootstrap=bootstrap, sampled=sampled, use_trunc=use_trunc,
+        )
+
     def stop_followers(self):
         _bcast(np.full(DESC_LEN, K_STOP, np.int32), True)
 
@@ -240,9 +309,11 @@ def follower_loop(runner):
         extend_packed_size,
     )
 
-    logger.info("follower loop started (protocol v2)")
+    logger.info("follower loop started (protocol v3)")
     mask_w = _mask_width(runner)
     last_handle = None
+    last_draft = None  # (drafts, q_logits) from this host's chain draft
+    last_tree = None  # (drafts, q0, qc) from this host's tree draft
     while True:
         desc = np.asarray(_bcast(np.zeros(DESC_LEN, np.int32), False))
         kind, B, LK, P, penf, um, ul, tl_k, uc = (int(x) for x in desc[:9])
@@ -283,6 +354,54 @@ def follower_loop(runner):
                     packed, st, B, P, LK, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, tl_k=tl_k, chain_tokens=chain,
                 )
+        elif kind == K_EAGLE_EXTEND:
+            packed = np.asarray(_bcast(
+                np.zeros(extend_packed_size(B, LK, P), np.int32), False))
+            st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
+            slot_idx = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            runner.eagle_extend_step(packed, st, slot_idx, B, LK, P)
+        elif kind == K_EAGLE_DRAFT:
+            size = B * LK + 3 * B + B * P
+            dpacked = np.asarray(_bcast(np.zeros(size, np.int32), False))
+            st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
+            last_draft = runner.eagle_draft_window(dpacked, st, B, LK, P)
+        elif kind == K_EAGLE_VERIFY:
+            use_trunc = bool(penf)
+            packed = np.asarray(_bcast(
+                np.zeros(extend_packed_size(B, LK, P), np.int32), False))
+            st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
+            slot_idx = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            bootstrap = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            drafts, q_logits = last_draft
+            runner.eagle_verify_step(
+                packed, st, q_logits, drafts, slot_idx, bootstrap,
+                B, LK, P, use_trunc=use_trunc,
+            )
+        elif kind == K_EAGLE_TREE_DRAFT:
+            TB, sampled = penf, bool(um)
+            Bb = B * TB
+            size = B * LK + 4 * B + B * P + Bb + Bb * P
+            dpacked = np.asarray(_bcast(np.zeros(size, np.int32), False))
+            st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
+            last_tree = runner.eagle_tree_draft_window(
+                dpacked, st, B, LK, P, TB, sampled=sampled
+            )
+        elif kind == K_EAGLE_TREE_VERIFY:
+            TB, sampled, use_trunc = penf, bool(um), bool(ul)
+            Bb = B * TB
+            packed = np.asarray(_bcast(
+                np.zeros(extend_packed_size(Bb, LK, P), np.int32), False))
+            src_page = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            dst_pages = np.asarray(_bcast(np.zeros((Bb,), np.int32), False))
+            slot_idx = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
+            bootstrap = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            drafts, q0, qc = last_tree
+            runner.eagle_tree_verify_step(
+                packed, src_page, dst_pages, slot_idx, B, TB, LK, P,
+                st_packed=st, q0=q0, qc=qc, drafts=drafts,
+                bootstrap=bootstrap, sampled=sampled, use_trunc=use_trunc,
+            )
         elif kind == K_EPLB:
             perm = np.asarray(_bcast(np.zeros((B, LK), np.int32), False))
             runner.apply_expert_rebalance(perm)
@@ -317,10 +436,6 @@ def run_node(server_args, model_config=None):
     import jax
 
     maybe_init_distributed(server_args)
-    if server_args.nnodes > 1 and (
-        server_args.speculative_algorithm or ""
-    ).lower() == "eagle":
-        raise NotImplementedError("EAGLE is single-host for now")
     from sglang_tpu.entrypoints.engine import Engine
     from sglang_tpu.model_executor.model_runner import ModelRunner
 
@@ -333,5 +448,19 @@ def run_node(server_args, model_config=None):
         else:
             runner_proxy = runner
         return Engine(server_args=server_args, model_runner=runner_proxy)
+    if (server_args.speculative_algorithm or "").lower() == "eagle":
+        # mirror the leader scheduler's slot sizing so the EAGLE feature
+        # pool / programs match across hosts (protocol v3 eagle steps)
+        buckets = server_args.decode_bs_buckets or [
+            1, 2, 4, 8, 16, 32, 64, 128, 256,
+        ]
+        buckets = [
+            b for b in buckets
+            if b <= max(server_args.max_running_requests, 1)
+        ] or [server_args.max_running_requests]
+        runner.init_eagle(
+            server_args.speculative_num_draft_tokens,
+            max(max(buckets), server_args.max_running_requests),
+        )
     follower_loop(runner)
     return None
