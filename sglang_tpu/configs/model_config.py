@@ -182,6 +182,30 @@ class ModelConfig:
         context_length: Optional[int] = None,
         trust_remote_code: bool = False,
     ) -> "ModelConfig":
+        # GGUF checkpoints carry the config in their metadata (reference
+        # GGUFModelLoader derives the HF config the same way)
+        gguf_path = None
+        if model_path.endswith(".gguf") and os.path.isfile(model_path):
+            gguf_path = model_path
+        elif os.path.isdir(model_path) and not os.path.exists(
+            os.path.join(model_path, "config.json")
+        ):
+            import glob as _glob
+
+            gg = sorted(_glob.glob(os.path.join(model_path, "*.gguf")))
+            if gg:
+                gguf_path = gg[0]
+        if gguf_path is not None:
+            from sglang_tpu.model_loader.gguf import (
+                GGUFFile,
+                gguf_config_to_hf,
+            )
+
+            hf = gguf_config_to_hf(GGUFFile(gguf_path).metadata)
+            return cls.from_hf_dict(
+                hf, model_path=model_path, dtype=dtype,
+                context_length=context_length,
+            )
         cfg_file = os.path.join(model_path, "config.json")
         if not os.path.exists(cfg_file):
             raise FileNotFoundError(

@@ -187,13 +187,44 @@ def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
     return fn(jax.random.PRNGKey(seed))
 
 
+class _GGUFReader:
+    """GGUF file presented through the safetensors reader interface with
+    HF tensor names (model_loader/gguf.py does parsing + dequant)."""
+
+    def __init__(self, path: str):
+        from sglang_tpu.model_loader.gguf import GGUFFile, gguf_to_hf_name
+
+        self._f = GGUFFile(path)
+        self._names = {
+            gguf_to_hf_name(n): n for n in self._f.keys()
+        }
+
+    def keys(self):
+        return self._names.keys()
+
+    def get_tensor(self, hf_name: str):
+        return self._f.get_tensor(self._names[hf_name])
+
+
+def _open_readers(config: ModelConfig):
+    """Weight readers for the checkpoint dir (or a direct .gguf path)."""
+    mp = config.model_path
+    if mp.endswith(".gguf") and os.path.isfile(mp):
+        return [_GGUFReader(mp)]
+    st = sorted(glob.glob(os.path.join(mp, "*.safetensors")))
+    if st:
+        return [SafetensorsFile(f) for f in st]
+    gg = sorted(glob.glob(os.path.join(mp, "*.gguf")))
+    if gg:
+        return [_GGUFReader(f) for f in gg]
+    raise FileNotFoundError(
+        f"No *.safetensors or *.gguf under {mp!r}"
+    )
+
+
 def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
-    """Stream safetensors → stacked host buffers → sharded device arrays."""
-    files = sorted(glob.glob(os.path.join(config.model_path, "*.safetensors")))
-    if not files:
-        raise FileNotFoundError(
-            f"No *.safetensors under {config.model_path!r}"
-        )
+    """Stream safetensors/GGUF → stacked host buffers → sharded arrays."""
+    files = _open_readers(config)
 
     shapes = model.param_shapes()
     np_dtype = np.dtype(jnp.dtype(config.dtype).name) if jnp.dtype(
@@ -237,8 +268,7 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
     # dequantizes only when the destination buffer is dense float (e.g.
     # stacked MoE expert weights), leaving quant-schema leaves raw.
     f8_scales: Dict[str, tuple] = {}
-    for file in files:
-        f = SafetensorsFile(file)
+    for f in files:
         for nm in f.keys():
             if nm.endswith(".weight_scale_inv"):
                 f8_scales[nm[: -len("_scale_inv")]] = (
@@ -288,8 +318,7 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
     kv_scales: Dict[tuple, float] = {}
 
     n_loaded = 0
-    for file in files:
-        f = SafetensorsFile(file)
+    for f in files:
         for name in f.keys():
             km = kv_scale_re.search(name)
             if km is not None:
@@ -408,6 +437,6 @@ def _place_params(model, host_params, mesh_ctx):
 def load_model_weights(model, config: ModelConfig, load_format: str, mesh_ctx=None):
     if load_format == "dummy":
         return load_dummy_weights(model, mesh_ctx)
-    if load_format in ("auto", "safetensors"):
+    if load_format in ("auto", "safetensors", "gguf"):
         return load_safetensors_weights(model, config, mesh_ctx)
     raise ValueError(f"Unknown load_format {load_format!r}")
