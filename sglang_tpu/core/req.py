@@ -67,6 +67,7 @@ class Req:
         # KV / radix state
         self.pages: List[int] = []  # all pages in token order
         self.prefix_pages_len = 0  # leading pages that belong to the radix tree
+        self.swa_freed = 0  # leading pages freed behind the sliding window
         self.last_node = None  # radix lock handle
         self.cache_hit_tokens: Optional[int] = None  # prefix reuse at admission
 
@@ -201,6 +202,7 @@ class Req:
         self.pages = []
         self.prefix_pages_len = 0
         self.last_node = None
+        self.swa_freed = 0
         self.retract_count += 1
 
     def __repr__(self):

@@ -83,6 +83,27 @@ class Scheduler:
         self._dllm_reqs: List[Req] = []
         self._dllm_algo = None
         self._prefetch_pool = None  # hicache storage prefetch workers
+        # SWA KV freeing (reference mem_cache/allocator/swa.py:20): for
+        # PURE sliding-window models, pages fully behind every layer's
+        # attention window free back to the pool mid-request — a
+        # 32k-context Mistral generation then holds ~window KV instead
+        # of the whole history.  Needs the radix cache off (freed pages
+        # cannot back prefix sharing) and no speculative drafts.
+        self._swa_window = 0
+        if hasattr(self.runner.model, "per_layer_window"):
+            wins = self.runner.model.per_layer_window()
+            w = int(wins[0]) if len(wins) else 0
+            if (
+                w > 0
+                and bool((wins == w).all())
+                and self.radix.disable
+                and (server_args.speculative_algorithm or "").lower()
+                not in ("ngram", "eagle")
+            ):
+                self._swa_window = w
+                logger.info(
+                    "SWA KV freeing enabled: window %d tokens", w
+                )
         self._pd_sender_q: Optional["queue.Queue"] = None
         self._pd_sender_thread: Optional[threading.Thread] = None
         self.num_pd_adopted = 0
@@ -664,11 +685,24 @@ class Scheduler:
         req.pages.extend(pages)
         return True
 
+    def _swa_sweep(self):
+        """Free pages fully behind the sliding window (every in-flight
+        window's lower bound only moves forward, so pages behind
+        cached_len - window are never read again; freed entries stay in
+        the page table — masked, never gathered)."""
+        ps = self.page_size
+        for req in self.running.reqs:
+            k_max = max((req.cached_len - self._swa_window) // ps, 0)
+            k_max = min(k_max, len(req.pages))
+            if k_max > req.swa_freed:
+                self.allocator.free(req.pages[req.swa_freed : k_max])
+                req.swa_freed = k_max
+
     def _release_req_kv(self, req: Req):
         if self.spec_algo == "eagle":
             self._release_spec_slot(req)
         """Free owned pages and unlock the radix prefix."""
-        owned = req.pages[req.prefix_pages_len :]
+        owned = req.pages[max(req.prefix_pages_len, req.swa_freed) :]
         if owned:
             self.allocator.free(owned)
         req.pages = req.pages[: req.prefix_pages_len]
@@ -758,9 +792,10 @@ class Scheduler:
         if self.spec_algo == "eagle":
             self._release_spec_slot(req)
         if self.radix.disable or req.lora_slot or req.input_embeds is not None:
-            if req.pages:
-                self.allocator.free(req.pages)
-                req.pages = []
+            owned = req.pages[req.swa_freed :]
+            if owned:
+                self.allocator.free(owned)
+            req.pages = []
             return
         aligned = req.cached_len // self.page_size * self.page_size
         n_pages = aligned // self.page_size
@@ -995,6 +1030,8 @@ class Scheduler:
             block=block and not self._inflight and not self._pd_incoming
         )
         self._poll_pd_queues()
+        if self._swa_window:
+            self._swa_sweep()
         if self._inflight and (
             self._abort_rids
             or any(r.prefill_kind != "generate" for r in self.waiting)
@@ -1145,6 +1182,12 @@ class Scheduler:
                 self._inflight.append(nxt)
             inf = self._inflight.pop(0)
             self._fetch_and_process_window(inf)
+            # the fetch advanced cached_len by K: surviving windows are
+            # now one window closer to the synced state (their stored
+            # depth feeds the NEXT chained dispatch's position base —
+            # stale depths made window N+2 skip a K-token block)
+            for w in self._inflight:
+                w["depth"] -= 1
             self.num_steps += 1
             dt = time.monotonic() - t0
             self.last_decode_tokens_per_s = (

@@ -117,6 +117,10 @@ def check_memory_invariants(scheduler) -> List[str]:
             continue
         shared = req.prefix_pages_len  # radix-shared prefix may be shared
         for j, p in enumerate(req.pages):
+            if j < getattr(req, "swa_freed", 0):
+                # freed behind the sliding window: the stale table entry
+                # is masked out of attention and no longer owned
+                continue
             if p in free:
                 problems.append(f"page {p} of {req.rid} is on the free list")
             if j >= shared:

@@ -323,3 +323,36 @@ def test_two_batch_overlap_exact():
     finally:
         e0.shutdown()
         e1.shutdown()
+
+
+def test_chained_window_depth_parity_long_generation():
+    """Regression: with >=3 decode windows in flight over a generation,
+    the surviving windows' depths must rebase after every fetch — stale
+    depths made window N+2 dispatch with its position base one K-token
+    block too far (skipping a block of KV), which only manifests past
+    ~3 windows (short generations never caught it)."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+    outs = {}
+    for depth in (1, 3):
+        args = make_server_args(disable_radix_cache=True)
+        runner = ModelRunner(
+            args,
+            model_config=ModelConfig.from_hf_dict(
+                TINY_HF_CONFIG, dtype="float32"
+            ),
+        )
+        eng = Engine(server_args=args, model_runner=runner)
+        eng.scheduler._chain_depth = depth
+        try:
+            outs[depth] = eng.generate(
+                input_ids=[(3 * i) % 500 + 1 for i in range(8)],
+                sampling_params={"temperature": 0.0, "max_new_tokens": 96,
+                                 "ignore_eos": True},
+            )["output_ids"]
+        finally:
+            eng.shutdown()
+    assert outs[1] == outs[3]
