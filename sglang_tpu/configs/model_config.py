@@ -106,7 +106,11 @@ class ModelConfig:
     ) -> "ModelConfig":
         # Some HF configs nest the text config (multimodal wrappers).
         text = hf.get("text_config", hf)
-        n_heads = text["num_attention_heads"]
+        # SSM configs (mamba2) have no attention heads; default from the
+        # SSM head count so pool geometry math stays well-defined
+        n_heads = text.get("num_attention_heads") or text.get(
+            "num_heads"
+        ) or 1
         hidden = text["hidden_size"]
         head_dim = text.get("head_dim") or hidden // n_heads
         n_kv = text.get("num_key_value_heads") or n_heads

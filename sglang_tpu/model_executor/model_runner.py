@@ -217,6 +217,26 @@ class ModelRunner:
             ),
         )
         self.kv_cache = self.kv_pool.kv_cache
+        if getattr(self.model, "is_stateful", False):
+            # SSM families: a fixed-size recurrent STATE POOL replaces
+            # the KV cache, slot-indexed by each request's first page id
+            # (pages are unique per live request; garbage page 0 absorbs
+            # padded rows).  It flows through the jitted steps as the
+            # donated cache operand exactly like the KV pool.
+            self.kv_cache = jax.device_put(
+                self.model.init_state_pool(
+                    self.kv_pool.geometry.num_pages
+                ),
+                self.mesh_ctx.replicated,
+            )
+            self.kv_pool.kv_cache = None  # release the unused KV array
+            if getattr(self.model, "requires_disable_radix", False):
+                if not server_args.disable_radix_cache:
+                    server_args.disable_radix_cache = True
+                    logger.info(
+                        "SSM model: radix/prefix cache disabled (a "
+                        "recurrent state cannot replay a prefix)"
+                    )
         if getattr(self.model, "is_encoder_only", False):
             # encoders see the whole sequence at once — chunked prefill
             # cannot split an embedding forward
