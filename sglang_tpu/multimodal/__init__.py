@@ -152,6 +152,11 @@ def load_llava_vision_params(model_path: str) -> Dict[str, Any]:
                     n = "mp." + name[len(mp):]
                     break
             else:
+                # llava-next anyres newline separator embedding
+                if name in ("image_newline", "model.image_newline"):
+                    tensors["image_newline"] = np.asarray(
+                        st.get_tensor(name), np.float32
+                    )
                 continue
             tensors[n] = np.asarray(st.get_tensor(name), np.float32)
 
@@ -210,6 +215,8 @@ def load_llava_vision_params(model_path: str) -> Dict[str, Any]:
             "l2_b": jnp.asarray(t("mp.linear_2.bias")),
         },
     }
+    if "image_newline" in tensors:
+        params["image_newline"] = tensors["image_newline"]
     return params
 
 
@@ -225,6 +232,14 @@ class MultimodalProcessor:
         self.feature_layer = int(hf_config.get("vision_feature_layer", -2))
         self.image_token_id = int(hf_config.get("image_token_index", 32000))
         self.n_patches = (self.image_size // self.patch_size) ** 2
+        # LLaVA-NeXT anyres tiling (reference llava anyres processing,
+        # srt/models/llava.py + mm_utils): high-resolution images split
+        # into a grid of base-size tiles picked from image_grid_pinpoints
+        # plus a global thumbnail; per-image token counts then vary
+        # (``last_counts`` feeds prompt expansion).
+        self.grid_pinpoints = hf_config.get("image_grid_pinpoints") or []
+        self.anyres = bool(self.grid_pinpoints)
+        self.last_counts: List[int] = []
         self.params = load_llava_vision_params(model_path)
 
         @jax.jit
@@ -243,28 +258,111 @@ class MultimodalProcessor:
             "projector": self.params["projector"],
         }
 
-    def encode_images(self, images: List[Any]) -> np.ndarray:
-        """→ [n_images * n_patches, H_text] f32 embedding rows."""
-        pixels = np.stack(
-            [preprocess_image(im, self.image_size) for im in images]
+    # ------------------------------------------------------------ anyres
+    @staticmethod
+    def select_best_resolution(orig, pinpoints):
+        """HF ``select_best_resolution``: maximize effective resolution,
+        break ties by minimum wasted area."""
+        ow, oh = orig
+        best, best_eff, best_waste = None, -1, None
+        for h, w in pinpoints:
+            scale = min(w / ow, h / oh)
+            dw, dh = int(ow * scale), int(oh * scale)
+            eff = min(dw * dh, ow * oh)
+            waste = w * h - eff
+            if eff > best_eff or (
+                eff == best_eff and waste < best_waste
+            ):
+                best, best_eff, best_waste = (h, w), eff, waste
+        return best
+
+    def _anyres_pixels(self, image) -> np.ndarray:
+        """[1 + gh*gw, S, S, 3] CHW-preprocessed thumbnail + tiles, plus
+        records (gh, gw) for newline placement."""
+        import PIL.Image
+
+        if not isinstance(image, PIL.Image.Image):
+            image = PIL.Image.fromarray(np.asarray(image))
+        S = self.image_size
+        H, W = self.select_best_resolution(image.size, self.grid_pinpoints)
+        # resize preserving aspect into (H, W), pad with zeros
+        scale = min(W / image.size[0], H / image.size[1])
+        nw, nh = max(int(image.size[0] * scale), 1), max(
+            int(image.size[1] * scale), 1
         )
-        out = self._encode(self._jit_params, jnp.asarray(pixels))
-        return np.asarray(out, np.float32).reshape(-1, out.shape[-1])
+        resized = image.resize((nw, nh))
+        canvas = PIL.Image.new("RGB", (W, H))
+        canvas.paste(resized, ((W - nw) // 2, (H - nh) // 2))
+        gh, gw = H // S, W // S
+        tiles = [preprocess_image(image, S)]  # global thumbnail first
+        for r in range(gh):
+            for ccol in range(gw):
+                tiles.append(
+                    preprocess_image(
+                        canvas.crop(
+                            (ccol * S, r * S, (ccol + 1) * S, (r + 1) * S)
+                        ),
+                        S,
+                    )
+                )
+        self._last_grid = (gh, gw)
+        return np.stack(tiles)
+
+    def encode_images(self, images: List[Any]) -> np.ndarray:
+        """→ [sum(counts), H_text] f32 embedding rows; per-image row
+        counts land in ``last_counts`` (anyres images vary)."""
+        if not self.anyres:
+            pixels = np.stack(
+                [preprocess_image(im, self.image_size) for im in images]
+            )
+            out = self._encode(self._jit_params, jnp.asarray(pixels))
+            self.last_counts = [self.n_patches] * len(images)
+            return np.asarray(out, np.float32).reshape(-1, out.shape[-1])
+        rows = []
+        self.last_counts = []
+        newline = self.params.get("image_newline")
+        for im in images:
+            pixels = self._anyres_pixels(im)
+            gh, gw = self._last_grid
+            feats = np.asarray(
+                self._encode(self._jit_params, jnp.asarray(pixels)),
+                np.float32,
+            )  # [1+gh*gw, P, H]
+            parts = [feats[0]]  # global thumbnail
+            P = feats.shape[1]
+            for r in range(gh):
+                row_feats = feats[1 + r * gw : 1 + (r + 1) * gw].reshape(
+                    gw * P, -1
+                )
+                parts.append(row_feats)
+                if newline is not None:
+                    parts.append(
+                        np.asarray(newline, np.float32)[None, :]
+                    )
+            img_rows = np.concatenate(parts, axis=0)
+            rows.append(img_rows)
+            self.last_counts.append(img_rows.shape[0])
+        return np.concatenate(rows, axis=0)
 
     def expand_prompt(
         self, input_ids: List[int], n_images: int
     ) -> List[int]:
-        """Each image token expands to n_patches NEGATIVE sentinel ids
-        indexing the embedding rows in order."""
+        """Each image token expands to that image's row count of
+        NEGATIVE sentinel ids indexing the embedding rows in order."""
+        counts = (
+            self.last_counts
+            if len(self.last_counts) == n_images
+            else [self.n_patches] * n_images
+        )
         out: List[int] = []
         next_row = 0
         seen = 0
         for t in input_ids:
             if t == self.image_token_id:
-                seen += 1
-                for _ in range(self.n_patches):
+                for _ in range(counts[min(seen, n_images - 1)]):
                     out.append(-(next_row + 1))
                     next_row += 1
+                seen += 1
             else:
                 out.append(t)
         if seen != n_images:

@@ -138,3 +138,103 @@ def test_llava_generate_matches_hf(llava_dir):
         assert ours["output_ids"] == hf_new, (ours["output_ids"], hf_new)
     finally:
         eng.shutdown()
+
+
+# ------------------------------------------------------------- anyres
+def test_anyres_best_resolution_matches_hf_formula():
+    from sglang_tpu.multimodal import MultimodalProcessor
+
+    pin = [[56, 56], [28, 84], [84, 28]]
+    # wide image: the wide pinpoint wins
+    assert MultimodalProcessor.select_best_resolution((80, 25), pin) == (28, 84)
+    # tall image
+    assert MultimodalProcessor.select_best_resolution((25, 80), pin) == (84, 28)
+    # square-ish
+    assert MultimodalProcessor.select_best_resolution((50, 50), pin) == (56, 56)
+
+
+def test_anyres_tiling_counts_and_expand(llava_dir):
+    """LLaVA-NeXT anyres: a high-res image becomes global thumbnail +
+    grid tiles; per-image counts feed the prompt expansion (reference
+    llava anyres processing)."""
+    from PIL import Image
+
+    from sglang_tpu.multimodal import MultimodalProcessor
+
+    proc = MultimodalProcessor(
+        {
+            "vision_config": VISION_TINY,
+            "vision_feature_layer": -2,
+            "image_token_index": 500,
+            "image_grid_pinpoints": [[56, 56], [28, 56], [56, 28]],
+        },
+        llava_dir,
+    )
+    assert proc.anyres
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(
+        (rng.rand(50, 60, 3) * 255).astype(np.uint8)
+    )  # landscape 60x50 → 56x56 pinpoint → 2x2 grid of 28px tiles
+    rows = proc.encode_images([img])
+    # 4 patches global + 4 tiles * 4 patches = 20 rows (no image_newline
+    # tensor in a plain llava checkpoint)
+    assert proc.last_counts == [20]
+    assert rows.shape[0] == 20
+    ids = proc.expand_prompt([1, 2, 500, 3], 1)
+    assert len(ids) == 3 + 20
+    assert ids[:2] == [1, 2] and ids[-1] == 3
+    assert all(t < 0 for t in ids[2:-1])
+
+    # a small image still tiles deterministically; distinct images give
+    # distinct embeddings (sanity that tiles actually encode content)
+    img2 = Image.fromarray(
+        (rng.rand(50, 60, 3) * 255).astype(np.uint8)
+    )
+    rows2 = proc.encode_images([img2])
+    assert rows2.shape == rows.shape
+    assert not np.allclose(rows, rows2)
+
+
+def test_anyres_end_to_end_generate(llava_dir):
+    """Engine serves an anyres-config LLaVA: variable image token counts
+    splice through the input_embeds path."""
+    import json
+    import os
+
+    from PIL import Image
+
+    # config.json with pinpoints so the engine's processor arms anyres
+    with open(os.path.join(llava_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["image_grid_pinpoints"] = [[56, 56]]
+    anyres_dir = llava_dir + "_anyres"
+    os.makedirs(anyres_dir, exist_ok=True)
+    for fn in os.listdir(llava_dir):
+        if fn.endswith(".safetensors"):
+            os.link(
+                os.path.join(llava_dir, fn), os.path.join(anyres_dir, fn)
+            ) if not os.path.exists(os.path.join(anyres_dir, fn)) else None
+    with open(os.path.join(anyres_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    args = make_server_args(model_path=anyres_dir, load_format="safetensors")
+    model_cfg = ModelConfig.from_model_path(anyres_dir, dtype="float32")
+    runner = ModelRunner(args, model_config=model_cfg)
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        rng = np.random.RandomState(3)
+        img = Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8))
+        out = eng.generate(
+            input_ids=[7, 8, 500, 9],
+            images=[img],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 6,
+                             "ignore_eos": True},
+        )
+        assert len(out["output_ids"]) == 6
+        assert out["meta_info"]["prompt_tokens"] == 3 + 20
+    finally:
+        eng.shutdown()
