@@ -675,7 +675,13 @@ class HttpServer:
             text = out["text"]
             reasoning = None
             if self.server_args.reasoning_parser:
-                reasoning, text = ReasoningParser().parse(text)
+                from sglang_tpu.parsers.reasoning import (
+                    reasoning_parser_for,
+                )
+
+                reasoning, text = reasoning_parser_for(
+                    self.server_args.reasoning_parser
+                ).parse(text)
                 reasoning = reasoning or None
             tool_calls = None
             finish_override = None

@@ -90,11 +90,16 @@ def attention_xla(
     sm_scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    sinks: Optional[jnp.ndarray] = None,  # [Hq] attention-sink logits
 ) -> jnp.ndarray:
     """Dense masked attention over the gathered paged context.
 
     Context slot j holds token position j (pages are allocated in token
     order), so the causal mask is simply j <= positions[b, i].
+
+    ``sinks`` (GPT-OSS, reference gpt_oss eager_attention_forward):
+    a learned per-head logit joins the softmax as a phantom slot and is
+    dropped after normalization — probabilities no longer sum to 1.
     """
     B, Lq, Hq, D = q.shape
     C = k_ctx.shape[1]
@@ -120,9 +125,21 @@ def attention_xla(
         mask = mask & (in_window | (win <= 0))
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    # Fully-masked rows (padding) produce NaN from softmax(-inf); zero them.
-    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    if sinks is not None:
+        s = sinks.astype(jnp.float32).reshape(Hkv, G)[
+            None, :, :, None
+        ]  # [1, Hkv, G, 1]
+        m = jnp.maximum(
+            jnp.max(scores, axis=-1), s
+        )  # [B, Hkv, G, Lq]
+        e = jnp.exp(scores - m[..., None])
+        e = jnp.where(mask[:, None, None, :, :], e, 0.0)
+        denom = jnp.sum(e, axis=-1) + jnp.exp(s - m)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        # Fully-masked rows (padding) give NaN from softmax(-inf); zero.
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
     # With an fp8 KV cache the attention weights must NOT be quantized to
     # the cache dtype (~2 significant digits); dequantize V up to bf16 and
     # keep P in bf16 (reference dequantizes fp8 K/V, keeps P fp16/bf16).
@@ -154,6 +171,7 @@ def paged_attention(
     sliding_window: Optional[int] = None,
     backend: str = "xla",
     kv_scales=None,  # (k_scale, v_scale) traced scalars (fp8 KV dequant)
+    sinks: Optional[jnp.ndarray] = None,  # [Hq] (forces the XLA path)
 ):
     """Write new K/V into the cache, then attend over the full context.
 
@@ -181,6 +199,8 @@ def paged_attention(
         # fold k_scale into q before scores (tanh softcap and softmax see
         # exactly the dequantized scores)
         q = (q.astype(jnp.float32) * kv_scales[0]).astype(q.dtype)
+    if sinks is not None:
+        backend = "xla"  # attention sinks: XLA path only for now
     if backend == "pallas" and q.shape[1] == 1 and not fp8_kv:
         from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
 
@@ -263,6 +283,7 @@ def paged_attention(
             sm_scale,
             logit_cap=logit_cap,
             sliding_window=sliding_window,
+            sinks=sinks,
         )
     if fp8_kv and kv_scales is not None:
         out = (out.astype(jnp.float32) * kv_scales[1]).astype(q.dtype)

@@ -54,11 +54,64 @@ def compute_inv_freq(
             inv_freq = np.array(new_freqs, dtype=np.float64)
         elif rtype == "linear":
             inv_freq = inv_freq / rope_scaling["factor"]
-        elif rtype in ("dynamic", "yarn", "default", "", None):
-            # dynamic-NTK / yarn: v1 approximates with the base freqs; exact
-            # yarn support lands with the long-context model families.
+        elif rtype == "yarn":
+            # Exact YaRN (HF _compute_yarn_parameters): interpolate low
+            # frequencies by 1/factor, keep high frequencies, with a
+            # linear ramp between the beta_fast/beta_slow correction dims.
+            factor = float(rope_scaling["factor"])
+            orig = int(
+                rope_scaling.get("original_max_position_embeddings", 4096)
+            )
+            beta_fast = float(rope_scaling.get("beta_fast", 32.0))
+            beta_slow = float(rope_scaling.get("beta_slow", 1.0))
+
+            def corr_dim(num_rot):
+                return (
+                    rot_dim
+                    * math.log(orig / (num_rot * 2 * math.pi))
+                    / (2 * math.log(rope_theta))
+                )
+
+            low = corr_dim(beta_fast)
+            high = corr_dim(beta_slow)
+            if not rope_scaling.get("truncate", True):
+                pass  # gpt-oss: no floor/ceil truncation of the range
+            else:
+                low, high = math.floor(low), math.ceil(high)
+            low = max(low, 0)
+            high = min(high, rot_dim // 2 - 1)
+            dims = np.arange(rot_dim // 2, dtype=np.float64)
+            ramp = np.clip(
+                (dims - low) / max(high - low, 0.001), 0.0, 1.0
+            )
+            extrap_mask = 1.0 - ramp
+            inv_freq = (
+                inv_freq / factor * (1.0 - extrap_mask)
+                + inv_freq * extrap_mask
+            )
+        elif rtype in ("dynamic", "default", "", None):
+            # dynamic-NTK: v1 approximates with the base freqs
             pass
     return inv_freq.astype(np.float32)
+
+
+def rope_attention_factor(rope_scaling: Optional[Dict[str, Any]]) -> float:
+    """YaRN attention scaling (``mscale``) multiplying cos/sin — HF
+    ``attention_factor`` (default 0.1·ln(factor) + 1)."""
+    if not rope_scaling:
+        return 1.0
+    rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+    if rtype != "yarn":
+        return 1.0
+    af = rope_scaling.get("attention_factor")
+    if af is not None:
+        return float(af)
+    mscale = rope_scaling.get("mscale")
+    if mscale is not None:
+        return float(
+            0.1 * float(mscale) * math.log(rope_scaling["factor"]) + 1.0
+        )
+    return float(0.1 * math.log(rope_scaling["factor"]) + 1.0)
 
 
 def apply_rope(

@@ -50,6 +50,9 @@ class LlamaForCausalLM:
 
     has_qkv_bias = False
     has_qk_norm = False
+    has_o_bias = False
+    # YaRN attention factor multiplying cos/sin (rotary.py)
+    rope_mscale = 1.0
 
     def __init__(self, config: ModelConfig, mesh_ctx=None):
         self.config = config
@@ -772,8 +775,8 @@ class LlamaForCausalLM:
                 kv_scales = (kvs[0], kvs[1]) if fp8_kv else None
                 proj = make_proj(w, la, lb, li)
                 angles = pos_f * inv_freq  # [B, Lq, rot/2]
-                cos = jnp.cos(angles)[..., None, :]  # [B, Lq, 1, rot/2]
-                sin = jnp.sin(angles)[..., None, :]
+                cos = jnp.cos(angles)[..., None, :] * self.rope_mscale
+                sin = jnp.sin(angles)[..., None, :] * self.rope_mscale
                 # --- attention block ---
                 normed = self._norm(h, w["input_ln"])
                 q = proj(normed, "q_proj")
@@ -848,9 +851,12 @@ class LlamaForCausalLM:
                         sliding_window=window,
                         backend=attn_backend,
                         kv_scales=kv_scales,
+                        sinks=w.get("sinks"),
                     )
                 attn_out = attn_out.reshape(B, Lq, hq * d)
                 attn_out = proj(attn_out, "o_proj")
+                if self.has_o_bias:
+                    attn_out = attn_out + w["o_bias"]
                 if self.has_post_norms:
                     attn_out = self._norm(attn_out, w["post_attn_ln"])
                 h = h + attn_out

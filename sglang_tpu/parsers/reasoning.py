@@ -73,3 +73,39 @@ class ReasoningParser:
             if text.endswith(tag[:n]):
                 return n
         return 0
+
+
+class HarmonyParser(ReasoningParser):
+    """GPT-OSS harmony channel separation (reference harmony parser):
+    ``<|channel|>analysis<|message|>…<|end|><|start|>assistant
+    <|channel|>final<|message|>…`` — the analysis channel is reasoning,
+    the final channel is the visible answer."""
+
+    def __init__(self):
+        super().__init__(in_reasoning=False)
+
+    def parse(self, full_text: str):
+        import re
+
+        chans = re.findall(
+            r"<\|channel\|>(\w+)<\|message\|>(.*?)"
+            r"(?=<\|end\|>|<\|channel\|>|<\|start\|>|<\|return\|>|$)",
+            full_text,
+            re.DOTALL,
+        )
+        if not chans:
+            return "", full_text
+        reasoning = "\n".join(
+            body for name, body in chans if name == "analysis"
+        ).strip()
+        final = "\n".join(
+            body for name, body in chans if name == "final"
+        ).strip()
+        return reasoning, final
+
+
+def reasoning_parser_for(name: str):
+    """Named reasoning parsers (reference --reasoning-parser registry)."""
+    if name in ("gpt-oss", "harmony"):
+        return HarmonyParser()
+    return ReasoningParser()
