@@ -217,6 +217,42 @@ class ModelRunner:
             ),
         )
         self.kv_cache = self.kv_pool.kv_cache
+        if getattr(server_args, "enable_double_sparsity", False):
+            # Double-sparsity decode (reference double_sparsity_backend):
+            # the KV cache gains a LABEL sibling — r key channels per kv
+            # head — that rides the same pytree through every jitted step
+            from sglang_tpu.ops.sparse_attention import label_channels
+
+            g = self.kv_pool.geometry
+            if model_config.attention_arch.name == "MLA":
+                raise ValueError(
+                    "--enable-double-sparsity does not support MLA"
+                )
+            r = min(server_args.ds_channels, g.head_dim)
+            ch = label_channels(g.head_dim, g.num_kv_heads, r)
+            self.kv_cache = {
+                "kv": self.kv_cache,
+                "labels": jax.device_put(
+                    jnp.zeros(
+                        (
+                            g.num_layers * g.num_pages,
+                            g.page_size,
+                            len(ch),
+                        ),
+                        g.dtype,
+                    ),
+                    self.mesh_ctx.replicated,
+                ),
+            }
+            from types import SimpleNamespace
+
+            self.model._ds = SimpleNamespace(
+                channels=ch, top_pages=server_args.ds_top_pages,
+            )
+            logger.info(
+                "double sparsity: %d label channels/head, top %d pages",
+                r, server_args.ds_top_pages,
+            )
         if getattr(self.model, "is_stateful", False):
             # SSM families: a fixed-size recurrent STATE POOL replaces
             # the KV cache, slot-indexed by each request's first page id
@@ -312,6 +348,8 @@ class ModelRunner:
     def _pick_attn_backend(self, device) -> str:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
             return "xla"
+        if getattr(self.server_args, "enable_double_sparsity", False):
+            return "xla"  # label-cache + top-K-page path (XLA for now)
         if self.mesh_ctx.parallel.dcp:
             # DCP attention is its own shard_map path (page-sharded pool
             # + LSE merge, layers/context_parallel.py); the model bypasses
@@ -1244,8 +1282,11 @@ class ModelRunner:
 
     def extract_pages(self, pages) -> np.ndarray:
         """Fetch whole pages (all layers) to host: [n, L, ps, 2, HD]."""
-        assert self.kv_pool.geometry.dcp_shards == 1, (
-            "page extraction not supported with the DCP-sharded pool yet"
+        assert self.kv_pool.geometry.dcp_shards == 1 and not isinstance(
+            self.kv_cache, dict
+        ), (
+            "page extraction not supported with DCP-sharded or "
+            "double-sparsity/stateful cache layouts yet"
         )
         from sglang_tpu.utils import next_power_of_2
 

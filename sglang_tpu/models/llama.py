@@ -53,6 +53,8 @@ class LlamaForCausalLM:
     has_o_bias = False
     # YaRN attention factor multiplying cos/sin (rotary.py)
     rope_mscale = 1.0
+    # double-sparsity config (runner sets when --enable-double-sparsity)
+    _ds = None
 
     def __init__(self, config: ModelConfig, mesh_ctx=None):
         self.config = config
@@ -761,7 +763,8 @@ class LlamaForCausalLM:
             return self._apply_rope(x, cos, sin, rot_half, d)
 
         fp8_kv = (
-            jnp.issubdtype(kv_cache.dtype, jnp.floating)
+            not isinstance(kv_cache, dict)  # double-sparsity pytree
+            and jnp.issubdtype(kv_cache.dtype, jnp.floating)
             and jnp.finfo(kv_cache.dtype).bits == 8
         )
 
@@ -797,7 +800,55 @@ class LlamaForCausalLM:
                 k = self._shard(k, AXIS_DP, None, head_ax, None)
                 v = self._shard(v, AXIS_DP, None, head_ax, None)
                 q, k = rope(q, cos, sin), rope(k, cos, sin)
-                if self._dcp():
+                if getattr(self, "_ds", None) is not None:
+                    # double-sparsity: label-cache write + top-K-page
+                    # decode (ops/sparse_attention.py); prefill attends
+                    # dense over the kv half of the cache pytree
+                    from sglang_tpu.layers.attention import (
+                        attention_xla,
+                        gather_kv,
+                        write_kv,
+                    )
+                    from sglang_tpu.ops.sparse_attention import (
+                        sparse_paged_decode,
+                        write_labels,
+                    )
+
+                    ds = self._ds
+                    np_pages = num_slots // page_size
+                    kvbuf = write_kv(
+                        kv["kv"], k, v, batch.out_slots, li, num_slots
+                    )
+                    labels = write_labels(
+                        kv["labels"], k, batch.out_slots, li, np_pages,
+                        ds.channels,
+                    )
+                    kv = {"kv": kvbuf, "labels": labels}
+                    if (
+                        Lq == 1
+                        and batch.page_table.shape[1] > ds.top_pages
+                    ):
+                        attn_out = sparse_paged_decode(
+                            q, kvbuf, labels, batch.page_table,
+                            batch.seq_lens, li,
+                            num_pages=np_pages, page_size=page_size,
+                            sm_scale=self.sm_scale,
+                            channels=ds.channels,
+                            top_pages=ds.top_pages,
+                            sliding_window=window,
+                        )
+                    else:
+                        kc, vc = gather_kv(
+                            kvbuf, batch.page_table, li, num_slots,
+                            page_size, d,
+                        )
+                        attn_out = attention_xla(
+                            q, kc, vc, batch.positions, batch.seq_lens,
+                            self.sm_scale,
+                            logit_cap=c.attn_logit_softcap,
+                            sliding_window=window,
+                        )
+                elif self._dcp():
                     # decode context parallelism: pages sharded over tp,
                     # per-rank partials merge by LSE (layers/dcp/ role)
                     from sglang_tpu.layers.context_parallel import (

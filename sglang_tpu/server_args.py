@@ -126,6 +126,14 @@ class ServerArgs:
     # ---- dp attention ----
     enable_dp_attention: bool = False
 
+    # ---- double-sparsity decode attention (reference
+    # layers/attention/double_sparsity_backend.py) ----
+    # Long-context decode attends only the top-K pages per query, ranked
+    # by approximate scores over a thin label cache (r key channels).
+    enable_double_sparsity: bool = False
+    ds_channels: int = 16  # label channels per kv head
+    ds_top_pages: int = 32  # pages attended per decode query
+
     # ---- decode context parallelism (reference layers/dcp/) ----
     # KV pages shard over the tp axis (page p -> rank p % tp), attention
     # weights replicate, per-rank partials merge by LSE.  Lifts per-request
@@ -176,6 +184,15 @@ class ServerArgs:
             raise ValueError(
                 f"Unknown moe_a2a_backend {self.moe_a2a_backend!r}"
             )
+        if self.enable_double_sparsity:
+            if (
+                self.enable_dcp or self.cp_size > 1 or self.pp_size > 1
+                or self.kv_cache_dtype not in ("auto", "bfloat16")
+            ):
+                raise ValueError(
+                    "--enable-double-sparsity supports tp-only meshes "
+                    "with native-dtype KV for now"
+                )
         if self.enable_dcp:
             if self.tp_size < 2:
                 raise ValueError("--enable-dcp requires tp_size >= 2")
