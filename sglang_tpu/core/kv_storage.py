@@ -138,3 +138,174 @@ class AsyncStorageWriter:
 
     def close(self):
         self._q.put(None)
+
+
+class HTTPKVStorage(KVStorageBackend):
+    """Remote KV-pool client over plain HTTP (the role of the
+    reference's mooncake_store / lmcache / nixl connectors: a shared
+    cache cluster that outlives any one engine).  Wire format: raw
+    little-endian float bytes with dtype/shape in headers; stdlib
+    urllib only.  Pair with :class:`KVStorageServer` or any object
+    store speaking PUT/GET/HEAD/DELETE."""
+
+    def __init__(self, base_url: str, timeout: float = 5.0):
+        self.base = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _url(self, key: str) -> str:
+        return f"{self.base}/kv/{key}"
+
+    def put(self, key: str, data: np.ndarray) -> None:
+        import urllib.request
+
+        data = np.ascontiguousarray(data)
+        req = urllib.request.Request(
+            self._url(key), data=data.tobytes(), method="PUT",
+            headers={
+                "X-Dtype": str(data.dtype),
+                "X-Shape": ",".join(str(d) for d in data.shape),
+            },
+        )
+        urllib.request.urlopen(req, timeout=self.timeout).read()
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                urllib.request.Request(self._url(key)),
+                timeout=self.timeout,
+            ) as r:
+                dtype = np.dtype(r.headers["X-Dtype"])
+                shape = tuple(
+                    int(x) for x in r.headers["X-Shape"].split(",") if x
+                )
+                return np.frombuffer(r.read(), dtype).reshape(shape)
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+        except OSError:
+            return None
+
+    def exists(self, key: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(self._url(key), method="HEAD"),
+                timeout=self.timeout,
+            ).read()
+            return True
+        except urllib.error.HTTPError:
+            return False
+        except OSError:
+            return False
+
+    def delete(self, key: str) -> None:
+        import urllib.error
+        import urllib.request
+
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(self._url(key), method="DELETE"),
+                timeout=self.timeout,
+            ).read()
+        except (urllib.error.HTTPError, OSError):
+            pass
+
+
+class KVStorageServer:
+    """In-memory KV-pool server for :class:`HTTPKVStorage` — the
+    standalone "remote cache cluster" process (run:
+    ``python -m sglang_tpu.core.kv_storage --port N``)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+
+        store = self.store = {}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _key(self):
+                return self.path.rsplit("/", 1)[-1]
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", 0))
+                store[self._key()] = (
+                    self.rfile.read(n),
+                    self.headers.get("X-Dtype", "uint8"),
+                    self.headers.get("X-Shape", ""),
+                )
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def _found(self, head_only: bool):
+                ent = store.get(self._key())
+                if ent is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                body, dtype, shape = ent
+                self.send_response(200)
+                self.send_header("X-Dtype", dtype)
+                self.send_header("X-Shape", shape)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if not head_only:
+                    self.wfile.write(body)
+
+            def do_GET(self):
+                self._found(False)
+
+            def do_HEAD(self):
+                self._found(True)
+
+            def do_DELETE(self):
+                store.pop(self._key(), None)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        import socketserver
+
+        class Srv(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            daemon_threads = True
+
+        self.httpd = Srv((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+
+
+def make_storage_backend(spec: str) -> KVStorageBackend:
+    """Backend factory: ``http://host:port`` → HTTPKVStorage, anything
+    else → FileKVStorage directory (reference backend registry role)."""
+    if spec.startswith(("http://", "https://")):
+        return HTTPKVStorage(spec)
+    return FileKVStorage(spec)
+
+
+if __name__ == "__main__":
+    import argparse
+    import time as _time
+
+    ap = argparse.ArgumentParser(description="standalone KV-pool server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=30100)
+    a = ap.parse_args()
+    srv = KVStorageServer(a.host, a.port)
+    print(f"kv storage server on {a.host}:{srv.port}", flush=True)
+    while True:
+        _time.sleep(60)

@@ -281,9 +281,13 @@ class Scheduler:
             )
             storage = None
             if server_args.hicache_storage_dir:
-                from sglang_tpu.core.kv_storage import FileKVStorage
+                # directory path → shared-FS file backend; http(s) URL →
+                # remote KV-pool client (mooncake/lmcache connector role)
+                from sglang_tpu.core.kv_storage import make_storage_backend
 
-                storage = FileKVStorage(server_args.hicache_storage_dir)
+                storage = make_storage_backend(
+                    server_args.hicache_storage_dir
+                )
                 logger.info(
                     "HiCache storage tier: %s",
                     server_args.hicache_storage_dir,
