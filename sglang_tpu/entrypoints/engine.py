@@ -142,11 +142,71 @@ class Engine:
                 self.mm_processor.n_patches,
             )
 
+        # PD-over-HTTP roles (reference --disaggregation-mode): the
+        # decode engine hosts the KV bootstrap rendezvous; prefill
+        # engines stream page slabs to it per bootstrap_room.
+        self.pd_bootstrap = None
+        self._pd_transfers: Dict[str, Any] = {}
+        if server_args.disaggregation_mode == "decode":
+            from sglang_tpu.disaggregation.conn import KVBootstrapServer
+
+            self.pd_bootstrap = KVBootstrapServer(
+                host=server_args.host, port=server_args.pd_bootstrap_port
+            )
+            logger.info(
+                "PD decode role: KV bootstrap on %s:%d",
+                self.pd_bootstrap.host, self.pd_bootstrap.port,
+            )
+
         self._sched_thread = threading.Thread(
             target=self.scheduler.event_loop, name="scheduler", daemon=True
         )
         self._sched_thread.start()
         logger.info("Engine ready (model=%s)", server_args.model_path)
+
+    # ------------------------------------------------------- PD over HTTP
+    def pd_prefill_request(
+        self, input_ids, sampling_params, room: str, bootstrap_addr: str
+    ) -> dict:
+        """Prefill role: compute the prompt + first token, then stream
+        the KV pages to the decode engine's bootstrap server (the
+        scheduler's background sender overlaps further prefills)."""
+        sp = dict(sampling_params or {})
+        sp["max_new_tokens"] = 1
+        sp["ignore_eos"] = True
+        first = self.generate(input_ids=list(input_ids), sampling_params=sp)
+        ft = int(first["output_ids"][0])
+        host, port = bootstrap_addr.rsplit(":", 1)
+        key = bootstrap_addr
+        transfer = self._pd_transfers.get(key)
+        if transfer is None:
+            from sglang_tpu.disaggregation.conn import TcpKVTransfer
+
+            transfer = TcpKVTransfer(host, int(port), chunk_pages=8)
+            self._pd_transfers[key] = transfer
+        self.scheduler.queue_pd_send(
+            list(input_ids) + [ft], room, transfer,
+            {"input_ids": list(input_ids), "first_token": ft},
+        )
+        return {"first_token": ft, "bootstrap_room": room}
+
+    def pd_decode_request(
+        self, prompt, input_ids, sampling_params, room: str,
+        stream: bool = False, rid=None,
+    ):
+        """Decode role: register the incoming transfer with the
+        scheduler (pages prealloc on the meta frame, adoption on
+        completion) and serve like a normal request."""
+        assert self.pd_bootstrap is not None, "not a PD decode engine"
+        state = self._make_req(
+            prompt, input_ids, sampling_params, stream, rid
+        )
+        self.scheduler.register_pd_incoming(
+            state.req, room, self.pd_bootstrap
+        )
+        if stream:
+            return self._stream_iter(state)
+        return self._wait_final(state)
 
     # ----------------------------------------------------------- lifecycle
     def shutdown(self):
@@ -616,9 +676,15 @@ class Engine:
         return done.wait(timeout)
 
     def get_server_info(self) -> dict:
-        return {
+        info = {
             "model_path": self.server_args.model_path,
             "tokenizer_path": self.server_args.tokenizer_path,
             "version": __import__("sglang_tpu").__version__,
+            "disaggregation_mode": self.server_args.disaggregation_mode,
             **self.scheduler.stats(),
         }
+        if self.pd_bootstrap is not None:
+            info["pd_bootstrap"] = (
+                f"{self.pd_bootstrap.host}:{self.pd_bootstrap.port}"
+            )
+        return info

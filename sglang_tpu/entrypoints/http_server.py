@@ -337,6 +337,61 @@ class HttpServer:
     async def generate(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
         stream = bool(body.get("stream", False))
+        # PD-over-HTTP roles (reference disaggregation bootstrap_room):
+        # the gateway duplicates the request to the prefill and decode
+        # servers with matching bootstrap_room ids
+        pd_role = body.get("pd_role")
+        if pd_role == "prefill":
+            loop = asyncio.get_running_loop()
+            ids = body.get("input_ids")
+            if ids is None:
+                ids = self.tokenizer.encode(
+                    body.get("text", body.get("prompt"))
+                )
+            out = await loop.run_in_executor(
+                None,
+                lambda: self.engine.pd_prefill_request(
+                    ids, body.get("sampling_params"),
+                    body["bootstrap_room"], body["pd_bootstrap"],
+                ),
+            )
+            return web.json_response(out)
+        if pd_role == "decode":
+            if not stream:
+                loop = asyncio.get_running_loop()
+                out = await loop.run_in_executor(
+                    None,
+                    lambda: self.engine.pd_decode_request(
+                        body.get("text", body.get("prompt")),
+                        body.get("input_ids"),
+                        body.get("sampling_params"),
+                        body["bootstrap_room"],
+                        rid=body.get("rid"),
+                    ),
+                )
+                return web.json_response(out)
+            loop = asyncio.get_running_loop()
+            it = await loop.run_in_executor(
+                None,
+                lambda: self.engine.pd_decode_request(
+                    body.get("text", body.get("prompt")),
+                    body.get("input_ids"),
+                    body.get("sampling_params"),
+                    body["bootstrap_room"],
+                    stream=True,
+                    rid=body.get("rid"),
+                ),
+            )
+            resp = self._sse(request)
+            await resp.prepare(request)
+            while True:
+                out = await loop.run_in_executor(None, lambda: next(it, None))
+                if out is None:
+                    break
+                await self._write_sse(resp, out)
+            await self._write_sse(resp, "[DONE]")
+            await resp.write_eof()
+            return resp
         kwargs = dict(
             prompt=body.get("text", body.get("prompt")),
             input_ids=body.get("input_ids"),

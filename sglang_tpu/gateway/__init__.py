@@ -56,7 +56,10 @@ class GatewayProcess:
                  policy: str = "cache_aware",
                  cache_threshold: float = 0.5,
                  max_retries: int = 2,
-                 health_interval_ms: int = 2000):
+                 health_interval_ms: int = 2000,
+                 pd_prefill: Optional[str] = None,
+                 pd_decode: Optional[str] = None,
+                 pd_bootstrap: Optional[str] = None):
         binary = build_gateway()
         args = [binary, "--port", str(port), "--policy", policy,
                 "--cache-threshold", str(cache_threshold),
@@ -64,14 +67,23 @@ class GatewayProcess:
                 "--health-interval-ms", str(health_interval_ms)]
         for w in workers:
             args += ["--worker", w]
+        if pd_prefill and pd_decode and pd_bootstrap:
+            args += ["--pd-prefill", pd_prefill, "--pd-decode", pd_decode,
+                     "--pd-bootstrap", pd_bootstrap]
         self.proc = subprocess.Popen(
             args, stderr=subprocess.PIPE, text=True
         )
-        # wait for the listen banner (also captures the bound port)
-        line = self.proc.stderr.readline()
-        if "listening on port" not in line:
-            raise RuntimeError(f"gateway failed to start: {line!r}")
-        self.port = int(line.split("port")[1].split()[0])
+        # wait for the listen banner (also captures the bound port);
+        # other startup banners (PD routing etc.) may precede it
+        for _ in range(10):
+            line = self.proc.stderr.readline()
+            if "listening on port" in line:
+                self.port = int(line.split("port")[1].split()[0])
+                break
+            if not line:
+                raise RuntimeError("gateway exited before listening")
+        else:
+            raise RuntimeError("gateway never printed the listen banner")
 
     def stop(self):
         self.proc.terminate()

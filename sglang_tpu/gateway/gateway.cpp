@@ -284,6 +284,94 @@ Gateway g_gateway;
 std::atomic<int64_t> g_requests{0};
 std::atomic<int64_t> g_retries{0};
 
+// ------------------------------------------------------- PD routing
+// (reference PD router: each /generate duplicates to a prefill worker
+// and a decode worker with a shared bootstrap_room; the decode side's
+// response streams back to the client while the prefill side pushes
+// KV to the decode engine's bootstrap server.)
+struct PDConfig {
+  bool enabled = false;
+  std::string prefill_host, decode_host, bootstrap;
+  int prefill_port = 0, decode_port = 0;
+} g_pd;
+
+std::string inject_json_fields(const std::string& body,
+                               const std::string& fields) {
+  size_t p = body.find('{');
+  if (p == std::string::npos) return "{" + fields + "}";
+  std::string rest = body.substr(p + 1);
+  // empty object? avoid trailing comma
+  size_t q = rest.find_first_not_of(" \t\r\n");
+  bool empty = q != std::string::npos && rest[q] == '}';
+  return body.substr(0, p + 1) + fields + (empty ? "" : ",") + rest;
+}
+
+std::string rebuild_head(const std::string& head, size_t body_len) {
+  std::string h = head;
+  for (const char* k : {"Content-Length:", "content-length:"}) {
+    size_t p = h.find(k);
+    if (p != std::string::npos) {
+      size_t eol = h.find("\r\n", p);
+      h.erase(p, eol - p);
+      h.insert(p, std::string("Content-Length: ") +
+                     std::to_string(body_len));
+      return h;
+    }
+  }
+  h.insert(h.size() - 2,
+           "Content-Length: " + std::to_string(body_len) + "\r\n");
+  return h;
+}
+
+// POST to one host, relay response bytes to cfd (or drop when cfd<0).
+bool forward_once(const std::string& host, int port,
+                  const std::string& head, const std::string& body,
+                  int cfd) {
+  int ufd = connect_to(host, port);
+  if (ufd < 0) return false;
+  bool ok = send_all(ufd, head.data(), head.size()) &&
+            send_all(ufd, body.data(), body.size());
+  bool any = false;
+  if (ok) {
+    char tmp[16384];
+    ssize_t n;
+    while ((n = recv(ufd, tmp, sizeof(tmp), 0)) > 0) {
+      any = true;
+      if (cfd >= 0 && !send_all(cfd, tmp, n)) break;
+    }
+  }
+  close(ufd);
+  return ok && any;
+}
+
+void serve_pd(int cfd, const std::string& head, const std::string& body) {
+  static std::atomic<uint64_t> room_ctr{0};
+  char room[64];
+  snprintf(room, sizeof(room), "gwroom-%llu-%d",
+           (unsigned long long)(++room_ctr), (int)getpid());
+  std::string pre_body = inject_json_fields(
+      body, std::string("\"pd_role\":\"prefill\",\"bootstrap_room\":\"") +
+                room + "\",\"pd_bootstrap\":\"" + g_pd.bootstrap + "\"");
+  std::string dec_body = inject_json_fields(
+      body, std::string("\"pd_role\":\"decode\",\"bootstrap_room\":\"") +
+                room + "\"");
+  // prefill fires on its own thread (its KV lands at the bootstrap
+  // server); the decode response relays to the client
+  std::string pre_head = rebuild_head(head, pre_body.size());
+  std::thread([pre_head, pre_body]() {
+    forward_once(g_pd.prefill_host, g_pd.prefill_port, pre_head, pre_body,
+                 -1);
+  }).detach();
+  std::string dec_head = rebuild_head(head, dec_body.size());
+  if (!forward_once(g_pd.decode_host, g_pd.decode_port, dec_head, dec_body,
+                    cfd)) {
+    std::string resp = "HTTP/1.1 502 Bad Gateway\r\nContent-Length: 0\r\n"
+                       "Connection: close\r\n\r\n";
+    send_all(cfd, resp.data(), resp.size());
+  }
+  close(cfd);
+}
+
 // -------------------------------------------------------------- health
 // Active health checks (reference worker_manager health loop): probe
 // GET /health on every registered worker; `unhealthy_after` consecutive
@@ -415,6 +503,20 @@ void serve_client(int cfd) {
     return;
   }
 
+  if (g_pd.enabled && head.rfind("POST /generate", 0) == 0) {
+    std::string fwd = head;
+    size_t cp2 = fwd.find("Connection:");
+    if (cp2 == std::string::npos) cp2 = fwd.find("connection:");
+    if (cp2 != std::string::npos) {
+      size_t eol = fwd.find("\r\n", cp2);
+      fwd.erase(cp2, eol + 2 - cp2);
+    }
+    fwd.insert(fwd.size() - 2, "Connection: close\r\n");
+    ++g_requests;
+    serve_pd(cfd, fwd, body);
+    return;
+  }
+
   // force upstream connection close so EOF terminates the relay
   std::string fwd_head = head;
   size_t cp = fwd_head.find("Connection:");
@@ -489,11 +591,33 @@ int main(int argc, char** argv) {
       g_gateway.max_retries = atoi(argv[++i]);
     else if (a == "--health-interval-ms" && i + 1 < argc)
       health_interval_ms = atoi(argv[++i]);
+    else if (a == "--pd-prefill" && i + 1 < argc) {
+      std::string spec = argv[++i];
+      size_t c = spec.rfind(':');
+      g_pd.prefill_host = spec.substr(0, c);
+      g_pd.prefill_port = atoi(spec.c_str() + c + 1);
+    } else if (a == "--pd-decode" && i + 1 < argc) {
+      std::string spec = argv[++i];
+      size_t c = spec.rfind(':');
+      g_pd.decode_host = spec.substr(0, c);
+      g_pd.decode_port = atoi(spec.c_str() + c + 1);
+    } else if (a == "--pd-bootstrap" && i + 1 < argc)
+      g_pd.bootstrap = argv[++i];
     else if (a == "--worker" && i + 1 < argc) {
       std::string spec = argv[++i];
       size_t c = spec.rfind(':');
       g_gateway.add_worker(spec.substr(0, c), atoi(spec.c_str() + c + 1));
     }
+  }
+  g_pd.enabled = g_pd.prefill_port > 0 && g_pd.decode_port > 0 &&
+                 !g_pd.bootstrap.empty();
+  if (g_pd.enabled) {
+    // non-PD routes (health checks etc.) fall back to the decode worker
+    if (g_gateway.snapshot(false).empty())
+      g_gateway.add_worker(g_pd.decode_host, g_pd.decode_port);
+    fprintf(stderr, "gateway: PD routing %s:%d (prefill) + %s:%d (decode)\n",
+            g_pd.prefill_host.c_str(), g_pd.prefill_port,
+            g_pd.decode_host.c_str(), g_pd.decode_port);
   }
   if (g_gateway.snapshot(false).empty()) {
     fprintf(stderr, "gateway: no --worker given\n");

@@ -123,6 +123,14 @@ class ServerArgs:
     # ---- grpc ----
     grpc_port: Optional[int] = None  # serve sglang.runtime.v1 when set
 
+    # ---- PD disaggregation over HTTP (reference --disaggregation-mode) ----
+    # "decode" starts a KV bootstrap server (prefill engines stream page
+    # slabs to it); requests carrying pd_role/bootstrap_room route into
+    # the PD scheduler lifecycle.  The gateway's --pd-prefill/--pd-decode
+    # duplicates each request to both roles.
+    disaggregation_mode: str = "none"  # none | prefill | decode
+    pd_bootstrap_port: int = 0  # 0 = auto
+
     # ---- dp attention ----
     enable_dp_attention: bool = False
 

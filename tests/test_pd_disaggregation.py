@@ -193,3 +193,109 @@ def test_pd_over_tcp_bootstrap():
         prefill.shutdown()
         decode.shutdown()
         single.shutdown()
+
+
+def test_pd_over_http_through_gateway():
+    """PD across PROCESS boundaries: prefill and decode HTTP servers +
+    the C++ gateway's PD routing (--pd-prefill/--pd-decode). Each
+    /generate duplicates to both roles with a shared bootstrap_room;
+    KV streams prefill→decode over the bootstrap socket and the decode
+    response returns through the gateway. Token-exact vs a unified
+    engine (reference PD router + disaggregation bootstrap flow)."""
+    import asyncio
+    import socket
+    import threading
+    import time as _t
+
+    import httpx
+    from aiohttp import web
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.entrypoints.http_server import build_app
+    from sglang_tpu.gateway import GatewayProcess
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import TINY_HF_CONFIG, make_server_args
+
+    def _free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    def start_server(mode):
+        args = make_server_args(
+            host="127.0.0.1", port=_free_port(),
+            disaggregation_mode=mode,
+        )
+        runner = ModelRunner(
+            args,
+            model_config=ModelConfig.from_hf_dict(
+                TINY_HF_CONFIG, dtype="float32"),
+        )
+        eng = Engine(server_args=args, model_runner=runner)
+        app = build_app(eng, args)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+
+        def run():
+            asyncio.set_event_loop(loop)
+
+            async def start():
+                r = web.AppRunner(app)
+                await r.setup()
+                await web.TCPSite(r, args.host, args.port).start()
+                started.set()
+
+            loop.run_until_complete(start())
+            loop.run_forever()
+
+        threading.Thread(target=run, daemon=True).start()
+        assert started.wait(20)
+        for _ in range(50):
+            try:
+                if httpx.get(
+                    f"http://127.0.0.1:{args.port}/health", timeout=2
+                ).status_code == 200:
+                    break
+            except Exception:
+                _t.sleep(0.2)
+        return eng, loop, args
+
+    pre_eng, pre_loop, pre_args = start_server("prefill")
+    dec_eng, dec_loop, dec_args = start_server("decode")
+    uni = _engine()
+    gw = None
+    try:
+        info = httpx.get(
+            f"http://127.0.0.1:{dec_args.port}/get_server_info", timeout=10
+        ).json()
+        bootstrap = info["pd_bootstrap"]
+        gw = GatewayProcess(
+            0, [],
+            pd_prefill=f"127.0.0.1:{pre_args.port}",
+            pd_decode=f"127.0.0.1:{dec_args.port}",
+            pd_bootstrap=bootstrap,
+        )
+        base = f"http://127.0.0.1:{gw.port}"
+        sp = {"temperature": 0.0, "max_new_tokens": 10, "ignore_eos": True}
+        for i in range(3):
+            prompt = [5 + i, 9, 203, 17, 42, 7, 310, 8, 11 + i]
+            r = httpx.post(base + "/generate", json={
+                "input_ids": prompt, "sampling_params": dict(sp),
+            }, timeout=90)
+            assert r.status_code == 200, r.text
+            got = r.json()["output_ids"]
+            ref = uni.generate(
+                input_ids=list(prompt), sampling_params=dict(sp)
+            )["output_ids"]
+            assert got == ref, (got, ref)
+        # KV actually moved between the processes
+        assert pre_eng.scheduler.num_pd_sent >= 3
+        assert dec_eng.scheduler.num_pd_adopted >= 3
+    finally:
+        if gw is not None:
+            gw.stop()
+        for loop, eng in ((pre_loop, pre_eng), (dec_loop, dec_eng)):
+            loop.call_soon_threadsafe(loop.stop)
+            eng.shutdown()
+        uni.shutdown()
