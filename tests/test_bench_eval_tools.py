@@ -57,3 +57,51 @@ def test_gsm8k_harness_accuracy():
     assert r["n"] == 4
     assert r["accuracy"] == 0.5  # 2 of 4 correct
     assert r["invalid_rate"] == 0.25  # 'gibberish'
+
+
+# ---------------------------------------------------- schedule simulator
+def test_sched_sim_runs_and_reports():
+    """Discrete-event schedule simulator drives the PRODUCTION
+    PrefillAdder/policy/ratio-tracker (reference schedule-replay debug
+    tooling role)."""
+    from sglang_tpu.debug_utils.sched_sim import Workload, simulate
+
+    rep = simulate(
+        Workload.poisson(n=32, rate_rps=8.0, prompt_len=256,
+                         output_len=64, seed=0),
+        policy="fcfs", max_total_tokens=16384,
+    )
+    s = rep.summary()
+    assert s["decode_windows"] > 0 and s["prefill_steps"] > 0
+    assert s["median_ttft_s"] >= 0 and s["median_e2e_s"] > 0
+    assert 0 < s["utilization"] <= 1.0
+    assert len(rep.ttft) == 32 and np.isfinite(rep.ttft).all()
+
+
+def test_sched_sim_memory_pressure_retracts():
+    """A pool far too small for the burst must trigger the production
+    retraction path and still complete every request."""
+    from sglang_tpu.debug_utils.sched_sim import Workload, simulate
+
+    rep = simulate(
+        Workload.burst(n=16, prompt_len=32, output_len=512),
+        policy="fcfs", max_total_tokens=2048, max_running_requests=16,
+        conservativeness=0.3,  # optimistic admission -> pressure later
+    )
+    assert rep.retractions > 0
+    assert np.isfinite(rep.e2e).all()
+
+
+def test_sched_sim_policy_comparison():
+    """Different admission policies produce (at least) a valid report —
+    the point of the simulator: compare them without hardware."""
+    from sglang_tpu.debug_utils.sched_sim import Workload, simulate
+
+    outs = {}
+    for pol in ("fcfs", "lpm", "lof", "random"):
+        outs[pol] = simulate(
+            Workload.poisson(n=24, rate_rps=6.0, prompt_len=128,
+                             output_len=32, seed=1),
+            policy=pol, max_total_tokens=8192,
+        ).summary()
+    assert all(o["decode_windows"] > 0 for o in outs.values())
