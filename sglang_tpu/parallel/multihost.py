@@ -136,27 +136,28 @@ class LeaderRunner:
                     adapter_idx=None, embeds=None, tl_k=0,
                     capture_ecounts=False, return_async=False,
                     use_cp=False):
-        assert embeds is None, (
-            "multimodal inputs are single-host (the vision tower runs in "
-            "the tokenizer process; broadcast of embed rows lands later)"
-        )
         # capture_ecounts broadcasts in the vmask flag's bit 1 so every
-        # host compiles/executes the same extend variant
+        # host compiles/executes the same extend variant; multimodal
+        # embed rows broadcast as one [B, L, H] f32 buffer (the vision
+        # tower runs only on the leader — protocol v3)
         desc = np.zeros(DESC_LEN, np.int32)
         # the use_chain flag slot carries use_cp for K_EXTEND (decode-only
         # vs extend-only flags share the wire slot)
         flags = list(self._flags(pen, vmask, adapter_idx, tl_k,
                                  use_chain=1 if use_cp else 0))
         flags[1] |= (1 if capture_ecounts else 0) << 1
+        flags[1] |= (1 if embeds is not None else 0) << 2
         desc[:9] = (K_EXTEND, B, L, P, *flags)
-        self._send(
-            desc,
-            [packed.astype(np.int32), st_packed]
-            + self._opt_bufs(B, pen, vmask, adapter_idx),
+        bufs = [packed.astype(np.int32), st_packed] + self._opt_bufs(
+            B, pen, vmask, adapter_idx
         )
+        if embeds is not None:
+            bufs.append(np.ascontiguousarray(embeds, np.float32))
+        self._send(desc, bufs)
         return self.runner.extend_step(
             packed, st_packed, B, L, P, pen=pen, vmask=vmask,
-            adapter_idx=adapter_idx, tl_k=tl_k, use_cp=use_cp,
+            adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
+            use_cp=use_cp,
             capture_ecounts=capture_ecounts, return_async=return_async,
         )
 
@@ -318,6 +319,7 @@ def follower_loop(runner):
         desc = np.asarray(_bcast(np.zeros(DESC_LEN, np.int32), False))
         kind, B, LK, P, penf, um, ul, tl_k, uc = (int(x) for x in desc[:9])
         use_pen, pen_w = penf & 1, penf >> 1
+        use_embeds = (um >> 2) & 1
         use_ecounts, um = (um >> 1) & 1, um & 1
         if kind == K_STOP:
             logger.info("follower loop stopping")
@@ -340,10 +342,16 @@ def follower_loop(runner):
                     np.zeros((B, mask_w), np.uint32), False))
             if ul:
                 adapter_idx = np.asarray(_bcast(np.zeros((B,), np.int32), False))
+            embeds = None
+            if kind == K_EXTEND and use_embeds:
+                H = runner.model_config.hidden_size
+                embeds = np.asarray(_bcast(
+                    np.zeros((B, LK, H), np.float32), False))
             if kind == K_EXTEND:
                 runner.extend_step(
                     packed, st, B, LK, P, pen=pen, vmask=vmask,
-                    adapter_idx=adapter_idx, tl_k=tl_k, use_cp=bool(uc),
+                    adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
+                    use_cp=bool(uc),
                     capture_ecounts=bool(use_ecounts),
                 )
             else:

@@ -350,3 +350,97 @@ def test_multihost_eagle(tmp_path):
         assert mh_ids == ref["output_ids"], (mh_ids, ref["output_ids"])
     finally:
         eng.shutdown()
+
+
+EMBEDS_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_NUM_CPU_DEVICES"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+rank = int(sys.argv[1])
+addr = sys.argv[2]
+
+from sglang_tpu.configs.model_config import ModelConfig
+from sglang_tpu.parallel.multihost import run_node
+from sglang_tpu.server_args import ServerArgs
+
+TINY = {
+    "architectures": ["LlamaForCausalLM"], "hidden_size": 64,
+    "intermediate_size": 128, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+    "vocab_size": 512, "max_position_embeddings": 1024,
+    "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+    "tie_word_embeddings": False, "eos_token_id": 257, "model_type": "llama",
+}
+args = ServerArgs(
+    model_path="dummy://tiny", tokenizer_path="test:byte",
+    load_format="dummy", dtype="float32", page_size=8,
+    max_total_tokens=2048, tp_size=2, nnodes=2, node_rank=rank,
+    dist_init_addr=addr,
+)
+cfg = ModelConfig.from_hf_dict(TINY, dtype="float32")
+eng = run_node(args, model_config=cfg)
+if rank == 0:
+    prompt = [5, 9, 2, 7, 1, 3]
+    sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+    base = eng.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    # splice token 2's own embedding row via the multimodal path —
+    # broadcast to the follower (protocol v3 embeds buffer)
+    runner = eng.scheduler.runner.runner  # unwrap LeaderRunner
+    # the embedding is vocab-sharded across hosts: token 2's row lives
+    # in this host's (first) shard
+    shard = runner.params["embed"].addressable_shards[0]
+    row0 = shard.index[0].start or 0
+    emb_local = np.asarray(shard.data).astype(np.float32)
+    state = eng._make_req(None, list(prompt), dict(sp), False, None)
+    req = state.req
+    req.fill_ids[2] = -1
+    req.input_embeds = emb_local[prompt[2] - row0][None, :]
+    eng.scheduler.add_request(req)
+    out = eng._wait_final(state)
+    print("RESULT " + json.dumps(
+        [base["output_ids"], out["output_ids"]]
+    ), flush=True)
+    eng.scheduler.runner.stop_followers()
+    eng.shutdown()
+"""
+
+
+def test_multihost_multimodal_embeds(tmp_path):
+    """Protocol v3: input-embeds rows broadcast to followers (the vision
+    tower runs only on the leader) — spliced output must equal the
+    plain-token output."""
+    addr = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker_embeds.py"
+    script.write_text(EMBEDS_WORKER)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(rank), addr],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, cwd=repo, text=True,
+        )
+        for rank in (0, 1)
+    ]
+    try:
+        out0, _ = procs[0].communicate(timeout=300)
+        out1, _ = procs[1].communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost embeds workers timed out")
+    assert procs[0].returncode == 0, out0[-2000:]
+    assert procs[1].returncode == 0, out1[-2000:]
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
+    assert line, out0[-2000:]
+    base_ids, spliced_ids = json.loads(line[0][len("RESULT "):])
+    assert base_ids == spliced_ids, (base_ids, spliced_ids)
