@@ -1424,8 +1424,6 @@ class Scheduler:
         FSM tables within budget."""
         from sglang_tpu.constrained.token_fsm import build_device_fsm
 
-        if getattr(self.runner, "is_multihost_leader", False):
-            return False  # protocol broadcasts CPU-filled masks instead
         for r in reqs:
             if r.grammar is None or r.grammar.is_terminated:
                 continue
@@ -1441,8 +1439,6 @@ class Scheduler:
             for r in batch.reqs
         ):
             return None
-        if getattr(self.runner, "is_multihost_leader", False):
-            return None  # protocol broadcasts CPU-filled masks instead
         from sglang_tpu.constrained.token_fsm import build_device_fsm
         from sglang_tpu.utils import next_power_of_2
 

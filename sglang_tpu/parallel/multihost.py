@@ -164,22 +164,32 @@ class LeaderRunner:
     def decode_window_async(self, packed, st_packed, B, P, K, pen=None,
                             vmask=None, adapter_idx=None, tl_k=0,
                             chain_tokens=None, fsm=None):
-        assert fsm is None, (
-            "device-FSM grammar is single-host; the scheduler falls back "
-            "to CPU mask fill under a multi-host leader"
-        )
         desc = np.zeros(DESC_LEN, np.int32)
         desc[:9] = (K_DECODE_ASYNC, B, K, P,
                     *self._flags(pen, vmask, adapter_idx, tl_k,
                                  use_chain=1 if chain_tokens is not None else 0))
-        self._send(
-            desc,
-            [packed.astype(np.int32), st_packed]
-            + self._opt_bufs(B, pen, vmask, adapter_idx),
+        bufs = [packed.astype(np.int32), st_packed] + self._opt_bufs(
+            B, pen, vmask, adapter_idx
         )
+        if fsm is not None:
+            # device-FSM grammar tables (protocol v3): per-grammar
+            # (mask_bits [Si, W], next_state [Si, V]) + state0 + bucket;
+            # Si rides a length vector, W/V derive from the vocab
+            parts, state0, bucket = fsm
+            desc[9] = len(parts)
+            desc[10] = bucket
+            bufs.append(
+                np.asarray([m.shape[0] for m, _ in parts], np.int32)
+            )
+            for m, nx in parts:
+                bufs.append(np.asarray(m, np.uint32))
+                bufs.append(np.asarray(nx, np.int32))
+            bufs.append(np.asarray(state0, np.int32))
+        self._send(desc, bufs)
         return self.runner.decode_window_async(
             packed, st_packed, B, P, K, pen=pen, vmask=vmask,
             adapter_idx=adapter_idx, tl_k=tl_k, chain_tokens=chain_tokens,
+            fsm=fsm,
         )
 
     def decode_window_fetch(self, handle):
@@ -358,9 +368,26 @@ def follower_loop(runner):
                 chain = (
                     last_handle[2] if (uc and last_handle is not None) else None
                 )
+                fsm = None
+                n_fsm, fsm_bucket = int(desc[9]), int(desc[10])
+                if n_fsm > 0:
+                    V = runner.model_config.vocab_size
+                    sizes = np.asarray(_bcast(
+                        np.zeros((n_fsm,), np.int32), False))
+                    parts = []
+                    for si in sizes:
+                        m = np.asarray(_bcast(
+                            np.zeros((int(si), mask_w), np.uint32), False))
+                        nx = np.asarray(_bcast(
+                            np.zeros((int(si), V), np.int32), False))
+                        parts.append((m, nx))
+                    state0 = np.asarray(_bcast(
+                        np.zeros((B,), np.int32), False))
+                    fsm = (tuple(parts), state0, fsm_bucket)
                 last_handle = runner.decode_window_async(
                     packed, st, B, P, LK, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, tl_k=tl_k, chain_tokens=chain,
+                    fsm=fsm,
                 )
         elif kind == K_EAGLE_EXTEND:
             packed = np.asarray(_bcast(
