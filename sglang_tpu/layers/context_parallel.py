@@ -165,6 +165,12 @@ def dcp_paged_attention(
     HD = kv_cache.shape[-1]
     C = batch.page_table.shape[1] * ps
 
+    # pages per flash chunk: bounds the gathered activation transient to
+    # O(B · PB · ps) instead of the full context length
+    n_pt = int(batch.page_table.shape[1])
+    PB = min(n_pt, 64)
+    n_chunks = -(-n_pt // PB)
+
     def fn(kv_local, q, k_new, v_new, out_slots, page_table, positions,
            seq_lens, li):
         me = jax.lax.axis_index(axis)
@@ -179,44 +185,71 @@ def dcp_paged_attention(
         kv_local = kv_local.at[0, rows, fs % ps].set(
             vals, mode="drop", unique_indices=True
         )
-        # ---- gather this rank's slice of every request's context ----
-        cpos = jnp.arange(C, dtype=jnp.int32)  # slot index == position
-        pages = jnp.take_along_axis(
-            page_table, cpos[None, :] // ps, axis=1
-        )  # [B, C] global page per position
-        owned = (pages % dcp) == me
-        lrow = li * NPl + pages // dcp
-        lrow = jnp.where(owned, lrow, 0)
-        kv_ctx = kv_local[0][lrow, cpos[None, :] % ps]  # [B, C, 2, HD]
-        k_ctx = kv_ctx[:, :, 0].reshape(B, C, Hkv, D)
-        v_ctx = kv_ctx[:, :, 1].reshape(B, C, Hkv, D)
-        if Hq != Hkv:
-            rep = Hq // Hkv
-            k_ctx = jnp.repeat(k_ctx, rep, axis=2)
-            v_ctx = jnp.repeat(v_ctx, rep, axis=2)
-        # ---- masks: validity (per-rank ownership + length) + causal ----
-        scores = jnp.einsum(
-            "blhd,bchd->bhlc", q, k_ctx,
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if logit_cap:
-            scores = logit_cap * jnp.tanh(scores / logit_cap)
         qpos = positions  # [B, Lq]
-        causal = cpos[None, None, :] <= qpos[:, :, None]
-        valid = owned[:, None, :] & causal
-        valid = valid & (cpos[None, None, :] < seq_lens[:, None, None])
-        if sliding_window is not None:
-            win = jnp.asarray(sliding_window, jnp.int32)  # traced; <=0 off
-            in_win = cpos[None, None, :] > (qpos[:, :, None] - win)
-            valid = valid & (in_win | (win <= 0))
-        valid = valid[:, None]  # [B, 1, Lq, C] broadcast over heads
-        scores = jnp.where(valid, scores, NEG_INF)
-        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e20)
-        p = jnp.where(valid, jnp.exp(scores - m), 0.0)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jnp.einsum(
-            "bhlc,bchd->bhld", p, v_ctx.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        win = (
+            jnp.asarray(sliding_window, jnp.int32)
+            if sliding_window is not None
+            else None
+        )
+
+        # ---- flash accumulation over page CHUNKS of this rank's slice
+        # (peak gathered context = PB pages, not the full length) ----
+        def chunk_step(carry, ci):
+            m, l, acc = carry
+            pg0 = ci * PB
+            pages_c = jax.lax.dynamic_slice(
+                page_table, (0, pg0), (B, PB)
+            )  # [B, PB] global pages
+            cpos = (
+                pg0 * ps
+                + jnp.arange(PB * ps, dtype=jnp.int32)
+            )  # positions covered by this chunk
+            pages = jnp.repeat(pages_c, ps, axis=1)  # [B, PB*ps]
+            owned = (pages % dcp) == me
+            lrow = jnp.where(owned, li * NPl + pages // dcp, 0)
+            inpage = jnp.broadcast_to(
+                jnp.tile(jnp.arange(ps, dtype=jnp.int32), PB)[None],
+                (B, PB * ps),
+            )
+            kv_ctx = kv_local[0][lrow, inpage]  # [B, PB*ps, 2, HD]
+            k_ctx = kv_ctx[:, :, 0].reshape(B, PB * ps, Hkv, D)
+            v_ctx = kv_ctx[:, :, 1].reshape(B, PB * ps, Hkv, D)
+            if Hq != Hkv:
+                rep = Hq // Hkv
+                k_ctx = jnp.repeat(k_ctx, rep, axis=2)
+                v_ctx = jnp.repeat(v_ctx, rep, axis=2)
+            s = jnp.einsum(
+                "blhd,bchd->bhlc", q, k_ctx,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            causal = cpos[None, None, :] <= qpos[:, :, None]
+            valid = owned[:, None, :] & causal
+            valid = valid & (cpos[None, None, :] < seq_lens[:, None, None])
+            if win is not None:
+                in_win = cpos[None, None, :] > (qpos[:, :, None] - win)
+                valid = valid & (in_win | (win <= 0))
+            valid = valid[:, None]  # [B, 1, Lq, PB*ps]
+            s = jnp.where(valid, s, NEG_INF)
+            m_new = jnp.maximum(
+                m, jnp.max(s, axis=-1, keepdims=True)
+            )
+            corr = jnp.exp(m - m_new)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.einsum(
+                "bhlc,bchd->bhld", p, v_ctx.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l, acc), None
+
+        m0 = jnp.full((B, Hq, Lq, 1), -1e20, jnp.float32)
+        l0 = jnp.zeros((B, Hq, Lq, 1), jnp.float32)
+        a0 = jnp.zeros((B, Hq, Lq, D), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            chunk_step, (m0, l0, a0),
+            jnp.arange(n_chunks, dtype=jnp.int32),
         )
         # ---- exact LSE merge across ranks ----
         m_star = jax.lax.pmax(m, axis)
