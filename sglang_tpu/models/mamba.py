@@ -40,6 +40,58 @@ from jax.sharding import PartitionSpec as P
 from sglang_tpu.layers.norm import rms_norm
 
 
+def _chunked_ssd(x, dt, A, Bh, Ch, state0, chunk: int = 64):
+    """Chunked state-space-duality scan (Mamba2 SSD; the MXU-blocked
+    formulation the mamba_ssm CUDA kernels implement).
+
+    Shapes: x [B, L, H, P], dt [B, L, H], A [H], B/C [B, L, H, N],
+    state0 [B, H, P, N].  Within a chunk the output is a masked
+    attention-like product ``(C B^T ∘ decay) · (dt·x)``; across chunks
+    the state carries as ``h' = exp(Σa)·h + Σ decay_j (dt_j x_j ⊗ B_j)``.
+    Exactly equals the per-step recurrence (verified in tests)."""
+    Bsz, L, H, Pd = x.shape
+    Q = min(chunk, L)
+    while L % Q:
+        Q //= 2
+    nC = L // Q
+
+    a = dt * A  # [B, L, H] log-decay per step
+    xw = x * dt[..., None]  # dt-weighted inputs
+    # chunked views: [B, nC, Q, ...], scan over nC
+    def cview(t):
+        return jnp.moveaxis(
+            t.reshape(Bsz, nC, Q, *t.shape[2:]), 1, 0
+        )  # [nC, B, Q, ...]
+
+    def chunk_step(h, ops):
+        xc, ac, bc, cc = ops  # [B, Q, H, P] / [B, Q, H] / [B, Q, H, N] x2
+        cum = jnp.cumsum(ac, axis=1)  # [B, Q, H]
+        total = cum[:, -1]  # [B, H]
+        # intra-chunk: scores[i, j] = (C_i · B_j) exp(cum_i - cum_j), i >= j
+        scores = jnp.einsum("bqhn,bkhn->bhqk", cc, bc)
+        decay = cum[:, :, None] - cum[:, None, :]  # [B, Q(i), Q(j), H]
+        decay = jnp.transpose(decay, (0, 3, 1, 2))  # [B, H, Q, Q]
+        causal = jnp.tril(jnp.ones((Q, Q), bool))
+        gate = jnp.where(causal, jnp.exp(decay), 0.0)
+        y_intra = jnp.einsum("bhqk,bkhp->bqhp", scores * gate, xc)
+        # inter-chunk: contribution of the carried state
+        y_inter = jnp.einsum(
+            "bqhn,bhpn->bqhp", cc * jnp.exp(cum)[..., None], h
+        )
+        # state update: h' = exp(total)·h + Σ_j exp(total - cum_j) x_j ⊗ B_j
+        w = jnp.exp(total[:, None] - cum)  # [B, Q, H]
+        h_new = h * jnp.exp(total)[:, :, None, None] + jnp.einsum(
+            "bqhp,bqhn->bhpn", xc * w[..., None], bc
+        )
+        return h_new, y_intra + y_inter
+
+    state, ys = jax.lax.scan(
+        chunk_step, state0, (cview(xw), cview(a), cview(Bh), cview(Ch))
+    )
+    y = jnp.moveaxis(ys, 0, 1).reshape(Bsz, L, H, Pd)
+    return y, state
+
+
 class Mamba2ForCausalLM:
     """Pure-SSM causal LM (HF ``mamba2`` architecture)."""
 
@@ -255,27 +307,35 @@ class Mamba2ForCausalLM:
 
             sstate = pool_ssm[li][slot].astype(jnp.float32)
 
-            def step(state, t):
-                dA = jnp.exp(dt[:, t] * A)  # [B, nh]
+            if Lq == 1:
+                # decode: one recurrence step
+                dA = jnp.exp(dt[:, 0] * A)  # [B, nh]
                 upd = (
-                    dt[:, t, :, None, None]
-                    * x[:, t, :, :, None].astype(jnp.float32)
-                    * Bh[:, t, :, None, :].astype(jnp.float32)
+                    dt[:, 0, :, None, None]
+                    * x[:, 0, :, :, None].astype(jnp.float32)
+                    * Bh[:, 0, :, None, :].astype(jnp.float32)
                 )
-                state = state * dA[:, :, None, None] + upd
-                y_t = jnp.einsum(
-                    "bhpn,bhn->bhp", state,
-                    Ch[:, t].astype(jnp.float32),
+                sstate = sstate * dA[:, :, None, None] + upd
+                y = jnp.einsum(
+                    "bhpn,bhn->bhp", sstate,
+                    Ch[:, 0].astype(jnp.float32),
+                )[:, None]  # [B, 1, nh, hd]
+            else:
+                # prefill: chunked SSD (Mamba2 state-space duality) —
+                # within-chunk attention-like [Q, Q] matmuls (MXU) +
+                # inter-chunk state recurrence, exactly equal to the
+                # per-step scan
+                y, sstate = _chunked_ssd(
+                    x.astype(jnp.float32),
+                    dt,
+                    A,
+                    Bh.astype(jnp.float32),
+                    Ch.astype(jnp.float32),
+                    sstate,
                 )
-                return state, y_t
-
-            sstate, ys = jax.lax.scan(
-                step, sstate, jnp.arange(Lq, dtype=jnp.int32)
-            )
             pool_ssm = pool_ssm.at[li, slot].set(
                 sstate.astype(pool_ssm.dtype)
             )
-            y = jnp.moveaxis(ys, 0, 1)  # [B, Lq, nh, hd]
             y = y + w["D"][:, None] * x.astype(jnp.float32)
             y = y.reshape(B, Lq, di)
             # gated RMSNorm: norm(y * silu(z))

@@ -130,3 +130,28 @@ def test_mamba2_batched_requests_isolated(tmp_path):
             assert ob["output_ids"] == alone["output_ids"]
     finally:
         eng.shutdown()
+
+
+def test_mamba2_multi_chunk_ssd_prefill(tmp_path):
+    """A prompt spanning multiple SSD chunks (L bucket 128 -> two
+    64-step chunks, with in-chunk padding) stays token-exact vs HF —
+    validates the chunked state-space-duality math incl. the chunk
+    boundary state carry."""
+    torch = pytest.importorskip("torch")
+    hf = _save_hf(tmp_path)
+    eng = _engine(tmp_path, chunked_prefill_size=256)
+    try:
+        rng = np.random.RandomState(7)
+        prompt = rng.randint(1, 500, size=101).tolist()
+        out = eng.generate(
+            input_ids=list(prompt),
+            sampling_params={"temperature": 0.0, "max_new_tokens": 10,
+                             "ignore_eos": True},
+        )
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=10, do_sample=False,
+            )[0, len(prompt):].tolist()
+        assert out["output_ids"] == ref
+    finally:
+        eng.shutdown()
