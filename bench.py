@@ -14,8 +14,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Honor an explicit CPU request (the axon sitecustomize force-selects
+# the tpu tunnel otherwise — tests/smoke runs set JAX_PLATFORMS=cpu).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
