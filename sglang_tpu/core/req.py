@@ -108,6 +108,10 @@ class Req:
         # means "use input_embeds[-fill_ids[j] - 1]" instead of the token
         # embedding; reference Req.input_embeds / multimodal inputs)
         self.input_embeds = None  # Optional[np.ndarray [n_embeds, H]]
+        # M-RoPE (Qwen2-VL): 3-axis rotary positions for the prompt and
+        # the decode offset (max prompt rope position + 1 - prompt len)
+        self.mrope_positions = None  # Optional[np.ndarray [3, n_prompt]]
+        self.mrope_delta = 0
 
         # streaming bookkeeping (tokens already sent to detokenizer)
         self.sent_output_len = 0

@@ -45,7 +45,8 @@ class HostBatch:
 
     # -------------------------------------------------------------- extend
     def pack_extend(
-        self, page_size: int, B: int, L: int, P: int, cp: int = 1
+        self, page_size: int, B: int, L: int, P: int, cp: int = 1,
+        mrope: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         input_ids = np.zeros((B, L), np.int32)
         # cp > 1: padded positions get sentinel L (out of range) so the
@@ -89,8 +90,30 @@ class HostBatch:
             for i, n_new in enumerate(self.extend_lens):
                 logits_idx[i] = i * L + inv[n_new - 1]
 
+        mrope_pos = None
+        if mrope:
+            # M-RoPE (Qwen2-VL): per-token 3-axis rotary positions.  A
+            # request's prompt planes come from the processor; tokens
+            # past them (generated outputs on retract-replay) advance
+            # all axes by the request's delta.
+            mrope_pos = np.zeros((3, B, L), np.int32)
+            for i, (req, n_new) in enumerate(
+                zip(self.reqs, self.extend_lens)
+            ):
+                start = req.cached_len
+                mp = req.mrope_positions  # [3, n_prompt] or None
+                delta = int(getattr(req, "mrope_delta", 0) or 0)
+                for j in range(n_new):
+                    t = start + j
+                    if mp is not None and t < mp.shape[1]:
+                        mrope_pos[:, i, j] = mp[:, t]
+                    else:
+                        mrope_pos[:, i, j] = t + delta
+            if cp > 1:
+                mrope_pos = mrope_pos[:, :, perm]
         packed = pack_extend_batch(
-            input_ids, positions, out_slots, seq_lens, logits_idx, page_table
+            input_ids, positions, out_slots, seq_lens, logits_idx,
+            page_table, mrope_positions=mrope_pos,
         )
         return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
 
@@ -113,20 +136,25 @@ class HostBatch:
 
     # -------------------------------------------------------------- decode
     def pack_decode(
-        self, page_size: int, B: int, P: int, K: int
+        self, page_size: int, B: int, P: int, K: int, mrope: bool = False
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Decode window: each request's page list must already cover
         cached_len + K tokens."""
         first_tokens = np.zeros((B,), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         page_table = np.zeros((B, P), np.int32)
+        mrope_delta = np.zeros((B,), np.int32) if mrope else None
         for i, req in enumerate(self.reqs):
             first_tokens[i] = req.fill_ids[-1]
             seq_lens[i] = req.cached_len
             n_pages = cdiv(req.cached_len + K, page_size)
             assert n_pages <= len(req.pages), (n_pages, len(req.pages), req)
             page_table[i, :n_pages] = req.pages[:n_pages]
-        packed = pack_decode_batch(first_tokens, seq_lens, page_table)
+            if mrope:
+                mrope_delta[i] = int(getattr(req, "mrope_delta", 0) or 0)
+        packed = pack_decode_batch(
+            first_tokens, seq_lens, page_table, mrope_delta=mrope_delta
+        )
         return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
 
     def _pen_table(self, B: int):

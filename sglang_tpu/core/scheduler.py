@@ -128,6 +128,9 @@ class Scheduler:
         self.num_steps = 0
         self.num_generated_tokens = 0
         self.last_decode_tokens_per_s = 0.0
+        self._needs_mrope = getattr(
+            self.runner.model, "needs_mrope", False
+        )
         self.spec_algo = (server_args.speculative_algorithm or "").lower()
         self.spec_enabled = self.spec_algo in ("ngram", "eagle")
         self.num_spec_drafted = 0
@@ -860,7 +863,7 @@ class Scheduler:
         if cp > 1 and L % (2 * cp) != 0:
             cp = 1
         packed, st_packed, pen = batch.pack_extend(
-            self.page_size, B, L, P, cp=cp
+            self.page_size, B, L, P, cp=cp, mrope=self._needs_mrope
         )
         vmask = self._grammar_masks(batch, B)
         adapter_idx = self._lora_idx(batch, B)
@@ -1061,7 +1064,9 @@ class Scheduler:
                 self.decode_bs_buckets,
                 self.runner.max_pages_per_req,
             )
-            packed, _, _ = batch.pack_extend(self.page_size, B, L, P)
+            packed, _, _ = batch.pack_extend(
+                self.page_size, B, L, P, mrope=self._needs_mrope
+            )
             targets = self._score_targets(batch, B, L)
             self._flush_pending_emits()
             lp = self.runner.score_step(packed, targets, B, L, P)
@@ -1077,7 +1082,9 @@ class Scheduler:
                 self.decode_bs_buckets,
                 self.runner.max_pages_per_req,
             )
-            packed, _, _ = batch.pack_extend(self.page_size, B, L, P)
+            packed, _, _ = batch.pack_extend(
+                self.page_size, B, L, P, mrope=self._needs_mrope
+            )
             self._flush_pending_emits()
             emb = self.runner.embed_step(packed, B, L, P)
             self._process_embedding_result(batch, emb)
@@ -1304,7 +1311,9 @@ class Scheduler:
             self.runner.max_pages_per_req,
             K,
         )
-        packed, st_packed, pen = batch.pack_decode(self.page_size, B, P, K)
+        packed, st_packed, pen = batch.pack_decode(
+            self.page_size, B, P, K, mrope=self._needs_mrope
+        )
         fsm = self._grammar_device_tables(batch, B)
         vmask = None if fsm is not None else self._grammar_masks(batch, B)
         adapter_idx = self._lora_idx(batch, B)
@@ -1367,7 +1376,17 @@ class Scheduler:
             seq_lens[i] = r.cached_len + depth * K  # state after predecessor
             n_pages = cdiv(r.cached_len + ahead, self.page_size)
             page_table[i, :n_pages] = r.pages[:n_pages]
-        packed = pack_decode_batch(first_tokens, seq_lens, page_table)
+        mrope_delta = (
+            np.asarray(
+                [int(getattr(r, "mrope_delta", 0) or 0) for r in reqs]
+                + [0] * (B - len(reqs)), np.int32,
+            )
+            if self._needs_mrope
+            else None
+        )
+        packed = pack_decode_batch(
+            first_tokens, seq_lens, page_table, mrope_delta=mrope_delta
+        )
         st_packed = pack_sampling_params(reqs, B)
         # min_new_remaining is depth*K tokens stale (unabsorbed windows)
         st_packed[: len(reqs), 7] = np.maximum(
@@ -1587,7 +1606,9 @@ class Scheduler:
                 self.decode_bs_buckets,
                 self.runner.max_pages_per_req,
             )
-            packed, _, _ = verify.pack_extend(self.page_size, B, L, P)
+            packed, _, _ = verify.pack_extend(
+                self.page_size, B, L, P, mrope=self._needs_mrope
+            )
             tokens, logprobs = self.runner.verify_step(packed, B, L, P)
         finally:
             for r, d in zip(verify.reqs, drafts):

@@ -141,6 +141,15 @@ class Engine:
                 "Multimodal processor ready (%d patches per image)",
                 self.mm_processor.n_patches,
             )
+        elif any(
+            "Qwen2VL" in a or "Qwen2_5_VL" in a for a in cfg.architectures
+        ) and server_args.load_format in ("auto", "safetensors"):
+            from sglang_tpu.multimodal.qwen_vl import QwenVLProcessor
+
+            self.mm_processor = QwenVLProcessor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info("Qwen-VL processor ready (dynamic resolution)")
 
         # PD-over-HTTP roles (reference --disaggregation-mode): the
         # decode engine hosts the KV bootstrap rendezvous; prefill
@@ -280,6 +289,12 @@ class Engine:
             req.is_embedding = True
         if input_embeds is not None:
             req.input_embeds = input_embeds
+            if getattr(self.mm_processor, "needs_mrope", False):
+                # Qwen2-VL: 3-axis rotary positions for the expanded
+                # prompt + the decode offset (HF get_rope_index)
+                req.mrope_positions, req.mrope_delta = (
+                    self.mm_processor.mrope_positions(list(input_ids))
+                )
         if sp.regex or sp.json_schema or sp.ebnf:
             if self.grammar_manager is None:
                 raise ValueError("constrained decoding requires a tokenizer")

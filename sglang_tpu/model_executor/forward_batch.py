@@ -55,6 +55,11 @@ class DeviceBatch:
     page_table: jnp.ndarray  # [B, P] int32 page ids; pad = 0 (garbage page)
     out_slots: jnp.ndarray  # [B, L] int32 flat KV slot per new token
     logits_idx: jnp.ndarray  # [B] int32 index into [B*L] of last real token
+    # M-RoPE (Qwen2-VL): 3-axis rotary positions for prefill chunks with
+    # images, and the per-request scalar offset for decode (all three
+    # axes advance together after the last image).  None elsewhere.
+    mrope_positions: jnp.ndarray = None  # [3, B, L] int32 or None
+    mrope_delta: jnp.ndarray = None  # [B] int32 or None
 
     @property
     def batch_size(self) -> int:
@@ -67,9 +72,9 @@ class DeviceBatch:
 
 # Packed extend layout (all int32):
 #   [B*L input_ids | B*L positions | B*L out_slots | B seq_lens |
-#    B logits_idx | B*P page_table]
-def extend_packed_size(B: int, L: int, P: int) -> int:
-    return 3 * B * L + 2 * B + B * P
+#    B logits_idx | B*P page_table | (3*B*L mrope planes)]
+def extend_packed_size(B: int, L: int, P: int, mrope: bool = False) -> int:
+    return 3 * B * L + 2 * B + B * P + (3 * B * L if mrope else 0)
 
 
 def pack_extend_batch(
@@ -79,20 +84,24 @@ def pack_extend_batch(
     seq_lens: np.ndarray,  # [B]
     logits_idx: np.ndarray,  # [B]
     page_table: np.ndarray,  # [B, P]
+    mrope_positions: np.ndarray = None,  # [3, B, L] (M-RoPE models)
 ) -> np.ndarray:
-    return np.concatenate(
-        [
-            input_ids.ravel(),
-            positions.ravel(),
-            out_slots.ravel(),
-            seq_lens,
-            logits_idx,
-            page_table.ravel(),
-        ]
-    ).astype(np.int32)
+    parts = [
+        input_ids.ravel(),
+        positions.ravel(),
+        out_slots.ravel(),
+        seq_lens,
+        logits_idx,
+        page_table.ravel(),
+    ]
+    if mrope_positions is not None:
+        parts.append(np.asarray(mrope_positions).ravel())
+    return np.concatenate(parts).astype(np.int32)
 
 
-def unpack_extend_batch(packed: jnp.ndarray, B: int, L: int, P: int) -> DeviceBatch:
+def unpack_extend_batch(
+    packed: jnp.ndarray, B: int, L: int, P: int, mrope: bool = False
+) -> DeviceBatch:
     o = 0
     input_ids = packed[o : o + B * L].reshape(B, L); o += B * L
     positions = packed[o : o + B * L].reshape(B, L); o += B * L
@@ -100,6 +109,10 @@ def unpack_extend_batch(packed: jnp.ndarray, B: int, L: int, P: int) -> DeviceBa
     seq_lens = packed[o : o + B]; o += B
     logits_idx = packed[o : o + B]; o += B
     page_table = packed[o : o + B * P].reshape(B, P); o += B * P
+    mrope_positions = None
+    if mrope:
+        mrope_positions = packed[o : o + 3 * B * L].reshape(3, B, L)
+        o += 3 * B * L
     return DeviceBatch(
         input_ids=input_ids,
         positions=positions,
@@ -107,31 +120,37 @@ def unpack_extend_batch(packed: jnp.ndarray, B: int, L: int, P: int) -> DeviceBa
         page_table=page_table,
         out_slots=out_slots,
         logits_idx=logits_idx,
+        mrope_positions=mrope_positions,
     )
 
 
 # Packed decode layout (all int32):
-#   [B first_tokens | B seq_lens | B*P page_table]
+#   [B first_tokens | B seq_lens | B*P page_table | (B mrope deltas)]
 # positions/out_slots/logits_idx are derived on device each fused step.
-def decode_packed_size(B: int, P: int) -> int:
-    return 2 * B + B * P
+def decode_packed_size(B: int, P: int, mrope: bool = False) -> int:
+    return 2 * B + B * P + (B if mrope else 0)
 
 
 def pack_decode_batch(
     first_tokens: np.ndarray,  # [B] input token for the first fused step
     seq_lens: np.ndarray,  # [B] context length BEFORE the first new token
     page_table: np.ndarray,  # [B, P] covering seq_lens + K new tokens
+    mrope_delta: np.ndarray = None,  # [B] (M-RoPE models)
 ) -> np.ndarray:
-    return np.concatenate(
-        [first_tokens, seq_lens, page_table.ravel()]
-    ).astype(np.int32)
+    parts = [first_tokens, seq_lens, page_table.ravel()]
+    if mrope_delta is not None:
+        parts.append(np.asarray(mrope_delta))
+    return np.concatenate(parts).astype(np.int32)
 
 
-def unpack_decode_batch(packed: jnp.ndarray, B: int, P: int):
+def unpack_decode_batch(
+    packed: jnp.ndarray, B: int, P: int, mrope: bool = False
+):
     first_tokens = packed[:B]
     seq_lens = packed[B : 2 * B]
-    page_table = packed[2 * B :].reshape(B, P)
-    return first_tokens, seq_lens, page_table
+    page_table = packed[2 * B : 2 * B + B * P].reshape(B, P)
+    delta = packed[2 * B + B * P :] if mrope else None
+    return first_tokens, seq_lens, page_table, delta
 
 
 def decode_step_batch(

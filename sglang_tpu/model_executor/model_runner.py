@@ -433,7 +433,9 @@ class ModelRunner:
 
     def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, use_cp=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
-        batch = unpack_extend_batch(packed, B, L, P)
+        batch = unpack_extend_batch(
+            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+        )
         lora = (lora_tree, adapter_idx) if use_lora else None
         fwd = self._forward_batch(
             params, kv_cache, batch, lora,
@@ -485,7 +487,10 @@ class ModelRunner:
         state offsets already applied by the host in ``fsm_state``);
         structured output keeps K>1 windows instead of one dispatch per
         token."""
-        first_tokens, seq_lens0, page_table = unpack_decode_batch(packed, B, P)
+        mrope = getattr(self.model, "needs_mrope", False)
+        first_tokens, seq_lens0, page_table, mrope_delta = (
+            unpack_decode_batch(packed, B, P, mrope=mrope)
+        )
         if use_chain:
             first_tokens = chain_tokens
         st = unpack_sampling_params(st_packed)
@@ -524,6 +529,10 @@ class ModelRunner:
             batch = decode_step_batch(
                 tokens, seq_lens0, page_table, k, self.kv_pool.page_size
             )
+            if mrope:
+                import dataclasses as _dc
+
+                batch = _dc.replace(batch, mrope_delta=mrope_delta)
             hidden, kv = self._forward_batch(params, kv, batch, lora)
             logits = self.model.compute_logits(params, hidden)
             if use_pen:
@@ -576,7 +585,9 @@ class ModelRunner:
         """Speculative verify: one extend forward over [last_token, drafts],
         greedy logits at EVERY position (reference ForwardMode.TARGET_VERIFY,
         speculative/eagle_worker_v2.py:1538 — chain drafts, greedy accept)."""
-        batch = unpack_extend_batch(packed, B, L, P)
+        batch = unpack_extend_batch(
+            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+        )
         hidden, kv_cache = self.model.forward(
             params,
             kv_cache,
@@ -631,7 +642,9 @@ class ModelRunner:
         served via ``is_embedding`` + ``layers/pooler.py``).  Reward /
         classification models override ``compute_score`` and return raw
         score-head logits instead (reference reward-model classes)."""
-        batch = unpack_extend_batch(packed, B, L, P)
+        batch = unpack_extend_batch(
+            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+        )
         if getattr(self.model, "is_encoder_only", False):
             # BERT-family encoders: one dense bidirectional forward (no
             # KV cache / paging — reference srt/models/bert.py family)
@@ -675,7 +688,9 @@ class ModelRunner:
         score the GIVEN target token (the next input token) — used for
         prompt logprobs / echo and DSL select() choice scoring
         (reference: logprob_start_len / input_token_logprobs)."""
-        batch = unpack_extend_batch(packed, B, L, P)
+        batch = unpack_extend_batch(
+            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+        )
         hidden, kv_cache = self.model.forward(
             params,
             kv_cache,
@@ -1145,6 +1160,7 @@ class ModelRunner:
         if not s["greedy"]:
             st[:, 0] = 0.7
         step = np.int32(0)
+        mrope = getattr(self.model, "needs_mrope", False)
         if kind == "decode":
             P, K = s["P"], s["K"]
             fn = self._get_decode_fn(
@@ -1154,7 +1170,7 @@ class ModelRunner:
             args = (
                 self.params,
                 self.kv_cache,
-                np.zeros(decode_packed_size(B, P), np.int32),
+                np.zeros(decode_packed_size(B, P, mrope=mrope), np.int32),
                 st,
                 np.zeros((B, 1, 2), np.int32),
                 np.zeros((B, 1), np.uint32),
@@ -1177,7 +1193,9 @@ class ModelRunner:
             args = (
                 self.params,
                 self.kv_cache,
-                np.zeros(extend_packed_size(B, L, P), np.int32),
+                np.zeros(
+                    extend_packed_size(B, L, P, mrope=mrope), np.int32
+                ),
                 st,
                 np.zeros((B, 1, 2), np.int32),
                 np.zeros((B, 1), np.uint32),
@@ -1460,6 +1478,9 @@ class ModelRunner:
     eagle = None  # EagleDraft after init_eagle()
 
     def init_eagle(self, k: int, spec_slots: int):
+        assert not getattr(self.model, "needs_mrope", False), (
+            "speculative decoding is not supported for M-RoPE models yet"
+        )
         from sglang_tpu.speculative.eagle import EagleDraft
 
         self.eagle = EagleDraft(self.model_config)

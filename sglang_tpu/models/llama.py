@@ -777,7 +777,27 @@ class LlamaForCausalLM:
                 w, inv_freq, window, kvs, la, lb = xs
                 kv_scales = (kvs[0], kvs[1]) if fp8_kv else None
                 proj = make_proj(w, la, lb, li)
-                angles = pos_f * inv_freq  # [B, Lq, rot/2]
+                if getattr(self, "needs_mrope", False):
+                    # M-RoPE (Qwen2-VL): section j of the rotary half-dim
+                    # reads axis section_map[j] of the 3-axis positions;
+                    # decode offsets all axes by the per-request delta
+                    if batch.mrope_positions is not None:
+                        p3 = batch.mrope_positions.astype(jnp.float32)
+                        ang3 = p3[..., None] * inv_freq  # [3, B, Lq, r/2]
+                        angles = jnp.zeros_like(ang3[0])
+                        for a in range(3):
+                            angles = angles + ang3[a] * (
+                                self.mrope_section_map == a
+                            )
+                    else:
+                        pr = pos_f
+                        if batch.mrope_delta is not None:
+                            pr = pr + batch.mrope_delta.astype(
+                                jnp.float32
+                            )[:, None, None]
+                        angles = pr * inv_freq
+                else:
+                    angles = pos_f * inv_freq  # [B, Lq, rot/2]
                 cos = jnp.cos(angles)[..., None, :] * self.rope_mscale
                 sin = jnp.sin(angles)[..., None, :] * self.rope_mscale
                 # --- attention block ---

@@ -1,0 +1,73 @@
+"""Qwen2-VL family: ViT with 2D rotary + M-RoPE text model.
+
+Equivalent role to the reference's ``srt/models/qwen2_vl.py`` (+
+``qwen2_5_vl.py``): a qwen2 text trunk whose rotary positions are
+3-DIMENSIONAL (temporal / height / width — "M-RoPE"), fed by a vision
+transformer with 2D rotary embeddings and a 2×2 spatial merger.
+
+TPU-native notes: M-RoPE is a trace-time GATHER over the per-axis
+rotary angles — sections of the rotary half-dim read from axis
+``section_map[j]`` — so the text forward stays one fused program; the
+3D positions for a prompt pack as three extra planes (prefill) while
+DECODE needs only a per-request scalar delta (all three axes advance
+together after the last image), which rides the packed buffer.
+The vision tower is a dense JAX forward like the CLIP tower
+(multimodal/); its outputs splice through the existing
+negative-sentinel input_embeds path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_tpu.models.llama import LlamaForCausalLM
+
+
+class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
+    """Text trunk (the vision tower lives in the multimodal processor)."""
+
+    supports_cp = False  # M-RoPE positions don't zigzag-shard yet
+    supports_pp_wavefront = False
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx=mesh_ctx)
+        self.has_qkv_bias = True  # qwen2 attention bias
+        hf = config.hf_config or {}
+        text = hf.get("text_config", hf)
+        rs = text.get("rope_scaling") or {}
+        sec = rs.get("mrope_section")
+        if sec is None:
+            sec = [self.rot_dim // 2, 0, 0]
+        # section j of the rotary half-dim reads axis section_map[j]
+        m = []
+        for axis, n in enumerate(sec):
+            m.extend([axis] * n)
+        assert len(m) == self.rot_dim // 2, (sec, self.rot_dim)
+        self.mrope_section_map = np.asarray(m, np.int32)
+        self.needs_mrope = True
+
+    def hf_weight_mapping(self):
+        base = super().hf_weight_mapping()
+
+        def mapping(name: str):
+            # strip the multimodal nesting; skip the vision tower (the
+            # processor loads it separately)
+            if ".visual." in name or name.startswith("visual."):
+                return None
+            name = name.replace("model.language_model.", "model.")
+            name = name.replace("language_model.", "")
+            return base(name)
+
+        return mapping
+
+    def _apply_rope(self, x, cos, sin, rot_half, d):
+        # identical math to the base half-split rope; cos/sin already
+        # carry the M-RoPE axis selection (built in layer_fn)
+        return super()._apply_rope(x, cos, sin, rot_half, d)
+
+
+EntryClass = [Qwen2VLForConditionalGeneration]

@@ -336,10 +336,11 @@ def follower_loop(runner):
             return
 
         if kind in (K_EXTEND, K_DECODE, K_DECODE_ASYNC):
+            _mr = getattr(runner.model, "needs_mrope", False)
             size = (
-                extend_packed_size(B, LK, P)
+                extend_packed_size(B, LK, P, mrope=_mr)
                 if kind == K_EXTEND
-                else decode_packed_size(B, P)
+                else decode_packed_size(B, P, mrope=_mr)
             )
             packed = np.asarray(_bcast(np.zeros(size, np.int32), False))
             st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
