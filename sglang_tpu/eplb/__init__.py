@@ -94,7 +94,8 @@ def apply_expert_permutation(params: Dict, perm: np.ndarray,
         layers = dict(tree[layer_key])
         p = jnp.asarray(perm)
         li = jnp.arange(p.shape[0])[:, None]
-        for name in ("moe_w1", "moe_w3", "moe_w2"):
+        for name in ("moe_w1", "moe_w3", "moe_w2",
+                     "moe_w1_scale", "moe_w3_scale", "moe_w2_scale"):
             if name in layers:
                 layers[name] = layers[name][li, p]
         if "moe_gate" in layers:  # [L, H, E] — permute columns

@@ -25,7 +25,8 @@ from sglang_tpu.utils import get_logger
 
 logger = get_logger(__name__)
 
-EXPERT_LEAVES = ("moe_w1", "moe_w3", "moe_w2", "moe_gate", "gate_bias")
+EXPERT_LEAVES = ("moe_w1", "moe_w3", "moe_w2", "moe_gate", "gate_bias",
+                 "moe_w1_scale", "moe_w3_scale", "moe_w2_scale")
 
 
 class ExpertBackupManager:

@@ -885,7 +885,8 @@ class ModelRunner:
                 k: np.asarray(v)
                 for k, v in self.params[layer_key].items()
                 if k in ("moe_w1", "moe_w3", "moe_w2", "moe_gate",
-                         "gate_bias")
+                         "gate_bias", "moe_w1_scale", "moe_w3_scale",
+                         "moe_w2_scale")
             }
         }
         if not host_view[layer_key]:
@@ -942,7 +943,10 @@ class ModelRunner:
         old_layers = self.params[layer_key]
         new_layers = dict(old_layers)
         idx = perm_full  # [Lm, E_new]
-        for name in ("moe_w1", "moe_w3", "moe_w2"):
+        for name in ("moe_w1", "moe_w3", "moe_w2",
+                     "moe_w1_scale", "moe_w3_scale", "moe_w2_scale"):
+            if name not in bk:
+                continue
             src = bk[name]  # [Lm, E, ...]
             gathered = np.stack([src[l][idx[l]] for l in range(Lm)])
             new_layers[name] = jax.device_put(

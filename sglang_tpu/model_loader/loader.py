@@ -146,7 +146,7 @@ def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
                         sub, shape, info.min, int(info.max) + 1,
                         dtype=jnp.int32,
                     ).astype(leaf_dtype)
-                elif leaf.startswith("scale"):
+                elif leaf.startswith("scale") or leaf.endswith("_scale"):
                     # dequantized std ≈ levels_std * scale; target std
                     # 1/sqrt(fan) → scale ≈ 0.3/sqrt(fan) (+jitter)
                     fan = (
@@ -331,9 +331,13 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                 continue
             path, layer_idx, transform = m
             tensor = f.get_tensor(name)
-            if name in f8_scales and _is_f8(tensor.dtype):
+            wants_dq = getattr(transform, "wants_dequant", False)
+            if name in f8_scales and (
+                _is_f8(tensor.dtype)
+                or (tensor.dtype == np.int8 and wants_dq)
+            ):
                 kind, sc = f8_scales[name]
-                if kind == "block" or _dense_float_dest(path):
+                if kind == "block" or wants_dq or _dense_float_dest(path):
                     from sglang_tpu.layers.quantization import (
                         dequant_f8_sibling,
                     )
@@ -355,7 +359,14 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                             subdest[layer_idx],
                             arr.astype(subdest.dtype, copy=False),
                         )
-                    seen.add((f"{path}.{sub}", layer_idx))
+                    seen.add(
+                        (
+                            f"{path}.{sub}",
+                            layer_idx[0]
+                            if isinstance(layer_idx, tuple)
+                            else layer_idx,
+                        )
+                    )
                 n_loaded += 1
                 continue
             dest = _tree_get(host, path)

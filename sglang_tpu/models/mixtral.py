@@ -12,6 +12,8 @@ from __future__ import annotations
 import re
 from typing import Any, Dict
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -50,8 +52,33 @@ class MixtralForCausalLM(LlamaForCausalLM):
         self.moe_inter = config.moe_intermediate_size or config.intermediate_size
 
     # ------------------------------------------------------------- params
+    def _moe_int8(self) -> bool:
+        """INT8-RESIDENT expert weights (reference w8a8_int8 MoE): under
+        --quantization w8a8_int8 (incl. fp8 transcode) the stacked expert
+        tensors stay int8 in HBM with per-out-channel scales — half the
+        expert memory; the dequant folds into the grouped-GEMM consumer."""
+        qc = self.config.quant_config
+        return qc is not None and qc.method == "w8a8_int8"
+
     def _mlp_shapes(self, L: int, H: int, I: int) -> Dict[str, Any]:
+        from sglang_tpu.layers.quantization import ParamShape
+
         E, MI = self.num_experts, self.moe_inter
+        if self._moe_int8():
+            import jax.numpy as jnp
+
+            return {
+                "moe_gate": (L, H, E),
+                "moe_w1": ParamShape((L, E, H, MI), jnp.int8, fan=H),
+                "moe_w1_scale": ParamShape((L, E, 1, MI), jnp.float32,
+                                           fan=H),
+                "moe_w3": ParamShape((L, E, H, MI), jnp.int8, fan=H),
+                "moe_w3_scale": ParamShape((L, E, 1, MI), jnp.float32,
+                                           fan=H),
+                "moe_w2": ParamShape((L, E, MI, H), jnp.int8, fan=MI),
+                "moe_w2_scale": ParamShape((L, E, 1, H), jnp.float32,
+                                           fan=MI),
+            }
         return {
             "moe_gate": (L, H, E),
             "moe_w1": (L, E, H, MI),
@@ -69,29 +96,46 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def _mlp_specs(self) -> Dict[str, Any]:
         if self._expert_parallel():
             # experts sharded over the tp axis (reference ep_moe/layer.py)
-            return {
+            specs = {
                 "moe_gate": P(None, None, None),
                 "moe_w1": P(None, AXIS_TP, None, None),
                 "moe_w3": P(None, AXIS_TP, None, None),
                 "moe_w2": P(None, AXIS_TP, None, None),
             }
-        return {
+            if self._moe_int8():
+                for n in ("moe_w1", "moe_w3", "moe_w2"):
+                    specs[n + "_scale"] = P(None, AXIS_TP, None, None)
+            return specs
+        specs = {
             "moe_gate": P(None, None, None),
             "moe_w1": P(None, None, None, AXIS_TP),
             "moe_w3": P(None, None, None, AXIS_TP),
             "moe_w2": P(None, None, AXIS_TP, None),
         }
+        if self._moe_int8():
+            specs["moe_w1_scale"] = P(None, None, None, AXIS_TP)
+            specs["moe_w3_scale"] = P(None, None, None, AXIS_TP)
+            specs["moe_w2_scale"] = P(None, None, None, None)
+        return specs
 
     # ------------------------------------------------------------- forward
     def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
         del proj  # no LoRA on expert weights (reference likewise)
         capture = getattr(self, "_ecounts_capture", False)
+        w1, w3, w2 = w["moe_w1"], w["moe_w3"], w["moe_w2"]
+        if self._moe_int8():
+            # int8-resident experts: dequant feeds the grouped GEMM (XLA
+            # fuses the convert+mul into the consumer; HBM keeps int8)
+            dt = normed.dtype
+            w1 = (w1.astype(jnp.float32) * w["moe_w1_scale"]).astype(dt)
+            w3 = (w3.astype(jnp.float32) * w["moe_w3_scale"]).astype(dt)
+            w2 = (w2.astype(jnp.float32) * w["moe_w2_scale"]).astype(dt)
         out = moe_block(
             normed,
             w["moe_gate"],
-            w["moe_w1"],
-            w["moe_w3"],
-            w["moe_w2"],
+            w1,
+            w3,
+            w2,
             top_k=self.top_k,
             norm_topk_prob=self.config.norm_topk_prob,
             hidden_act=self.config.hidden_act,
@@ -122,6 +166,25 @@ class MixtralForCausalLM(LlamaForCausalLM):
                 m = _EXPERT_RE.fullmatch(tail)
                 if m:
                     expert, leaf = int(m.group(1)), _EXPERT_LEAF[m.group(2)]
+                    if self._moe_int8():
+                        # quantize to int8-resident + per-out-channel
+                        # scale (multi-leaf transform; wants_dequant
+                        # makes the loader fold the checkpoint's sibling
+                        # weight_scale in BEFORE requantization)
+                        def q8(t, leaf=leaf):
+                            w = np.asarray(t, np.float32).T  # [in, out]
+                            s = np.abs(w).max(axis=0, keepdims=True)
+                            s = np.maximum(s, 1e-8) / 127.0
+                            qw = np.clip(
+                                np.round(w / s), -127, 127
+                            ).astype(np.int8)
+                            return {
+                                leaf: qw,
+                                leaf + "_scale": s.astype(np.float32),
+                            }
+
+                        q8.wants_dequant = True
+                        return ("layers", (li, expert), q8)
                     return (f"layers.{leaf}", (li, expert), "t")
                 if _GATE_RE.fullmatch(tail):
                     return ("layers.moe_gate", li, "t")

@@ -56,6 +56,45 @@ def test_expert_permutation_preserves_outputs():
         eng.shutdown()
 
 
+def test_expert_permutation_int8_resident_experts():
+    """EPLB invariant with INT8-RESIDENT expert weights: the per-out-
+    channel scale leaves (moe_w{1,3,2}_scale) must permute together with
+    their int8 payloads, or dequantization pairs weights with the wrong
+    experts' scales."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.eplb import apply_expert_permutation
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_moe import TINY_MOE_HF
+
+    hf = dict(TINY_MOE_HF)
+    hf["quantization_config"] = {
+        "quant_method": "w8a8_int8",
+        "modules_to_not_convert": ["proj"],  # experts only
+    }
+    cfg = ModelConfig.from_hf_dict(hf, dtype="float32")
+    args = make_server_args()
+    runner = ModelRunner(args, model_config=cfg)
+    assert runner.params["layers"]["moe_w1"].dtype == jnp.int8
+    eng = Engine(server_args=args, model_runner=runner)
+    try:
+        sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+        base = eng.generate(input_ids=[4, 5, 6, 7], sampling_params=dict(sp))
+
+        E = cfg.num_experts
+        L = cfg.num_hidden_layers
+        rng = np.random.RandomState(2)
+        perm = np.stack([rng.permutation(E) for _ in range(L)])
+        runner.params = apply_expert_permutation(runner.params, perm)
+        eng.flush_cache()
+        out = eng.generate(input_ids=[4, 5, 6, 7], sampling_params=dict(sp))
+        assert out["output_ids"] == base["output_ids"]
+    finally:
+        eng.shutdown()
+
+
 def test_dump_and_compare(tmp_path):
     from sglang_tpu.configs.model_config import ModelConfig
     from sglang_tpu.debug_utils import TensorDumper, compare_dumps

@@ -399,11 +399,9 @@ def _tiny_moe_hf_state(seed=3):
     return st
 
 
-def test_mixtral_fp8_expert_weights(tmp_path_factory):
-    """Per-channel fp8 MoE expert weights (+ sibling weight_scale): the
-    loader dequantizes expert tensors into the dense stacked buffers
-    (reference fp8.py Fp8MoEMethod); generation matches the
-    dequantized-dense checkpoint token-exactly."""
+@pytest.fixture(scope="module")
+def moe_fp8_pair_dirs(tmp_path_factory):
+    """(fp8-expert Mixtral checkpoint dir, dequantized-dense twin dir)."""
     import ml_dtypes
 
     from tests.test_moe import TINY_MOE_HF
@@ -435,6 +433,15 @@ def test_mixtral_fp8_expert_weights(tmp_path_factory):
         json.dump(cfg_q, f)
     with open(os.path.join(dd, "config.json"), "w") as f:
         json.dump(dict(TINY_MOE_HF), f)
+    return dq, dd
+
+
+def test_mixtral_fp8_expert_weights(moe_fp8_pair_dirs):
+    """Per-channel fp8 MoE expert weights (+ sibling weight_scale): the
+    loader dequantizes expert tensors into the dense stacked buffers
+    (reference fp8.py Fp8MoEMethod); generation matches the
+    dequantized-dense checkpoint token-exactly."""
+    dq, dd = moe_fp8_pair_dirs
     eq = _make_engine(dq)
     ed = _make_engine(dd)
     try:
@@ -448,4 +455,55 @@ def test_mixtral_fp8_expert_weights(tmp_path_factory):
         np.testing.assert_allclose(lq, ld, rtol=1e-4, atol=1e-4)
     finally:
         eq.shutdown()
+        ed.shutdown()
+
+
+def test_mixtral_int8_resident_experts(moe_fp8_pair_dirs):
+    """--quant-execution int8 on an fp8-expert Mixtral checkpoint: the
+    stacked expert tensors stay INT8-RESIDENT in HBM with per-out-channel
+    f32 scales (half the expert memory of the bf16-dequantized path;
+    reference w8a8_int8.py MoE role). The loader folds the checkpoint's
+    fp8 sibling weight_scale in BEFORE requantization (q8.wants_dequant),
+    so generation tracks the dequantized-dense twin up to int8 requant
+    noise."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    dq, dd = moe_fp8_pair_dirs
+    args = make_server_args(
+        model_path=dq, load_format="safetensors", dtype="float32",
+        quant_execution="int8",
+    )
+    cfg = ModelConfig.from_model_path(dq, dtype="float32")
+    runner = ModelRunner(args, model_config=cfg)
+    assert runner.model_config.quant_config.method == "w8a8_int8"
+    layers = runner.params["layers"]
+    for n in ("moe_w1", "moe_w3", "moe_w2"):
+        assert layers[n].dtype == jnp.int8, n
+        assert layers[n + "_scale"].dtype == jnp.float32, n
+    ei = Engine(server_args=args, model_runner=runner)
+    ed = _make_engine(dd)
+    try:
+        prompt = [11, 310, 42, 5, 99, 6]
+        sp = {"max_new_tokens": 10, "temperature": 0.0, "return_logprob": True}
+        oi = ei.generate(input_ids=prompt, sampling_params=sp)
+        od = ed.generate(input_ids=prompt, sampling_params=sp)
+        li = [t[0] for t in oi["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        # int8 requant of a RANDOM tiny model: compare the common greedy
+        # prefix (must be non-trivial) and its logprobs (must be close),
+        # as in test_fp8_checkpoint_int8_execution.
+        prefix = 0
+        for a, b in zip(oi["output_ids"], od["output_ids"]):
+            if a != b:
+                break
+            prefix += 1
+        assert prefix >= 3, (oi["output_ids"], od["output_ids"])
+        diff = np.abs(np.array(li[:prefix]) - np.array(ld[:prefix]))
+        assert diff.max() < 0.35, (li, ld)
+    finally:
+        ei.shutdown()
         ed.shutdown()
