@@ -171,7 +171,7 @@ def paged_attention(
     sliding_window: Optional[int] = None,
     backend: str = "xla",
     kv_scales=None,  # (k_scale, v_scale) traced scalars (fp8 KV dequant)
-    sinks: Optional[jnp.ndarray] = None,  # [Hq] (forces the XLA path)
+    sinks: Optional[jnp.ndarray] = None,  # [Hq] sink logits (GPT-OSS)
 ):
     """Write new K/V into the cache, then attend over the full context.
 
@@ -199,8 +199,6 @@ def paged_attention(
         # fold k_scale into q before scores (tanh softcap and softmax see
         # exactly the dequantized scores)
         q = (q.astype(jnp.float32) * kv_scales[0]).astype(q.dtype)
-    if sinks is not None:
-        backend = "xla"  # attention sinks: XLA path only for now
     if backend == "pallas" and q.shape[1] == 1 and not fp8_kv:
         from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
 
@@ -218,6 +216,7 @@ def paged_attention(
             sm_scale=sm_scale,
             logit_cap=logit_cap,
             sliding_window=sliding_window,
+            sinks=sinks,
             interpret=interpret,
         )
     kv_cache = write_kv(
@@ -241,6 +240,7 @@ def paged_attention(
             sm_scale=sm_scale,
             logit_cap=logit_cap,
             sliding_window=sliding_window,
+            sinks=sinks,
             fused_write=False,
             interpret=interpret,
         )
@@ -267,6 +267,7 @@ def paged_attention(
             sm_scale=sm_scale,
             logit_cap=logit_cap,
             sliding_window=sliding_window,
+            sinks=sinks,
             interpret=interpret,
         )
     else:

@@ -54,6 +54,7 @@ def _decode_kernel(
     qb_ref,  # [RB, Hq, Hkv*D] VMEM — block-diagonal packed queries
     kv_new_ref,  # [RB, 2, Hkv*D] VMEM — new K/V rows to write
     kv_hbm_ref,  # [L*NP, ps, 2, Hkv*D] (ANY → HBM)
+    sinks_ref,  # [1, Hq] f32 VMEM — per-head sink logits (zeros if unused)
     # outputs
     o_ref,  # [RB, Hq, LANE] VMEM
     kv_out_ref,  # aliased to kv_hbm_ref — written via DMA only
@@ -70,6 +71,7 @@ def _decode_kernel(
     d: int,
     logit_cap: Optional[float],
     fused_write: bool,
+    use_sinks: bool,
 ):
     blk = pl.program_id(0)
     RB, PB, ps = rows_per_block, pages_per_block, page_size
@@ -216,8 +218,16 @@ def _decode_kernel(
         jnp.zeros((RB, hq, 1), jnp.float32),
         jnp.zeros((RB, hq, HD), jnp.float32),
     )
-    _, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
+    m, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
 
+    if use_sinks:
+        # Attention sinks (GPT-OSS): a learned per-head logit joins the
+        # softmax as a phantom slot with no value row — fold it into the
+        # running (m, l) stats; the numerator only rescales.
+        s = sinks_ref[...].astype(jnp.float32).reshape(1, hq, 1)
+        m_f = jnp.maximum(m, s)
+        l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
+        acc = acc * jnp.exp(m - m_f)
     l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows
     out_all = (acc / l).reshape(RB * hq, HD)
     if hkv == 1:
@@ -266,6 +276,7 @@ def fused_paged_decode_attention(
     sm_scale: float,
     logit_cap: Optional[float] = None,
     sliding_window=None,  # traced scalar ok; None/<=0 disables
+    sinks=None,  # [Hq] per-head sink logits (GPT-OSS); None disables
     pages_per_block: Optional[int] = None,
     rows_per_block: Optional[int] = None,
     interpret: bool = False,
@@ -312,6 +323,13 @@ def fused_paged_decode_attention(
         [k_new.reshape(B, Hkv * D), v_new.reshape(B, Hkv * D)], axis=1
     ).astype(kv_cache.dtype)  # [B, 2, HD]
 
+    use_sinks = sinks is not None
+    sinks_in = (
+        jnp.asarray(sinks, jnp.float32).reshape(1, Hq)
+        if use_sinks
+        else jnp.zeros((1, Hq), jnp.float32)
+    )
+
     kernel = functools.partial(
         _decode_kernel,
         rows_per_block=RB,
@@ -322,6 +340,7 @@ def fused_paged_decode_attention(
         d=D,
         logit_cap=logit_cap,
         fused_write=fused_write,
+        use_sinks=use_sinks,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -339,6 +358,9 @@ def fused_paged_decode_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, Hq), lambda b, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -372,5 +394,6 @@ def fused_paged_decode_attention(
         qb,
         kv_new,
         kv_cache,
+        sinks_in,
     )
     return out[:, :, :D].reshape(B, 1, Hq, D), kv_out

@@ -43,6 +43,7 @@ def _prefill_kernel(
     # inputs (auto-pipelined blocks)
     q_ref,  # [1, 1, 1, TQ*G, D] VMEM
     kv_ref,  # [1, 1, TC, 2, D] VMEM
+    sinks_ref,  # [1, TQ*G] f32 VMEM — per-row sink logits (zeros if unused)
     # outputs
     o_ref,  # [1, 1, 1, TQ*G, D] VMEM
     # scratch (persist across the kv grid dim)
@@ -54,6 +55,7 @@ def _prefill_kernel(
     tc: int,
     g: int,
     logit_cap: Optional[float],
+    use_sinks: bool,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -136,8 +138,19 @@ def _prefill_kernel(
     @pl.when(ci == nc - 1)
     def _():
         l = l_scr[:, :1]
+        acc = acc_scr[:]
+        if use_sinks:
+            # Attention sinks (GPT-OSS): fold the per-head phantom-slot
+            # logit into the running (m, l) stats at the end; the
+            # numerator only rescales.  Dead (padded) rows have m at
+            # -1e20 and l 0 → l becomes exp(0)=1, acc stays 0.
+            m = m_scr[:, :1]
+            s = sinks_ref[0][:, None].astype(jnp.float32)  # [R, 1]
+            m_f = jnp.maximum(m, s)
+            l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
+            acc = acc * jnp.exp(m - m_f)
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        o_ref[0, 0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -153,6 +166,7 @@ def flash_prefill_attention(
     sm_scale: float,
     logit_cap: Optional[float] = None,
     sliding_window=None,  # traced scalar; None/<=0 disables
+    sinks=None,  # [Hq] per-head sink logits (GPT-OSS); None disables
     tq: int = 0,  # 0 = auto: ~256 score rows per block
     tc: int = 1024,
     interpret: bool = False,
@@ -183,8 +197,19 @@ def flash_prefill_attention(
     # [B, Hkv, C, 2, D]
     kvh = kv_ctx.reshape(B, C, 2, Hkv, D).transpose(0, 3, 1, 2, 4)
 
+    use_sinks = sinks is not None
+    if use_sinks:
+        # Row r of grid cell (b, h) is query r//G, head-variant r%G →
+        # global query head h*G + r%G.
+        sinks_in = jnp.tile(
+            jnp.asarray(sinks, jnp.float32).reshape(Hkv, 1, G), (1, tq, 1)
+        ).reshape(Hkv, tq * G)
+    else:
+        sinks_in = jnp.zeros((Hkv, tq * G), jnp.float32)
+
     kernel = functools.partial(
-        _prefill_kernel, tq=tq, tc=tc, g=G, logit_cap=logit_cap
+        _prefill_kernel, tq=tq, tc=tc, g=G, logit_cap=logit_cap,
+        use_sinks=use_sinks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -198,6 +223,11 @@ def flash_prefill_attention(
             pl.BlockSpec(
                 (1, 1, tc, 2, D),
                 lambda b, h, qi, ci, *_: (b, h, ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tq * G),
+                lambda b, h, qi, ci, *_: (h, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -223,6 +253,7 @@ def flash_prefill_attention(
         window,
         qh,
         kvh,
+        sinks_in,
     )
     # [B, Hkv, NQ, TQ*G, D] → [B, Lq, Hq, D]
     out = out.reshape(B, Hkv, NQ, tq, G, D).transpose(0, 2, 3, 1, 4, 5)
@@ -242,6 +273,7 @@ def paged_prefill_attention(
     sm_scale,
     logit_cap=None,
     sliding_window=None,
+    sinks=None,
     tq: int = 0,
     tc: int = 1024,
     interpret: bool = False,
@@ -263,6 +295,7 @@ def paged_prefill_attention(
         sm_scale=sm_scale,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
+        sinks=sinks,
         tq=tq,
         tc=tc,
         interpret=interpret,

@@ -94,6 +94,49 @@ def test_gpt_oss_greedy_matches_hf(tmp_path):
         eng.shutdown()
 
 
+def test_gpt_oss_pallas_matches_xla(monkeypatch):
+    """With 128-aligned KV lanes (Hkv*D = 2*64) GPT-OSS serves on the
+    Pallas kernels — sinks + alternating sliding windows ride the fused
+    decode/prefill paths (interpret mode here) and must match the forced
+    XLA engine token-exactly on identical dummy weights."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    hf = dict(OSS_HF)
+    hf.update(head_dim=64, hidden_size=128)
+
+    def build(force_xla):
+        if force_xla:
+            monkeypatch.setenv("SGLANG_TPU_FORCE_XLA_ATTENTION", "1")
+        else:
+            monkeypatch.delenv("SGLANG_TPU_FORCE_XLA_ATTENTION",
+                               raising=False)
+            monkeypatch.setenv("SGLANG_TPU_INTERPRET_PALLAS", "1")
+        args = make_server_args(dtype="float32")
+        cfg = ModelConfig.from_hf_dict(hf, dtype="float32")
+        runner = ModelRunner(args, model_config=cfg)
+        return Engine(server_args=args, model_runner=runner), runner
+
+    prompt = [(7 * i) % 500 + 1 for i in range(24)]
+    sp = {"temperature": 0.0, "max_new_tokens": 12, "ignore_eos": True}
+    ep, rp = build(force_xla=False)
+    try:
+        assert rp.attn_backend == "pallas"
+        out_p = ep.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    finally:
+        ep.shutdown()
+    ex, rx = build(force_xla=True)
+    try:
+        assert rx.attn_backend == "xla"
+        out_x = ex.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    finally:
+        ex.shutdown()
+    assert out_p["output_ids"] == out_x["output_ids"], (
+        out_p["output_ids"], out_x["output_ids"],
+    )
+
+
 def test_harmony_channel_parsing():
     from sglang_tpu.parsers.reasoning import HarmonyParser, reasoning_parser_for
 

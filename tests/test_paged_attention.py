@@ -141,6 +141,36 @@ def test_decode_logit_cap_and_padded_rows():
     )
 
 
+@pytest.mark.parametrize("window", [None, 24])
+def test_decode_attention_sinks(window):
+    """GPT-OSS attention sinks through the fused decode kernel: the
+    per-head phantom softmax slot (folded into the flash m/l epilogue)
+    must match the XLA reference, alone and with a sliding window; a
+    padded row (seq_len 0) must stay NaN-free."""
+    B, P, ps, Hq, Hkv, D, L = 4, 8, 8, 8, 2, 64, 2
+    s = _setup(B, P, ps, Hq, Hkv, D, L, seed=11)
+    s["seq_lens"] = s["seq_lens"].at[3].set(0)
+    s["out_slots"] = s["out_slots"].at[3, 0].set(0)
+    layer_idx = jnp.int32(1)
+    sm_scale = D ** -0.5
+    rng = np.random.RandomState(13)
+    sinks = jnp.asarray(rng.randn(Hq).astype(np.float32) * 2.0)
+
+    out, _ = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        sliding_window=window, sinks=sinks, interpret=True,
+    )
+    assert not np.isnan(np.asarray(out)).any()
+    ref, _ = _reference(
+        s, ps, layer_idx, sm_scale, sliding_window=window, sinks=sinks
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:3], np.asarray(ref)[:3], rtol=2e-3, atol=2e-3
+    )
+
+
 def test_decode_kernel_mqa_wide_latent():
     """hkv=1 with a multi-tile lane span (absorbed-MLA shape): the kernel
     must return the full latent-width output (no head-segment select)."""

@@ -105,3 +105,34 @@ def test_prefill_sliding_window_and_cap():
         np.testing.assert_allclose(
             out[i, :n], ref[i, :n], rtol=2e-3, atol=2e-3
         )
+
+
+@pytest.mark.parametrize("window", [None, 12])
+def test_prefill_attention_sinks(window):
+    """GPT-OSS attention sinks through the flash prefill kernel: the
+    per-head phantom softmax slot must match the XLA reference, alone
+    and combined with a sliding window."""
+    B, Lq, ps, P, Hq, Hkv, D = 2, 16, 8, 8, 8, 2, 64
+    c = _case(B, Lq, ps, P, Hq, Hkv, D, seed=5)
+    sm = D ** -0.5
+    rng = np.random.RandomState(7)
+    sinks = jnp.asarray(rng.randn(Hq).astype(np.float32) * 2.0)
+    out, _ = paged_prefill_attention(
+        c["q"], c["kv"], c["page_table"], c["seq_lens"], c["new_lens"],
+        c["layer_idx"], num_slots=c["num_slots"], page_size=ps,
+        sm_scale=sm, sliding_window=window, sinks=sinks, tq=8,
+        interpret=True,
+    )
+    k_ctx, v_ctx = gather_kv(
+        c["kv"], c["page_table"], c["layer_idx"], c["num_slots"], ps, D
+    )
+    ref = attention_xla(
+        c["q"], k_ctx, v_ctx, c["positions"], c["seq_lens"], sm,
+        sliding_window=window, sinks=sinks,
+    )
+    out, ref = np.asarray(out), np.asarray(ref)
+    for i in range(B):
+        n = int(np.asarray(c["new_lens"])[i])
+        np.testing.assert_allclose(
+            out[i, :n], ref[i, :n], rtol=2e-3, atol=2e-3
+        )
