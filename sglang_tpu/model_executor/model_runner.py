@@ -348,8 +348,9 @@ class ModelRunner:
     def _pick_attn_backend(self, device) -> str:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
             return "xla"
-        if getattr(self.server_args, "enable_double_sparsity", False):
-            return "xla"  # label-cache + top-K-page path (XLA for now)
+        # double-sparsity rides the fused top-K-page kernel when the
+        # standard pallas geometry checks below pass
+        # (ops/sparse_attention.fused_sparse_paged_decode)
         if self.mesh_ctx.parallel.dcp:
             # DCP attention is its own shard_map path (page-sharded pool
             # + LSE merge, layers/context_parallel.py); the model bypasses

@@ -830,44 +830,80 @@ class LlamaForCausalLM:
                         write_kv,
                     )
                     from sglang_tpu.ops.sparse_attention import (
+                        fused_sparse_paged_decode,
+                        select_top_pages,
                         sparse_paged_decode,
                         write_labels,
                     )
 
                     ds = self._ds
                     np_pages = num_slots // page_size
-                    kvbuf = write_kv(
-                        kv["kv"], k, v, batch.out_slots, li, num_slots
-                    )
                     labels = write_labels(
                         kv["labels"], k, batch.out_slots, li, np_pages,
                         ds.channels,
                     )
-                    kv = {"kv": kvbuf, "labels": labels}
-                    if (
+                    use_sparse = (
                         Lq == 1
                         and batch.page_table.shape[1] > ds.top_pages
-                    ):
-                        attn_out = sparse_paged_decode(
-                            q, kvbuf, labels, batch.page_table,
+                    )
+                    # fp8 KV keeps the XLA sparse path: the kernel's
+                    # fused [2, HD] 1-byte write violates Mosaic tiling
+                    ds_pallas = (
+                        attn_backend == "pallas"
+                        and jnp.dtype(kv["kv"].dtype).itemsize >= 2
+                    )
+                    if use_sparse and ds_pallas:
+                        # fused kernel: selection in XLA (small label
+                        # matmul + top_k), then selected-page DMAs + the
+                        # KV write inside the kernel — no full-context
+                        # gather, no XLA scatter on the big cache
+                        from sglang_tpu.environ import envs
+
+                        sel = select_top_pages(
+                            q, labels, batch.page_table,
                             batch.seq_lens, li,
                             num_pages=np_pages, page_size=page_size,
-                            sm_scale=self.sm_scale,
                             channels=ds.channels,
-                            top_pages=ds.top_pages,
+                            top_pages=ds.top_pages, hkv=hkv,
                             sliding_window=window,
+                        )
+                        attn_out, kvbuf = fused_sparse_paged_decode(
+                            q, k, v, kv["kv"], batch.page_table, sel,
+                            batch.out_slots, batch.seq_lens, li,
+                            num_slots=num_slots, page_size=page_size,
+                            sm_scale=self.sm_scale,
+                            sliding_window=window,
+                            interpret=bool(
+                                envs.SGLANG_TPU_INTERPRET_PALLAS.value
+                            ),
                         )
                     else:
-                        kc, vc = gather_kv(
-                            kvbuf, batch.page_table, li, num_slots,
-                            page_size, d,
+                        kvbuf = write_kv(
+                            kv["kv"], k, v, batch.out_slots, li,
+                            num_slots,
                         )
-                        attn_out = attention_xla(
-                            q, kc, vc, batch.positions, batch.seq_lens,
-                            self.sm_scale,
-                            logit_cap=c.attn_logit_softcap,
-                            sliding_window=window,
-                        )
+                        if use_sparse:
+                            attn_out = sparse_paged_decode(
+                                q, kvbuf, labels, batch.page_table,
+                                batch.seq_lens, li,
+                                num_pages=np_pages, page_size=page_size,
+                                sm_scale=self.sm_scale,
+                                channels=ds.channels,
+                                top_pages=ds.top_pages,
+                                sliding_window=window,
+                            )
+                        else:
+                            kc, vc = gather_kv(
+                                kvbuf, batch.page_table, li, num_slots,
+                                page_size, d,
+                            )
+                            attn_out = attention_xla(
+                                q, kc, vc, batch.positions,
+                                batch.seq_lens, self.sm_scale,
+                                logit_cap=c.attn_logit_softcap,
+                                sliding_window=window,
+                            )
+                    kv = {"kv": kvbuf, "labels": labels}
                 elif self._dcp():
                     # decode context parallelism: pages sharded over tp,
                     # per-rank partials merge by LSE (layers/dcp/ role)

@@ -107,6 +107,93 @@ def test_sparse_decode_selects_hot_pages_exactly():
         assert set(hot[b]) <= top, (b, sorted(top), hot[b])
 
 
+@pytest.mark.parametrize("window", [None, 40])
+def test_fused_sparse_kernel_matches_xla_sparse(window):
+    """fused_sparse_paged_decode (Pallas interpret: fused KV write +
+    selected-page DMAs) must match the XLA sparse path given the same
+    selection, incl. sliding windows and a short row."""
+    from sglang_tpu.layers.attention import write_kv
+    from sglang_tpu.ops.sparse_attention import (
+        fused_sparse_paged_decode,
+        label_channels,
+        select_top_pages,
+        sparse_paged_decode,
+        write_labels,
+    )
+
+    rng = np.random.RandomState(42)
+    B, Hq, Hkv, D, ps, P = 4, 8, 2, 64, 8, 16
+    L, NP = 2, B * P + 8
+    num_slots = NP * ps
+    C = P * ps
+    seq_lens = np.asarray([C, 37, 9, C - 5], np.int32)
+    li = jnp.int32(1)
+
+    kvb = jnp.asarray(rng.randn(L * NP, ps, 2, Hkv * D), jnp.float32)
+    labels0 = jnp.zeros((L * NP, ps, Hkv * 8), jnp.float32)
+    page_table = (
+        rng.permutation(NP - 1)[: B * P].reshape(B, P) + 1
+    ).astype(np.int32)
+    ch = label_channels(D, Hkv, 8)
+
+    # fill history (all but the newest token) + labels for ALL slots
+    labels = labels0
+    hist_k = rng.randn(B, C, Hkv, D).astype(np.float32)
+    hist_v = rng.randn(B, C, Hkv, D).astype(np.float32)
+    for b in range(B):
+        n = int(seq_lens[b]) - 1
+        if n <= 0:
+            continue
+        slots = page_table[b, np.arange(n) // ps] * ps + np.arange(n) % ps
+        kvb = write_kv(
+            kvb, jnp.asarray(hist_k[b : b + 1, :n]),
+            jnp.asarray(hist_v[b : b + 1, :n]),
+            jnp.asarray(slots[None]), li, num_slots,
+        )
+        labels = write_labels(
+            labels, jnp.asarray(hist_k[b : b + 1, :n]),
+            jnp.asarray(slots[None]), li, NP, ch,
+        )
+
+    q = jnp.asarray(rng.randn(B, 1, Hq, D).astype(np.float32) * 0.3)
+    k_new = jnp.asarray(rng.randn(B, 1, Hkv, D).astype(np.float32))
+    v_new = jnp.asarray(rng.randn(B, 1, Hkv, D).astype(np.float32))
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = int(seq_lens[b]) - 1
+        out_slots[b, 0] = page_table[b, pos // ps] * ps + pos % ps
+    out_slots = jnp.asarray(out_slots)
+
+    # reference: XLA write + label write + XLA sparse attention
+    kv_ref = write_kv(kvb, k_new, v_new, out_slots, li, num_slots)
+    labels = write_labels(labels, k_new, out_slots, li, NP, ch)
+    ref = sparse_paged_decode(
+        q, kv_ref, labels, jnp.asarray(page_table),
+        jnp.asarray(seq_lens), li, num_pages=NP, page_size=ps,
+        sm_scale=D ** -0.5, channels=ch, top_pages=6,
+        sliding_window=window,
+    )
+    # kernel: same selection, fused write + selected-page DMAs
+    sel = select_top_pages(
+        q, labels, jnp.asarray(page_table), jnp.asarray(seq_lens), li,
+        num_pages=NP, page_size=ps, channels=ch, top_pages=6, hkv=Hkv,
+        sliding_window=window,
+    )
+    out, kv_out = fused_sparse_paged_decode(
+        q, k_new, v_new, kvb, jnp.asarray(page_table), sel, out_slots,
+        jnp.asarray(seq_lens), li, num_slots=num_slots, page_size=ps,
+        sm_scale=D ** -0.5, sliding_window=window, interpret=True,
+    )
+    assert not np.isnan(np.asarray(out)).any()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+    # the fused write must land the same cache rows as the XLA scatter
+    np.testing.assert_allclose(
+        np.asarray(kv_out), np.asarray(kv_ref), rtol=1e-6, atol=1e-6
+    )
+
+
 def _engine(**overrides):
     from sglang_tpu.configs.model_config import ModelConfig
     from sglang_tpu.entrypoints.engine import Engine
@@ -137,6 +224,51 @@ def test_ds_engine_exact_when_topk_covers_all():
     finally:
         ds.shutdown()
         ref.shutdown()
+
+
+def test_ds_engine_pallas_matches_xla(monkeypatch):
+    """With 128-aligned KV lanes the ds engine serves on the fused
+    sparse kernel (interpret here); it must match the forced-XLA sparse
+    engine token-exactly (same selection, same participating pages)."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    hf = dict(TINY_HF_CONFIG)
+    hf.update(head_dim=64, hidden_size=128)
+
+    def build(force_xla):
+        if force_xla:
+            monkeypatch.setenv("SGLANG_TPU_FORCE_XLA_ATTENTION", "1")
+        else:
+            monkeypatch.delenv("SGLANG_TPU_FORCE_XLA_ATTENTION",
+                               raising=False)
+            monkeypatch.setenv("SGLANG_TPU_INTERPRET_PALLAS", "1")
+        args = make_server_args(
+            enable_double_sparsity=True, ds_top_pages=4,
+            disable_radix_cache=True, dtype="float32",
+        )
+        cfg = ModelConfig.from_hf_dict(hf, dtype="float32")
+        runner = ModelRunner(args, model_config=cfg)
+        return Engine(server_args=args, model_runner=runner), runner
+
+    prompt = [(7 * i) % 500 + 1 for i in range(120)]  # 30 pages > top 4
+    sp = {"temperature": 0.0, "max_new_tokens": 16, "ignore_eos": True}
+    ep, rp = build(force_xla=False)
+    try:
+        assert rp.attn_backend == "pallas"
+        out_p = ep.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    finally:
+        ep.shutdown()
+    ex, rx = build(force_xla=True)
+    try:
+        assert rx.attn_backend == "xla"
+        out_x = ex.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    finally:
+        ex.shutdown()
+    assert out_p["output_ids"] == out_x["output_ids"], (
+        out_p["output_ids"], out_x["output_ids"],
+    )
 
 
 def test_ds_engine_sparse_path_engages():
