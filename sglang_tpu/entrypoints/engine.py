@@ -144,11 +144,18 @@ class Engine:
         elif any(
             "Qwen2VL" in a or "Qwen2_5_VL" in a for a in cfg.architectures
         ) and server_args.load_format in ("auto", "safetensors"):
-            from sglang_tpu.multimodal.qwen_vl import QwenVLProcessor
+            if any("Qwen2_5_VL" in a for a in cfg.architectures):
+                from sglang_tpu.multimodal.qwen_vl import Qwen25VLProcessor
 
-            self.mm_processor = QwenVLProcessor(
-                cfg.hf_config, server_args.model_path
-            )
+                self.mm_processor = Qwen25VLProcessor(
+                    cfg.hf_config, server_args.model_path
+                )
+            else:
+                from sglang_tpu.multimodal.qwen_vl import QwenVLProcessor
+
+                self.mm_processor = QwenVLProcessor(
+                    cfg.hf_config, server_args.model_path
+                )
             logger.info("Qwen-VL processor ready (dynamic resolution)")
 
         # PD-over-HTTP roles (reference --disaggregation-mode): the

@@ -70,4 +70,14 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         return super()._apply_rope(x, cos, sin, rot_half, d)
 
 
-EntryClass = [Qwen2VLForConditionalGeneration]
+class Qwen2_5_VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    """Qwen2.5-VL text trunk (reference ``srt/models/qwen2_5_vl.py``):
+    identical M-RoPE text model; the vision tower differences (RMSNorm,
+    SwiGLU, windowed attention) live in
+    multimodal/qwen_vl.Qwen25VLProcessor."""
+
+
+EntryClass = [
+    Qwen2VLForConditionalGeneration,
+    Qwen2_5_VLForConditionalGeneration,
+]

@@ -300,3 +300,237 @@ class QwenVLProcessor:
                 i += 1
         delta = int(pos.max()) + 1 - n
         return pos, delta
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL (reference srt/models/qwen2_5_vl.py): RMSNorm blocks, SwiGLU
+# MLP, windowed attention with the HF window_index reorder
+# ---------------------------------------------------------------------------
+
+def qwen25_window_order(
+    grid: Tuple[int, int, int], merge: int, window_size: int,
+    patch_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """HF ``get_window_index`` for one image: returns
+    (window_index [S/mu] merge-unit reorder, window segment id per token
+    [S] in the REORDERED order, full-attention segment id per token [S]
+    — the frame index, since full attention is per-frame)."""
+    gt, gh, gw = grid
+    lh, lw = gh // merge, gw // merge
+    mu = merge * merge
+    vmw = window_size // merge // patch_size
+    idx = np.arange(gt * lh * lw).reshape(gt, lh, lw)
+    # NOTE: HF pads by vmw - (dim % vmw) even when the dim is already a
+    # multiple (a full extra -100 band) — keep the exact semantics.
+    pad_h = vmw - lh % vmw
+    pad_w = vmw - lw % vmw
+    nh, nw = (lh + pad_h) // vmw, (lw + pad_w) // vmw
+    ip = np.full((gt, lh + pad_h, lw + pad_w), -100, np.int64)
+    ip[:, :lh, :lw] = idx
+    ip = (
+        ip.reshape(gt, nh, vmw, nw, vmw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(gt, nh * nw, vmw, vmw)
+    )
+    seqlens = (ip != -100).sum(axis=(2, 3)).reshape(-1)
+    flat = ip.reshape(-1)
+    window_index = flat[flat != -100]  # [gt*lh*lw]
+    cu = np.concatenate([[0], np.cumsum(seqlens) * mu]).astype(np.int64)
+    cu = np.unique(cu)  # nondecreasing → == unique_consecutive
+    S = gt * gh * gw
+    seg_w = np.zeros(S, np.int32)
+    for i in range(len(cu) - 1):
+        seg_w[cu[i]: cu[i + 1]] = i
+    frame = (window_index // (lh * lw)).astype(np.int32)
+    seg_f = np.repeat(frame, mu)
+    return window_index.astype(np.int64), seg_w, seg_f
+
+
+def qwen25_vision_forward(
+    params: Dict[str, Any],
+    patches: jnp.ndarray,  # [S, C·T·ps·ps]
+    grid: Tuple[int, int, int],
+    *,
+    num_heads: int,
+    merge: int = 2,
+    window_size: int = 112,
+    patch_size: int = 14,
+    fullatt_blocks: Tuple[int, ...] = (7, 15, 23, 31),
+) -> jnp.ndarray:
+    """→ merged features [S / merge², out_hidden_size].
+
+    Qwen2.5-VL vision semantics (HF Qwen2_5_VisionTransformer): tokens
+    are reordered into window groups at merge-unit granularity; most
+    blocks attend within their window segment, ``fullatt_blocks``
+    attend per-frame; RMSNorm + SwiGLU; the merger output is restored
+    to the original merge-unit order."""
+    x = patches @ params["patch_w"]  # [S, E]
+    E = x.shape[-1]
+    hd = E // num_heads
+    S = x.shape[0]
+    mu = merge * merge
+
+    ang_np = _vision_rot_angles(grid, hd, merge)  # [S, hd/2]
+    win_idx, seg_w, seg_f = qwen25_window_order(
+        grid, merge, window_size, patch_size
+    )
+    # reorder tokens (and their rotary angles) into window groups
+    x = x.reshape(S // mu, mu, E)[win_idx].reshape(S, E)
+    ang = jnp.asarray(
+        ang_np.reshape(S // mu, mu, -1)[win_idx].reshape(S, -1)
+    )
+    cos = jnp.cos(jnp.concatenate([ang, ang], axis=-1))  # [S, hd]
+    sin = jnp.sin(jnp.concatenate([ang, ang], axis=-1))
+    mask_w = jnp.asarray(seg_w[:, None] == seg_w[None, :])  # [S, S]
+    mask_f = jnp.asarray(seg_f[:, None] == seg_f[None, :])
+
+    def rope(t):  # [S, H, hd]
+        tf = t.astype(jnp.float32)
+        half = tf.shape[-1] // 2
+        rot = jnp.concatenate([-tf[..., half:], tf[..., :half]], axis=-1)
+        return tf * cos[:, None, :] + rot * sin[:, None, :]
+
+    def rms(v, w):
+        vf = v.astype(jnp.float32)
+        return vf * jax.lax.rsqrt(
+            (vf * vf).mean(-1, keepdims=True) + 1e-6
+        ) * w
+
+    L = params["blocks"]["norm1_w"].shape[0]
+    for i in range(L):
+        w = {k: v[i] for k, v in params["blocks"].items()}
+        mask = mask_f if i in fullatt_blocks else mask_w
+        h = rms(x, w["norm1_w"])
+        qkv = h @ w["qkv_w"] + w["qkv_b"]  # [S, 3E]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = rope(q.reshape(S, num_heads, hd))
+        k = rope(k.reshape(S, num_heads, hd))
+        v = v.reshape(S, num_heads, hd).astype(jnp.float32)
+        scores = jnp.einsum("qhd,khd->hqk", q, k) * (hd ** -0.5)
+        scores = jnp.where(mask[None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum("hqk,khd->qhd", probs, v).reshape(S, E)
+        x = x + (att @ w["proj_w"] + w["proj_b"])
+        h = rms(x, w["norm2_w"])
+        g = h @ w["gate_w"] + w["gate_b"]
+        u = h @ w["up_w"] + w["up_b"]
+        x = x + ((jax.nn.silu(g) * u) @ w["down_w"] + w["down_b"])
+
+    # merger: RMSNorm then merge-unit groups -> MLP
+    x = rms(x, params["ln_q_w"])
+    x = x.reshape(-1, E * mu)
+    x = x @ params["m0_w"] + params["m0_b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x @ params["m2_w"] + params["m2_b"]
+    # restore the original merge-unit order
+    rev = jnp.asarray(np.argsort(win_idx))
+    return x[rev]
+
+
+def load_qwen25_vl_vision_params(model_path: str) -> Dict[str, Any]:
+    import glob
+    import os
+
+    from sglang_tpu.model_loader.loader import SafetensorsFile
+
+    t: Dict[str, np.ndarray] = {}
+    for f in sorted(glob.glob(os.path.join(model_path, "*.safetensors"))):
+        st = SafetensorsFile(f)
+        for name in st.keys():
+            for pre in ("model.visual.", "visual."):
+                if name.startswith(pre):
+                    t[name[len(pre):]] = np.asarray(
+                        st.get_tensor(name), np.float32
+                    )
+                    break
+    if not t:
+        raise ValueError(f"no qwen2.5-vl vision tower in {model_path}")
+    E = t["patch_embed.proj.weight"].shape[0]
+    n = 0
+    while f"blocks.{n}.norm1.weight" in t:
+        n += 1
+
+    def stack(fmt, tr=False):
+        arrs = [t[fmt.format(i)] for i in range(n)]
+        if tr:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs))
+
+    B = "blocks.{}."
+    return {
+        "patch_w": jnp.asarray(
+            t["patch_embed.proj.weight"].reshape(E, -1).T
+        ),
+        "blocks": {
+            "norm1_w": stack(B + "norm1.weight"),
+            "qkv_w": stack(B + "attn.qkv.weight", tr=True),
+            "qkv_b": stack(B + "attn.qkv.bias"),
+            "proj_w": stack(B + "attn.proj.weight", tr=True),
+            "proj_b": stack(B + "attn.proj.bias"),
+            "norm2_w": stack(B + "norm2.weight"),
+            "gate_w": stack(B + "mlp.gate_proj.weight", tr=True),
+            "gate_b": stack(B + "mlp.gate_proj.bias"),
+            "up_w": stack(B + "mlp.up_proj.weight", tr=True),
+            "up_b": stack(B + "mlp.up_proj.bias"),
+            "down_w": stack(B + "mlp.down_proj.weight", tr=True),
+            "down_b": stack(B + "mlp.down_proj.bias"),
+        },
+        "ln_q_w": jnp.asarray(t["merger.ln_q.weight"]),
+        "m0_w": jnp.asarray(t["merger.mlp.0.weight"].T),
+        "m0_b": jnp.asarray(t["merger.mlp.0.bias"]),
+        "m2_w": jnp.asarray(t["merger.mlp.2.weight"].T),
+        "m2_b": jnp.asarray(t["merger.mlp.2.bias"]),
+    }
+
+
+class Qwen25VLProcessor(QwenVLProcessor):
+    """Qwen2.5-VL image → text-space features + M-RoPE positions.
+
+    Same dynamic-resolution tiling and ``get_rope_index`` as Qwen2-VL;
+    the tower differs (RMSNorm, SwiGLU, windowed attention)."""
+
+    def __init__(self, hf_config: Dict[str, Any], model_path: str):
+        vcfg = hf_config.get("vision_config") or {}
+        self.patch_size = int(vcfg.get("patch_size", 14))
+        self.merge = int(vcfg.get("spatial_merge_size", 2))
+        self.temporal = int(vcfg.get("temporal_patch_size", 2))
+        self.num_heads = int(vcfg.get("num_heads", 16))
+        self.window_size = int(vcfg.get("window_size", 112))
+        self.fullatt_blocks = tuple(
+            vcfg.get("fullatt_block_indexes") or (7, 15, 23, 31)
+        )
+        self.image_token_id = int(hf_config.get("image_token_id", 151655))
+        self.n_patches = 0
+        self.last_counts: List[int] = []
+        self.last_grids: List[Tuple[int, int, int]] = []
+        self.params = load_qwen25_vl_vision_params(model_path)
+        self._fwd = jax.jit(
+            qwen25_vision_forward,
+            static_argnames=(
+                "num_heads", "merge", "grid", "window_size",
+                "patch_size", "fullatt_blocks",
+            ),
+        )
+
+    def encode_images(self, images: List[Any]) -> np.ndarray:
+        rows = []
+        self.last_counts = []
+        self.last_grids = []
+        for im in images:
+            patches, grid = qwen_patchify(
+                im, self.patch_size, self.merge, self.temporal
+            )
+            feats = np.asarray(
+                self._fwd(
+                    self.params, jnp.asarray(patches), grid,
+                    num_heads=self.num_heads, merge=self.merge,
+                    window_size=self.window_size,
+                    patch_size=self.patch_size,
+                    fullatt_blocks=self.fullatt_blocks,
+                ),
+                np.float32,
+            )
+            rows.append(feats)
+            self.last_counts.append(feats.shape[0])
+            self.last_grids.append(grid)
+        return np.concatenate(rows, axis=0)

@@ -1,0 +1,152 @@
+"""Qwen2.5-VL: windowed-attention vision tower parity + end-to-end image
+generation vs HF transformers (reference srt/models/qwen2_5_vl.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_server_args
+
+TEXT_TINY = dict(
+    hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+    max_position_embeddings=1024, rope_theta=10000.0,
+    rms_norm_eps=1e-5,
+    rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+)
+# depth 3 with one full-attention block: both mask paths exercised
+VIS_TINY = dict(
+    depth=3, hidden_size=32, out_hidden_size=64, intermediate_size=48,
+    num_heads=4, in_channels=3, patch_size=14, spatial_merge_size=2,
+    temporal_patch_size=2, window_size=112, fullatt_block_indexes=[1],
+    hidden_act="silu",
+)
+
+
+def _save_hf(tmpdir):
+    import torch
+    from transformers import (
+        Qwen2_5_VLConfig,
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(TEXT_TINY),
+        vision_config=dict(VIS_TINY),
+        image_token_id=500, video_token_id=501,
+        vision_start_token_id=502, vision_end_token_id=503,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = Qwen2_5_VLForConditionalGeneration(cfg).float().eval()
+    import safetensors.torch as st
+
+    sd = {k: v.contiguous() for k, v in m.state_dict().items()}
+    st.save_file(sd, f"{tmpdir}/model.safetensors")
+    hf_json = {
+        "architectures": ["Qwen2_5_VLForConditionalGeneration"],
+        "model_type": "qwen2_5_vl",
+        "text_config": dict(
+            TEXT_TINY, model_type="qwen2_5_vl_text", eos_token_id=257,
+            tie_word_embeddings=False,
+        ),
+        "vision_config": dict(VIS_TINY, model_type="qwen2_5_vl"),
+        "image_token_id": 500,
+        "vision_start_token_id": 502,
+        "eos_token_id": 257,
+        "tie_word_embeddings": False,
+    }
+    with open(f"{tmpdir}/config.json", "w") as f:
+        json.dump(hf_json, f)
+    return m
+
+
+def _engine(model_dir):
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    args = make_server_args(
+        model_path=str(model_dir), load_format="safetensors",
+        dtype="float32",
+    )
+    cfg = ModelConfig.from_model_path(str(model_dir), dtype="float32")
+    runner = ModelRunner(args, model_config=cfg)
+    return Engine(server_args=args, model_runner=runner)
+
+
+def _image(seed=0, hw=(150, 200)):
+    # big enough that llm_grid exceeds the 4-merge-unit window side →
+    # window attention actually partitions the image
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    return Image.fromarray(
+        (rng.rand(hw[0], hw[1], 3) * 255).astype(np.uint8)
+    )
+
+
+def test_qwen25_vl_vision_tower_matches_hf(tmp_path):
+    torch = pytest.importorskip("torch")
+    hf = _save_hf(tmp_path)
+    import jax.numpy as jnp
+
+    from sglang_tpu.multimodal.qwen_vl import (
+        load_qwen25_vl_vision_params,
+        qwen25_vision_forward,
+        qwen_patchify,
+    )
+
+    patches, grid = qwen_patchify(_image(), 14, 2, 2)
+    assert grid[1] // 2 > 4 or grid[2] // 2 > 4  # window path engages
+    params = load_qwen25_vl_vision_params(str(tmp_path))
+    ours = np.asarray(
+        qwen25_vision_forward(
+            params, jnp.asarray(patches), grid, num_heads=4, merge=2,
+            window_size=112, patch_size=14, fullatt_blocks=(1,),
+        )
+    )
+    with torch.no_grad():
+        ref = hf.model.visual(
+            torch.tensor(patches),
+            grid_thw=torch.tensor([list(grid)]),
+        ).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen25_vl_image_generation_matches_hf(tmp_path):
+    """Full path: tiling → windowed tower → M-RoPE positions →
+    token-exact greedy continuation vs HF with the same patches."""
+    torch = pytest.importorskip("torch")
+    hf = _save_hf(tmp_path)
+    from sglang_tpu.multimodal.qwen_vl import Qwen25VLProcessor, qwen_patchify
+
+    img = _image(3)
+    patches, grid = qwen_patchify(img, 14, 2, 2)
+    gt, gh, gw = grid
+    count = gt * (gh // 2) * (gw // 2)
+
+    eng = _engine(tmp_path)
+    try:
+        assert isinstance(eng.mm_processor, Qwen25VLProcessor)
+        assert eng.scheduler._needs_mrope
+        prompt = [3, 88, 500, 41, 7]  # 500 = image token
+        out = eng.generate(
+            input_ids=list(prompt),
+            images=[img],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 10,
+                             "ignore_eos": True},
+        )
+        hf_ids = [3, 88] + [500] * count + [41, 7]
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(patches),
+                image_grid_thw=torch.tensor([list(grid)]),
+                max_new_tokens=10, do_sample=False,
+            )[0, len(hf_ids):].tolist()
+        assert out["output_ids"] == ref, (out["output_ids"], ref)
+    finally:
+        eng.shutdown()
