@@ -1879,12 +1879,15 @@ class Scheduler:
             self._emit_updates(updates)
 
     def _eagle_tree_round(self, tb: int) -> Optional[bool]:
-        """Top-b root-branch tree round (reference speculative_eagle_topk):
-        each branch chains from one of the b most likely root tokens and
-        verifies in its OWN copy of the request's tail page(s) — fully
-        causal under the existing paged kernels, commit = adopt the
-        winning branch's pages.  Greedy-only; returns None to fall back
-        to the chain round on page pressure."""
+        """Top-b tree round (reference speculative_eagle_topk): greedy
+        batches draft a PER-DEPTH beam (branch 0 reserved for the pure
+        greedy chain, the rest re-selected by cumulative logprob each
+        depth — model_runner beam scan); sampled batches draft b i.i.d.
+        root chains for tree rejection sampling.  Every branch verifies
+        in its OWN copy of the request's tail page(s) — fully causal
+        under the existing paged kernels, commit = adopt the winning
+        branch's pages.  Returns None to fall back to the chain round
+        on page pressure."""
         batch = self.running
         k = self.server_args.speculative_num_draft_tokens
         ps = self.page_size

@@ -1743,16 +1743,21 @@ class ModelRunner:
         return out, kv_cache, feats_pool
 
     # -------------------------------------------------- EAGLE tree (top-b)
-    # Top-b ROOT branching (reference speculative_eagle_topk): the first
-    # draft position takes the b most likely tokens and each branch
-    # chains greedily to depth K.  TPU-native tree mechanics: every
-    # branch gets a PRIVATE copy of the request's tail page(s), so draft
-    # chaining and target verify stay fully causal under the existing
-    # paged kernels (no tree attention masks), KV writes never collide,
-    # and committing the winning branch is a host-side page-pointer swap
-    # — no KV row compaction.  Greedy-only (sampled rows use the chain
-    # path; reference's multi-child tree rejection sampling is a later
-    # extension).
+    # Tree speculation (reference speculative_eagle_topk).  TPU-native
+    # tree mechanics: every branch gets a PRIVATE copy of the request's
+    # tail page(s), so draft chaining and target verify stay fully
+    # causal under the existing paged kernels (no tree attention
+    # masks), KV writes never collide, and committing the winning
+    # branch is a host-side page-pointer swap — no KV row compaction.
+    #
+    # Greedy batches run PER-DEPTH beam branching (reference
+    # eagle_utils.select_top_k_tokens): at every depth each live branch
+    # expands top-TB ways and the TB best cumulative-logprob paths
+    # survive; a surviving branch whose parent differs adopts the
+    # parent's private draft-KV pages (a TB-page copy per depth — the
+    # draft is one layer, so this is cheap).  Sampled batches keep
+    # root-branched i.i.d. chains: the tree rejection sampler's
+    # exactness requires i.i.d. proposals per branch.
 
     def _eagle_tree_draft_impl(
         self, params, dparams, draft_kv, feats_pool, dpacked, st_packed,
@@ -1815,7 +1820,8 @@ class ModelRunner:
         # reject_sampling.py tree sampling contract) and SAMPLE their
         # chains, recording per-step q logits for chain rejection.
         q0 = self._head_logits(params, g_last[:, None])[:, 0]  # [B, V]
-        _, top = jax.lax.top_k(q0, TB)
+        lsm0 = jax.nn.log_softmax(q0.astype(jnp.float32), axis=-1)
+        lp0, top = jax.lax.top_k(lsm0, TB)  # [B, TB]
         d0 = top.astype(jnp.int32)  # [B, TB]
         if sampled:
             st = unpack_sampling_params(st_packed)
@@ -1834,6 +1840,78 @@ class ModelRunner:
         feat0 = jnp.repeat(g_last, TB, axis=0)  # [Bb, H]
         pos0 = jnp.repeat(base_pos + ext_lens, TB, axis=0)  # cached_len+1
         active = jnp.repeat(ext_lens > 0, TB, axis=0)
+
+        if not sampled:
+            # ---- per-depth beam branching (greedy batches) ----
+            bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+            col_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+            # private page ordinals a branch can touch: the boundary
+            # page plus the tail pages the K draft positions span
+            PRIV = (K + ps - 1) // ps + 1
+
+            def beam(carry, t):
+                d, feat, cum, paths, dkv = carry
+                p1 = pos0 + t
+                pg = jnp.take_along_axis(
+                    branch_tables, (p1 // ps)[:, None], axis=1
+                )[:, 0]
+                slot1 = jnp.where(active, pg * ps + p1 % ps, 0)
+                b1 = DeviceBatch(
+                    input_ids=d[:, None],
+                    positions=jnp.where(active, p1, 0)[:, None],
+                    seq_lens=jnp.where(active, p1 + 1, 0),
+                    page_table=branch_tables,
+                    out_slots=slot1[:, None],
+                    logits_idx=np.arange(Bb, dtype=np.int32),
+                )
+                feat2, dkv = self.eagle.forward(
+                    dparams, params["embed"], dkv, b1, feat[:, None],
+                    num_slots=self.kv_pool.num_slots, page_size=ps,
+                    attn_backend=self.attn_backend,
+                )
+                feat2 = feat2[:, 0]
+                ql = self._head_logits(params, feat2[:, None])[:, 0]
+                # record the token this step consumed, then expand
+                paths = jnp.where(col_k == t, d[:, None], paths)
+                lsm = jax.nn.log_softmax(ql.astype(jnp.float32), axis=-1)
+                top_lp, top_tok = jax.lax.top_k(lsm, TB)  # [Bb, TB]
+                cand = (cum[:, None] + top_lp).reshape(B, TB * TB)
+                # branch 0 stays the PURE GREEDY chain (flat index 0 =
+                # parent 0's argmax): force it to rank first so the
+                # perfect-draft → full-accept guarantee of chain
+                # drafting survives beam pruning; its TRUE cumulative
+                # logprob (not the ranking sentinel) carries forward.
+                ranked = cand.at[:, 0].set(jnp.inf)
+                _, idx = jax.lax.top_k(ranked, TB)  # [B, TB] desc
+                val = jnp.take_along_axis(cand, idx, axis=1)
+                parent = idx // TB
+                rows_par = (bidx * TB + parent).reshape(Bb)
+                nd = jnp.take_along_axis(
+                    top_tok.reshape(B, TB * TB), idx, axis=1
+                ).reshape(Bb).astype(jnp.int32)
+                # surviving branches adopt their parent's state
+                feat2 = feat2[rows_par]
+                paths = paths[rows_par]
+                cum = val.reshape(Bb)
+                # ... and the parent's private draft-KV pages (shared
+                # ordinals copy a page onto itself — a no-op)
+                for i in range(PRIV):
+                    o = jnp.clip(pos0 // ps + i, 0, P - 1)
+                    child_pg = jnp.take_along_axis(
+                        branch_tables, o[:, None], axis=1
+                    )[:, 0]
+                    dkv = dkv.at[child_pg].set(
+                        dkv[child_pg[rows_par]], mode="drop"
+                    )
+                return (nd, feat2, cum, paths, dkv), None
+
+            paths0 = jnp.zeros((Bb, K), jnp.int32)
+            (_, _, _, paths, draft_kv), _ = jax.lax.scan(
+                beam,
+                (d0, feat0, lp0.reshape(Bb), paths0, draft_kv),
+                np.arange(K, dtype=np.int32),
+            )
+            return paths.reshape(B, TB, K), draft_kv
 
         def chain(carry, t):
             d, feat, dkv, key = carry
