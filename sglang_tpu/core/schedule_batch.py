@@ -49,9 +49,11 @@ class HostBatch:
         mrope: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         input_ids = np.zeros((B, L), np.int32)
-        # cp > 1: padded positions get sentinel L (out of range) so the
-        # zigzag causal mask naturally excludes them (layers/cp)
-        positions = np.full((B, L), L if cp > 1 else 0, np.int32)
+        # cp > 1: padded positions get a huge sentinel so the zigzag
+        # causal mask naturally excludes them (layers/cp) — it must
+        # exceed ANY real position, which with a cached prefix can be
+        # far beyond the L bucket
+        positions = np.full((B, L), (1 << 30) if cp > 1 else 0, np.int32)
         out_slots = np.zeros((B, L), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         logits_idx = np.zeros((B,), np.int32)

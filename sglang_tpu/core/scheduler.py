@@ -862,6 +862,9 @@ class Scheduler:
         cp = self.runner.cp_for_extend(batch)
         if cp > 1 and L % (2 * cp) != 0:
             cp = 1
+        # cached prefixes / later chunks fold paged KV into the CP
+        # accumulators — a distinct compiled program (use_cp=2)
+        cp_prefix = cp > 1 and any(r.cached_len > 0 for r in batch.reqs)
         packed, st_packed, pen = batch.pack_extend(
             self.page_size, B, L, P, cp=cp, mrope=self._needs_mrope
         )
@@ -880,7 +883,7 @@ class Scheduler:
             packed, st_packed, B, L, P, pen=pen, vmask=vmask,
             adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
             capture_ecounts=capture_ecounts, return_async=True,
-            use_cp=cp > 1,
+            use_cp=(2 if cp_prefix else 1) if cp > 1 else 0,
         )
         return finish, capture_ecounts
 

@@ -282,6 +282,7 @@ def cp_prefill_attention(
     sm_scale: float,
     mesh,
     axis: str = "tp",
+    prefix: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Causal self-attention with the sequence zigzag-sharded over
     ``axis`` (prefill CP).
@@ -295,16 +296,27 @@ def cp_prefill_attention(
     O(L/cp · block) instead of O((L/cp) · L) scores + O(L) gathered
     K/V.  The zigzag layout balances the causal FLOPs across ranks
     (reference cp/zigzag.py; ring schedule = reference's distributed
-    flash decode over cp)."""
+    flash decode over cp).
+
+    ``prefix`` = (k_pfx, v_pfx, pfx_pos), each replicated across the cp
+    ranks: cached-prefix / earlier-chunk KV gathered from the pages.
+    ``pfx_pos`` holds each slot's TRUE position, with invalid slots set
+    to a huge sentinel so the causal mask drops them — the prefix folds
+    into the same flash accumulators before the ring (reference
+    cp four_one.py attends cached prefixes the same way)."""
     from jax.sharding import PartitionSpec as P
 
     cp = mesh.shape[axis]
     Ll = q.shape[1] // cp  # local tokens per rank (inside the shard_map)
 
-    def dense_fn(q, k, v, pos):
+    def dense_fn(q, k, v, pos, *pfx):
         k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
         pos_full = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+        if pfx:
+            k_full = jnp.concatenate([pfx[0], k_full], axis=1)
+            v_full = jnp.concatenate([pfx[1], v_full], axis=1)
+            pos_full = jnp.concatenate([pfx[2], pos_full], axis=1)
         scores = jnp.einsum(
             "blhd,bchd->bhlc", q, k_full,
             preferred_element_type=jnp.float32,
@@ -319,7 +331,7 @@ def cp_prefill_attention(
         )
         return out.astype(q.dtype)
 
-    def ring_fn(q, k, v, pos):
+    def ring_fn(q, k, v, pos, *pfx):
         B, ll, H, D = q.shape
         assert ll == Ll, (ll, Ll)
         qb = _cp_block(Ll)
@@ -328,85 +340,98 @@ def cp_prefill_attention(
         qpos = pos.reshape(B, nq, qb)
         perm = [(i, (i + 1) % cp) for i in range(cp)]
 
+        def fold(fcarry, qi, qp, kbj, vbj, pbj):
+            """One flash fold of a KV block into one q block's stats."""
+            mi, li, ai = fcarry
+            s = jnp.einsum(
+                "bqhd,bkhd->bhqk", qi, kbj,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            causal = pbj[:, None, None, :] <= qp[:, None, :, None]
+            s = jnp.where(causal, s, NEG_INF)
+            m_new = jnp.maximum(mi, jnp.max(s, axis=-1, keepdims=True))
+            corr = jnp.exp(mi - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(causal, p, 0.0)
+            li = li * corr + jnp.sum(p, axis=-1, keepdims=True)
+            ai = ai * corr + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, vbj.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, li, ai
+
+        def fold_chunked(m, l, acc, K_, V_, P_, bs):
+            """Fold [B, C, ...] KV into every q block, C // bs blocks."""
+            nb = K_.shape[1] // bs
+
+            def outer(carry, ks):
+                kbj, vbj, pbj = ks
+                m, l, acc = carry
+                m2, l2, a2 = [], [], []
+                for j in range(nq):
+                    mj, lj, aj = fold(
+                        (m[:, :, j], l[:, :, j], acc[:, :, j]),
+                        qs[:, j], qpos[:, j], kbj, vbj, pbj,
+                    )
+                    m2.append(mj)
+                    l2.append(lj)
+                    a2.append(aj)
+                return (
+                    jnp.stack(m2, 2), jnp.stack(l2, 2), jnp.stack(a2, 2),
+                ), None
+
+            (m, l, acc), _ = jax.lax.scan(
+                outer,
+                (m, l, acc),
+                (
+                    K_.reshape(B, nb, bs, H, D).swapaxes(0, 1),
+                    V_.reshape(B, nb, bs, H, D).swapaxes(0, 1),
+                    P_.reshape(B, nb, bs).swapaxes(0, 1),
+                ),
+            )
+            return m, l, acc
+
+        m = jnp.full((B, H, nq, qb, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((B, H, nq, qb, 1), jnp.float32)
+        acc = jnp.zeros((B, H, nq, qb, D), jnp.float32)
+        if pfx:
+            m, l, acc = fold_chunked(
+                m, l, acc, pfx[0], pfx[1], pfx[2],
+                _cp_block(pfx[0].shape[1]),
+            )
+
         def ring_step(carry, _):
             kb, vb, pb, m, l, acc = carry
-
-            def q_block(qcarry, xs):
-                qi, qp = xs  # [B, qb, H, D], [B, qb]
-                mi, li, ai = qcarry  # [B,H,qb,1], [B,H,qb,1], [B,H,qb,D]
-
-                def kv_block(fcarry, ks):
-                    kbj, vbj, pbj = ks
-                    mi, li, ai = fcarry
-                    s = jnp.einsum(
-                        "bqhd,bkhd->bhqk", qi, kbj,
-                        preferred_element_type=jnp.float32,
-                    ) * sm_scale
-                    causal = pbj[:, None, None, :] <= qp[:, None, :, None]
-                    s = jnp.where(causal, s, NEG_INF)
-                    m_new = jnp.maximum(
-                        mi, jnp.max(s, axis=-1, keepdims=True)
-                    )
-                    corr = jnp.exp(mi - m_new)
-                    p = jnp.exp(s - m_new)
-                    p = jnp.where(causal, p, 0.0)
-                    li = li * corr + jnp.sum(p, axis=-1, keepdims=True)
-                    ai = ai * corr + jnp.einsum(
-                        "bhqk,bkhd->bhqd", p, vbj.astype(jnp.float32),
-                        preferred_element_type=jnp.float32,
-                    )
-                    return (m_new, li, ai), None
-
-                kvb = _cp_block(Ll)
-                nk = Ll // kvb
-                (mi, li, ai), _ = jax.lax.scan(
-                    kv_block,
-                    (mi, li, ai),
-                    (
-                        kb.reshape(B, nk, kvb, H, D).swapaxes(0, 1),
-                        vb.reshape(B, nk, kvb, H, D).swapaxes(0, 1),
-                        pb.reshape(B, nk, kvb).swapaxes(0, 1),
-                    ),
-                )
-                return (mi, li, ai), None
-
-            # fold this ring block into every q block's accumulators
-            m2, l2, a2 = [], [], []
-            for j in range(nq):
-                (mj, lj, aj), _ = q_block(
-                    (m[:, :, j], l[:, :, j], acc[:, :, j]),
-                    (qs[:, j], qpos[:, j]),
-                )
-                m2.append(mj)
-                l2.append(lj)
-                a2.append(aj)
-            m = jnp.stack(m2, axis=2)
-            l = jnp.stack(l2, axis=2)
-            acc = jnp.stack(a2, axis=2)
+            m, l, acc = fold_chunked(m, l, acc, kb, vb, pb, _cp_block(Ll))
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
             pb = jax.lax.ppermute(pb, axis, perm)
             return (kb, vb, pb, m, l, acc), None
 
-        m0 = jnp.full((B, H, nq, qb, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((B, H, nq, qb, 1), jnp.float32)
-        a0 = jnp.zeros((B, H, nq, qb, D), jnp.float32)
         (_, _, _, m, l, acc), _ = jax.lax.scan(
-            ring_step, (k, v, pos, m0, l0, a0), None, length=cp
+            ring_step, (k, v, pos, m, l, acc), None, length=cp
         )
         l = jnp.where(l == 0.0, 1.0, l)
         out = (acc / l).astype(q.dtype)  # [B, H, nq, qb, D]
         return jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(B, Ll, H, D)
 
     fn = ring_fn if Ll >= RING_THRESHOLD else dense_fn
+    in_specs = [
+        P(None, axis, None, None), P(None, axis, None, None),
+        P(None, axis, None, None), P(None, axis),
+    ]
+    args = [q, k, v, positions]
+    if prefix is not None:
+        in_specs += [
+            P(None, None, None, None), P(None, None, None, None),
+            P(None, None),
+        ]
+        args += list(prefix)
     return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(
-            P(None, axis, None, None), P(None, axis, None, None),
-            P(None, axis, None, None), P(None, axis),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=P(None, axis, None, None),
         axis_names={axis},
         check_vma=False,
-    )(q, k, v, positions)
+    )(*args)

@@ -413,7 +413,7 @@ class ModelRunner:
     # ------------------------------------------------------------- impl fns
     def _forward_batch(self, params, kv_cache, batch, lora=None,
                        input_embeds=None, capture_expert_counts=False,
-                       context_parallel=False):
+                       context_parallel=0):
         kw = {}
         if input_embeds is not None:
             kw["input_embeds"] = input_embeds
@@ -421,6 +421,8 @@ class ModelRunner:
             kw["capture_expert_counts"] = True
         if context_parallel:
             kw["context_parallel"] = True
+            if context_parallel == 2:  # cached prefix / later chunk
+                kw["cp_prefix"] = True
         return self.model.forward(
             params,
             kv_cache,
@@ -848,10 +850,11 @@ class ModelRunner:
     def cp_for_extend(self, batch) -> int:
         """Zigzag prefill CP degree for this extend batch, or 1.
         Eligible when the mesh has a cp axis, the model supports the CP
-        forward, every row is a FULL single-chunk prefill (no cached
-        prefix — the CP attention sees only the chunk), and no
-        window/softcap/multimodal features are in play (reference
-        layers/cp/ engages on long-prompt prefill)."""
+        forward, and no window/softcap/multimodal features are in play
+        (reference layers/cp/ engages on long-prompt prefill).  Cached
+        prefixes and chunked-prefill continuations are supported: their
+        earlier KV folds into the CP flash accumulators from the pages
+        (cp_prefill_attention's ``prefix``)."""
         cp = self.mesh_ctx.parallel.cp_size if self.mesh_ctx else 1
         if cp <= 1:
             return 1
@@ -863,8 +866,6 @@ class ModelRunner:
         ):
             return 1
         for r in batch.reqs:
-            if r.cached_len != 0 or r.extend_len != len(r.fill_ids):
-                return 1
             if r.input_embeds is not None:
                 return 1
         return cp

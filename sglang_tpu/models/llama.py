@@ -671,6 +671,7 @@ class LlamaForCausalLM:
         capture_features: bool = False,
         capture_expert_counts: bool = False,  # MoE: EPLB load recording
         context_parallel: bool = False,  # zigzag prefill CP (layers/cp)
+        cp_prefix: bool = False,  # CP chunk has cached-prefix KV in pages
         input_embeds=None,  # [B, Lq, H] rows for NEGATIVE input_ids
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
@@ -925,7 +926,10 @@ class LlamaForCausalLM:
                     # KV still lands in the pages (decode continues on the
                     # standard paged path afterwards); the chunk's attention
                     # runs sequence-sharded with the zigzag causal mask.
-                    from sglang_tpu.layers.attention import write_kv
+                    from sglang_tpu.layers.attention import (
+                        gather_kv,
+                        write_kv,
+                    )
                     from sglang_tpu.layers.context_parallel import (
                         cp_prefill_attention,
                     )
@@ -939,9 +943,36 @@ class LlamaForCausalLM:
                         rep = hq // hkv
                         kc = jnp.repeat(kc, rep, axis=2)
                         vc = jnp.repeat(vc, rep, axis=2)
+                    prefix = None
+                    if cp_prefix:
+                        # cached prefix / earlier chunks: gather their
+                        # paged KV (positions < cached_len) and fold it
+                        # into the CP flash accumulators; invalid slots
+                        # carry a huge position so the mask drops them
+                        kp, vp = gather_kv(
+                            kv, batch.page_table, li, num_slots,
+                            page_size, d,
+                        )
+                        if hq != hkv:
+                            kp = jnp.repeat(kp, hq // hkv, axis=2)
+                            vp = jnp.repeat(vp, hq // hkv, axis=2)
+                        new_lens = jnp.sum(
+                            batch.positions < (1 << 29), axis=1
+                        ).astype(jnp.int32)
+                        pfx_lens = jnp.maximum(
+                            batch.seq_lens - new_lens, 0
+                        )
+                        cpos = jnp.arange(kp.shape[1], dtype=jnp.int32)
+                        pfx_pos = jnp.where(
+                            cpos[None, :] < pfx_lens[:, None],
+                            cpos[None, :],
+                            1 << 30,
+                        )
+                        prefix = (kp, vp, pfx_pos)
                     attn_out = cp_prefill_attention(
                         q, kc, vc, batch.positions, self.sm_scale,
                         self.mesh_ctx.mesh, axis=AXIS_CP,
+                        prefix=prefix,
                     )
                 else:
                     attn_out, kv = paged_attention(

@@ -142,9 +142,10 @@ class LeaderRunner:
         # tower runs only on the leader — protocol v3)
         desc = np.zeros(DESC_LEN, np.int32)
         # the use_chain flag slot carries use_cp for K_EXTEND (decode-only
-        # vs extend-only flags share the wire slot)
+        # vs extend-only flags share the wire slot; 2 = cp with a cached
+        # prefix — a distinct compiled variant)
         flags = list(self._flags(pen, vmask, adapter_idx, tl_k,
-                                 use_chain=1 if use_cp else 0))
+                                 use_chain=int(use_cp)))
         flags[1] |= (1 if capture_ecounts else 0) << 1
         flags[1] |= (1 if embeds is not None else 0) << 2
         desc[:9] = (K_EXTEND, B, L, P, *flags)
@@ -362,7 +363,7 @@ def follower_loop(runner):
                 runner.extend_step(
                     packed, st, B, LK, P, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
-                    use_cp=bool(uc),
+                    use_cp=int(uc),
                     capture_ecounts=bool(use_ecounts),
                 )
             else:

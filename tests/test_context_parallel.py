@@ -151,6 +151,60 @@ def test_cp_prefill_ring_flash_long_shard():
     np.testing.assert_allclose(out[0, rows], ref_rows, rtol=1e-4, atol=1e-4)
 
 
+def test_cp_prefill_prefix_ring_and_dense():
+    """Cached-prefix fold: CP attention over a chunk whose earlier KV
+    (prefix) is passed replicated must match dense attention over
+    prefix+chunk — on BOTH the dense path (short shard) and the ring
+    path (>= RING_THRESHOLD per rank)."""
+    import sglang_tpu.layers.context_parallel as cpmod
+
+    mesh = _mesh(2)
+    cp = 2
+    for L, Cp in ((64, 48), (4096, 128)):  # dense; ring
+        rng = np.random.RandomState(L)
+        B, H, D = 1, 1, 16
+        q = (rng.randn(B, L, H, D) * 0.2).astype(np.float32)
+        k = (rng.randn(B, L, H, D) * 0.2).astype(np.float32)
+        v = (rng.randn(B, L, H, D) * 0.2).astype(np.float32)
+        # prefix buffer: Cp slots, only pfx_len valid (rest garbage)
+        pfx_len = Cp - 5
+        kp = (rng.randn(B, Cp, H, D) * 0.2).astype(np.float32)
+        vp = (rng.randn(B, Cp, H, D) * 0.2).astype(np.float32)
+        cpos = np.arange(Cp, dtype=np.int32)
+        pfx_pos = np.where(cpos < pfx_len, cpos, 1 << 30)[None]
+        order = zigzag_split(L, cp)
+        inv = zigzag_merge(L, cp)
+        # chunk positions start after the prefix
+        pos = np.broadcast_to(
+            (order + pfx_len)[None, :], (B, L)
+        ).astype(np.int32)
+        out_z = cpmod.cp_prefill_attention(
+            jnp.asarray(q[:, order]), jnp.asarray(k[:, order]),
+            jnp.asarray(v[:, order]), jnp.asarray(pos), 0.25, mesh,
+            prefix=(
+                jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(pfx_pos)
+            ),
+        )
+        out = np.asarray(out_z)[:, inv]
+        # dense reference over [valid prefix | chunk]
+        k_all = np.concatenate([kp[:, :pfx_len], k], axis=1)
+        v_all = np.concatenate([vp[:, :pfx_len], v], axis=1)
+        rows = [0, 1, L // 2, L - 1]
+        scores = np.einsum("lhd,chd->hlc", q[0, rows], k_all[0]) * 0.25
+        kpos = np.arange(pfx_len + L)
+        qpos = np.asarray(rows) + pfx_len
+        mask = kpos[None, None, :] <= qpos[None, :, None]
+        scores = np.where(mask, scores, -1e30)
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p = np.where(mask, p, 0.0)
+        p /= p.sum(-1, keepdims=True)
+        ref_rows = np.einsum("hlc,chd->lhd", p, v_all[0])
+        np.testing.assert_allclose(
+            out[0, rows], ref_rows, rtol=3e-4, atol=3e-4,
+            err_msg=f"L={L}",
+        )
+
+
 # -------------------------------------------------- serving-path wiring
 def _cp_engine(cp_size):
     from sglang_tpu.configs.model_config import ModelConfig
@@ -191,8 +245,9 @@ def test_cp_prefill_serving_path_matches_dense():
         # the CP variant actually compiled (an extend fn keyed use_cp)
         assert any(k[-1] for k in runner2._extend_fns), (
             runner2._extend_fns.keys())
-        # a second turn reuses the radix prefix (cached_len > 0) → the
-        # CP gate must fall back to the standard paged path and stay exact
+        # a second turn reuses the radix prefix (cached_len > 0) → CP
+        # now runs WITH the prefix folded from the pages (use_cp=2) and
+        # must stay exact
         o3 = e2.generate(
             input_ids=prompt + o2["output_ids"] + [9, 9],
             sampling_params={"max_new_tokens": 4, "temperature": 0.0,
@@ -204,6 +259,36 @@ def test_cp_prefill_serving_path_matches_dense():
                              "ignore_eos": True},
         )
         assert o3["output_ids"] == o4["output_ids"]
+        assert any(k[-1] == 2 for k in runner2._extend_fns), (
+            runner2._extend_fns.keys())
+    finally:
+        e1.shutdown()
+        e2.shutdown()
+
+
+def test_cp_prefill_chunked_prompt_matches_dense():
+    """A prompt longer than chunked_prefill_size prefills in multiple
+    chunks under cp=2: chunk 1 is prefix-free, later chunks fold the
+    earlier chunks' paged KV into the CP accumulators (use_cp=2) —
+    token-exact vs the cp=1 engine."""
+    import numpy as np
+
+    e1 = _cp_engine(1)
+    e2 = _cp_engine(2)
+    try:
+        runner2 = e2.scheduler.runner
+        prompt = [(11 * i) % 490 + 1 for i in range(300)]  # > 256 chunk
+        sp = {"max_new_tokens": 8, "temperature": 0.0,
+              "return_logprob": True, "ignore_eos": True}
+        o1 = e1.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        o2 = e2.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        assert o1["output_ids"] == o2["output_ids"], (
+            o1["output_ids"], o2["output_ids"])
+        l1 = [t[0] for t in o1["meta_info"]["output_token_logprobs"]]
+        l2 = [t[0] for t in o2["meta_info"]["output_token_logprobs"]]
+        np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-4)
+        assert any(k[-1] == 2 for k in runner2._extend_fns), (
+            runner2._extend_fns.keys())
     finally:
         e1.shutdown()
         e2.shutdown()
