@@ -57,9 +57,11 @@ class GatewayProcess:
                  cache_threshold: float = 0.5,
                  max_retries: int = 2,
                  health_interval_ms: int = 2000,
-                 pd_prefill: Optional[str] = None,
-                 pd_decode: Optional[str] = None,
-                 pd_bootstrap: Optional[str] = None):
+                 pd_prefill=None,  # str or list of "host:port"
+                 pd_decode=None,  # str or list of "host:port[=bootstrap]"
+                 pd_bootstrap: Optional[str] = None,
+                 discovery_file: Optional[str] = None,
+                 discovery_interval_ms: int = 1000):
         binary = build_gateway()
         args = [binary, "--port", str(port), "--policy", policy,
                 "--cache-threshold", str(cache_threshold),
@@ -67,9 +69,19 @@ class GatewayProcess:
                 "--health-interval-ms", str(health_interval_ms)]
         for w in workers:
             args += ["--worker", w]
-        if pd_prefill and pd_decode and pd_bootstrap:
-            args += ["--pd-prefill", pd_prefill, "--pd-decode", pd_decode,
-                     "--pd-bootstrap", pd_bootstrap]
+        if isinstance(pd_prefill, str):
+            pd_prefill = [pd_prefill]
+        if isinstance(pd_decode, str):
+            pd_decode = [pd_decode]
+        for p in pd_prefill or []:
+            args += ["--pd-prefill", p]
+        for d in pd_decode or []:
+            args += ["--pd-decode", d]
+        if pd_bootstrap:
+            args += ["--pd-bootstrap", pd_bootstrap]
+        if discovery_file:
+            args += ["--discovery-file", discovery_file,
+                     "--discovery-interval-ms", str(discovery_interval_ms)]
         self.proc = subprocess.Popen(
             args, stderr=subprocess.PIPE, text=True
         )

@@ -26,12 +26,15 @@
 #include <algorithm>
 #include <atomic>
 #include <cstring>
+#include <fstream>
 #include <map>
 #include <memory>
 #include <mutex>
+#include <set>
 #include <string>
 #include <chrono>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -289,10 +292,66 @@ std::atomic<int64_t> g_retries{0};
 // and a decode worker with a shared bootstrap_room; the decode side's
 // response streams back to the client while the prefill side pushes
 // KV to the decode engine's bootstrap server.)
+//
+// Both sides are POOLS (reference pd_router decode-side balancing):
+// the decode worker is picked least-in-flight (each decode engine has
+// its own KV bootstrap rendezvous, carried per worker), the prefill
+// worker round-robin.
+struct PDWorker {
+  std::string host;
+  int port = 0;
+  std::string bootstrap;  // decode side: its engine's bootstrap addr
+  std::atomic<int64_t> in_flight{0};
+  std::atomic<int64_t> total{0};
+};
+using PDWorkerPtr = std::shared_ptr<PDWorker>;
+
 struct PDConfig {
-  bool enabled = false;
-  std::string prefill_host, decode_host, bootstrap;
-  int prefill_port = 0, decode_port = 0;
+  std::atomic<bool> enabled{false};
+  std::vector<PDWorkerPtr> prefill, decode;
+  std::mutex mu;
+  std::atomic<uint64_t> rr{0};
+
+  bool ready() {
+    std::lock_guard<std::mutex> g(mu);
+    return !prefill.empty() && !decode.empty();
+  }
+  PDWorkerPtr pick_prefill() {
+    std::lock_guard<std::mutex> g(mu);
+    if (prefill.empty()) return nullptr;
+    return prefill[rr++ % prefill.size()];
+  }
+  PDWorkerPtr pick_decode() {
+    std::lock_guard<std::mutex> g(mu);
+    PDWorkerPtr best = nullptr;
+    for (auto& w : decode)
+      if (!best || w->in_flight < best->in_flight ||
+          (w->in_flight == best->in_flight && w->total < best->total))
+        best = w;
+    return best;
+  }
+  void add(bool is_prefill, const std::string& host, int port,
+           const std::string& bootstrap) {
+    auto w = std::make_shared<PDWorker>();
+    w->host = host;
+    w->port = port;
+    w->bootstrap = bootstrap;
+    std::lock_guard<std::mutex> g(mu);
+    auto& pool = is_prefill ? prefill : decode;
+    for (auto& e : pool)
+      if (e->host == host && e->port == port) return;  // already present
+    pool.push_back(w);
+  }
+  bool remove(bool is_prefill, const std::string& host, int port) {
+    std::lock_guard<std::mutex> g(mu);
+    auto& pool = is_prefill ? prefill : decode;
+    for (auto it = pool.begin(); it != pool.end(); ++it)
+      if ((*it)->host == host && (*it)->port == port) {
+        pool.erase(it);
+        return true;
+      }
+    return false;
+  }
 } g_pd;
 
 std::string inject_json_fields(const std::string& body,
@@ -346,25 +405,41 @@ bool forward_once(const std::string& host, int port,
 
 void serve_pd(int cfd, const std::string& head, const std::string& body) {
   static std::atomic<uint64_t> room_ctr{0};
+  PDWorkerPtr dec = g_pd.pick_decode();
+  PDWorkerPtr pre = g_pd.pick_prefill();
+  if (!dec || !pre) {
+    std::string resp = "HTTP/1.1 503 Service Unavailable\r\n"
+                       "Content-Length: 0\r\nConnection: close\r\n\r\n";
+    send_all(cfd, resp.data(), resp.size());
+    close(cfd);
+    return;
+  }
   char room[64];
   snprintf(room, sizeof(room), "gwroom-%llu-%d",
            (unsigned long long)(++room_ctr), (int)getpid());
+  // the prefill engine streams KV to the CHOSEN decode engine's
+  // bootstrap rendezvous — the room + bootstrap pair rides the request
   std::string pre_body = inject_json_fields(
       body, std::string("\"pd_role\":\"prefill\",\"bootstrap_room\":\"") +
-                room + "\",\"pd_bootstrap\":\"" + g_pd.bootstrap + "\"");
+                room + "\",\"pd_bootstrap\":\"" + dec->bootstrap + "\"");
   std::string dec_body = inject_json_fields(
       body, std::string("\"pd_role\":\"decode\",\"bootstrap_room\":\"") +
                 room + "\"");
   // prefill fires on its own thread (its KV lands at the bootstrap
   // server); the decode response relays to the client
   std::string pre_head = rebuild_head(head, pre_body.size());
-  std::thread([pre_head, pre_body]() {
-    forward_once(g_pd.prefill_host, g_pd.prefill_port, pre_head, pre_body,
-                 -1);
+  std::string ph = pre->host;
+  int pp = pre->port;
+  ++pre->total;
+  std::thread([ph, pp, pre_head, pre_body]() {
+    forward_once(ph, pp, pre_head, pre_body, -1);
   }).detach();
   std::string dec_head = rebuild_head(head, dec_body.size());
-  if (!forward_once(g_pd.decode_host, g_pd.decode_port, dec_head, dec_body,
-                    cfd)) {
+  ++dec->in_flight;
+  ++dec->total;
+  bool ok = forward_once(dec->host, dec->port, dec_head, dec_body, cfd);
+  --dec->in_flight;
+  if (!ok) {
     std::string resp = "HTTP/1.1 502 Bad Gateway\r\nContent-Length: 0\r\n"
                        "Connection: close\r\n\r\n";
     send_all(cfd, resp.data(), resp.size());
@@ -405,6 +480,100 @@ void health_loop(int interval_ms) {
                   w->host.c_str(), w->port);
       }
     }
+    std::this_thread::sleep_for(std::chrono::milliseconds(interval_ms));
+  }
+}
+
+// ---------------------------------------------------------- discovery
+// File-based endpoint discovery (the reference gateway's K8s service
+// discovery role, worker_manager.rs watcher — here the control plane
+// is a file an operator/sidecar rewrites; the gateway polls and
+// reconciles).  Line formats:
+//   host:port                      regular worker
+//   prefill=host:port              PD prefill worker
+//   decode=host:port=bs_host:port  PD decode worker + its KV bootstrap
+//   # comment / blank lines ignored
+std::string g_discovery_file;
+
+bool split_hostport(const std::string& s, std::string& host, int& port) {
+  size_t c = s.rfind(':');
+  if (c == std::string::npos) return false;
+  host = s.substr(0, c);
+  port = atoi(s.c_str() + c + 1);
+  return !host.empty() && port > 0;
+}
+
+void reconcile_discovery() {
+  std::ifstream f(g_discovery_file);
+  if (!f.good()) return;
+  std::set<std::pair<std::string, int>> want, want_pre, want_dec;
+  std::string line;
+  while (std::getline(f, line)) {
+    while (!line.empty() && (line.back() == '\r' || line.back() == ' '))
+      line.pop_back();
+    if (line.empty() || line[0] == '#') continue;
+    std::string host;
+    int port = 0;
+    if (line.rfind("prefill=", 0) == 0) {
+      if (split_hostport(line.substr(8), host, port)) {
+        want_pre.insert({host, port});
+        g_pd.add(true, host, port, "");
+      }
+    } else if (line.rfind("decode=", 0) == 0) {
+      std::string rest = line.substr(7);
+      size_t eq = rest.find('=');
+      std::string bootstrap =
+          eq == std::string::npos ? "" : rest.substr(eq + 1);
+      if (split_hostport(rest.substr(0, eq), host, port)) {
+        want_dec.insert({host, port});
+        g_pd.add(false, host, port, bootstrap);
+      }
+    } else if (split_hostport(line, host, port)) {
+      want.insert({host, port});
+      bool have = false;
+      for (auto& w : g_gateway.snapshot(false))
+        if (w->host == host && w->port == port) have = true;
+      if (!have) {
+        g_gateway.add_worker(host, port);
+        fprintf(stderr, "gateway: discovered worker %s:%d\n",
+                host.c_str(), port);
+      }
+    }
+  }
+  // The file is the source of truth for every endpoint KIND it has
+  // ever listed (CLI-seeded workers of other kinds are left alone):
+  // drop endpoints it no longer lists.
+  static bool seen_regular = false, seen_pre = false, seen_dec = false;
+  seen_regular |= !want.empty();
+  seen_pre |= !want_pre.empty();
+  seen_dec |= !want_dec.empty();
+  if (seen_regular)
+    for (auto& w : g_gateway.snapshot(false))
+      if (!want.count({w->host, w->port})) {
+        g_gateway.remove_worker(w->host, w->port);
+        fprintf(stderr, "gateway: worker %s:%d left discovery\n",
+                w->host.c_str(), w->port);
+      }
+  std::vector<std::pair<bool, std::pair<std::string, int>>> drop;
+  {
+    std::lock_guard<std::mutex> g(g_pd.mu);
+    if (seen_pre)
+      for (auto& w : g_pd.prefill)
+        if (!want_pre.count({w->host, w->port}))
+          drop.push_back({true, {w->host, w->port}});
+    if (seen_dec)
+      for (auto& w : g_pd.decode)
+        if (!want_dec.count({w->host, w->port}))
+          drop.push_back({false, {w->host, w->port}});
+  }
+  for (auto& d : drop)
+    g_pd.remove(d.first, d.second.first, d.second.second);
+  g_pd.enabled = g_pd.ready();
+}
+
+void discovery_loop(int interval_ms) {
+  while (true) {
+    reconcile_discovery();
     std::this_thread::sleep_for(std::chrono::milliseconds(interval_ms));
   }
 }
@@ -470,7 +639,26 @@ void serve_client(int cfd) {
            (w->healthy ? "true" : "false") + "}";
     }
     j += "],\"requests\":" + std::to_string(g_requests.load()) +
-         ",\"retries\":" + std::to_string(g_retries.load()) + "}";
+         ",\"retries\":" + std::to_string(g_retries.load());
+    {
+      std::lock_guard<std::mutex> g(g_pd.mu);
+      auto dump = [](const std::vector<PDWorkerPtr>& pool) {
+        std::string s = "[";
+        for (size_t i = 0; i < pool.size(); ++i) {
+          auto& w = pool[i];
+          if (i) s += ",";
+          s += "{\"host\":\"" + w->host + "\",\"port\":" +
+               std::to_string(w->port) + ",\"in_flight\":" +
+               std::to_string(w->in_flight.load()) + ",\"total\":" +
+               std::to_string(w->total.load()) + ",\"bootstrap\":\"" +
+               w->bootstrap + "\"}";
+        }
+        return s + "]";
+      };
+      j += ",\"pd_prefill\":" + dump(g_pd.prefill) +
+           ",\"pd_decode\":" + dump(g_pd.decode);
+    }
+    j += "}";
     std::string resp = "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
                        "Content-Length: " + std::to_string(j.size()) +
                        "\r\nConnection: close\r\n\r\n" + j;
@@ -581,6 +769,8 @@ int main(int argc, char** argv) {
   signal(SIGPIPE, SIG_IGN);
   int port = 8080;
   int health_interval_ms = 2000;
+  int discovery_interval_ms = 1000;
+  std::string pd_default_bootstrap;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     if (a == "--port" && i + 1 < argc) port = atoi(argv[++i]);
@@ -591,40 +781,54 @@ int main(int argc, char** argv) {
       g_gateway.max_retries = atoi(argv[++i]);
     else if (a == "--health-interval-ms" && i + 1 < argc)
       health_interval_ms = atoi(argv[++i]);
-    else if (a == "--pd-prefill" && i + 1 < argc) {
-      std::string spec = argv[++i];
-      size_t c = spec.rfind(':');
-      g_pd.prefill_host = spec.substr(0, c);
-      g_pd.prefill_port = atoi(spec.c_str() + c + 1);
+    else if (a == "--pd-prefill" && i + 1 < argc) {  // repeatable
+      std::string host;
+      int p = 0;
+      if (split_hostport(argv[++i], host, p)) g_pd.add(true, host, p, "");
     } else if (a == "--pd-decode" && i + 1 < argc) {
-      std::string spec = argv[++i];
-      size_t c = spec.rfind(':');
-      g_pd.decode_host = spec.substr(0, c);
-      g_pd.decode_port = atoi(spec.c_str() + c + 1);
+      // repeatable; "host:port" or "host:port=bootstrap_host:port"
+      std::string spec = argv[++i], host;
+      int p = 0;
+      size_t eq = spec.find('=');
+      std::string bs = eq == std::string::npos ? "" : spec.substr(eq + 1);
+      if (split_hostport(spec.substr(0, eq), host, p))
+        g_pd.add(false, host, p, bs);
     } else if (a == "--pd-bootstrap" && i + 1 < argc)
-      g_pd.bootstrap = argv[++i];
+      pd_default_bootstrap = argv[++i];
+    else if (a == "--discovery-file" && i + 1 < argc)
+      g_discovery_file = argv[++i];
+    else if (a == "--discovery-interval-ms" && i + 1 < argc)
+      discovery_interval_ms = atoi(argv[++i]);
     else if (a == "--worker" && i + 1 < argc) {
       std::string spec = argv[++i];
       size_t c = spec.rfind(':');
       g_gateway.add_worker(spec.substr(0, c), atoi(spec.c_str() + c + 1));
     }
   }
-  g_pd.enabled = g_pd.prefill_port > 0 && g_pd.decode_port > 0 &&
-                 !g_pd.bootstrap.empty();
-  if (g_pd.enabled) {
-    // non-PD routes (health checks etc.) fall back to the decode worker
-    if (g_gateway.snapshot(false).empty())
-      g_gateway.add_worker(g_pd.decode_host, g_pd.decode_port);
-    fprintf(stderr, "gateway: PD routing %s:%d (prefill) + %s:%d (decode)\n",
-            g_pd.prefill_host.c_str(), g_pd.prefill_port,
-            g_pd.decode_host.c_str(), g_pd.decode_port);
+  {
+    // --pd-bootstrap backfills decode workers given without their own
+    std::lock_guard<std::mutex> g(g_pd.mu);
+    for (auto& w : g_pd.decode)
+      if (w->bootstrap.empty()) w->bootstrap = pd_default_bootstrap;
   }
-  if (g_gateway.snapshot(false).empty()) {
+  if (!g_discovery_file.empty()) reconcile_discovery();
+  g_pd.enabled = g_pd.ready();
+  if (g_pd.enabled) {
+    // non-PD routes (health checks etc.) fall back to a decode worker
+    std::lock_guard<std::mutex> g(g_pd.mu);
+    if (g_gateway.snapshot(false).empty())
+      g_gateway.add_worker(g_pd.decode[0]->host, g_pd.decode[0]->port);
+    fprintf(stderr, "gateway: PD routing %zu prefill + %zu decode\n",
+            g_pd.prefill.size(), g_pd.decode.size());
+  }
+  if (g_gateway.snapshot(false).empty() && g_discovery_file.empty()) {
     fprintf(stderr, "gateway: no --worker given\n");
     return 1;
   }
   if (health_interval_ms > 0)
     std::thread(health_loop, health_interval_ms).detach();
+  if (!g_discovery_file.empty())
+    std::thread(discovery_loop, discovery_interval_ms).detach();
   int sfd = socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
   setsockopt(sfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));

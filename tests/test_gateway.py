@@ -198,3 +198,127 @@ def test_gateway_worker_registry_and_failover(two_workers):
         assert len(info["workers"]) == 2
     finally:
         gw.stop()
+
+
+# ---------------------------------------------- discovery + PD pools
+class _StubWorker:
+    """Minimal HTTP worker: 200 on /health, records POST /generate
+    bodies and replies with a small JSON — enough for routing tests."""
+
+    def __init__(self):
+        import http.server
+
+        stub = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                stub.bodies.append(self.rfile.read(n).decode())
+                body = b'{"ok": true}'
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self.bodies = []
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.server.server_address[1]
+        self.addr = f"127.0.0.1:{self.port}"
+        threading.Thread(target=self.server.serve_forever,
+                         daemon=True).start()
+
+    def stop(self):
+        self.server.shutdown()
+
+
+def _poll(fn, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if fn():
+            return True
+        time.sleep(0.1)
+    return False
+
+
+def test_gateway_discovery_file(tmp_path):
+    """File-based endpoint discovery (the reference gateway's K8s
+    service-discovery role): the worker pool reconciles to whatever the
+    file lists — adds appear, removals leave."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    s1, s2 = _StubWorker(), _StubWorker()
+    disc = tmp_path / "endpoints.txt"
+    disc.write_text(f"{s1.addr}\n")
+    gw = GatewayProcess(0, [], discovery_file=str(disc),
+                        discovery_interval_ms=100)
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+
+        def pool():
+            ws = httpx.get(base + "/gateway/workers", timeout=5).json()
+            return sorted(w["port"] for w in ws["workers"])
+
+        assert _poll(lambda: pool() == [s1.port]), pool()
+        disc.write_text(f"{s1.addr}\n{s2.addr}\n")
+        assert _poll(lambda: pool() == sorted([s1.port, s2.port])), pool()
+        disc.write_text(f"# only s2 now\n{s2.addr}\n")
+        assert _poll(lambda: pool() == [s2.port]), pool()
+        # routing follows: requests land on the only discovered worker
+        r = httpx.post(base + "/generate", json={"input_ids": [1, 2]},
+                       timeout=10)
+        assert r.status_code == 200
+        assert len(s2.bodies) == 1 and not s1.bodies
+    finally:
+        gw.stop()
+        s1.stop()
+        s2.stop()
+
+
+def test_gateway_pd_decode_load_balancing():
+    """PD pools: decode workers picked least-in-flight, and each
+    prefill request carries the CHOSEN decode worker's own bootstrap
+    address (per-decode KV rendezvous)."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    pre = _StubWorker()
+    d1, d2 = _StubWorker(), _StubWorker()
+    gw = GatewayProcess(
+        0, [],
+        pd_prefill=pre.addr,
+        pd_decode=[f"{d1.addr}=127.0.0.1:7101", f"{d2.addr}=127.0.0.1:7102"],
+    )
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        for i in range(6):
+            r = httpx.post(base + "/generate", json={"input_ids": [i]},
+                           timeout=10)
+            assert r.status_code == 200, r.text
+        # sequential requests alternate decode workers (ties on total)
+        assert _poll(lambda: len(d1.bodies) + len(d2.bodies) == 6)
+        assert len(d1.bodies) == 3 and len(d2.bodies) == 3, (
+            len(d1.bodies), len(d2.bodies))
+        # prefill saw all 6, with bootstraps matching the chosen decode
+        assert _poll(lambda: len(pre.bodies) == 6)
+        bs = [json.loads(b)["pd_bootstrap"] for b in pre.bodies]
+        assert sorted(bs) == ["127.0.0.1:7101"] * 3 + ["127.0.0.1:7102"] * 3
+        # decode bodies carry their role + room, never a bootstrap
+        for b in d1.bodies + d2.bodies:
+            j = json.loads(b)
+            assert j["pd_role"] == "decode" and j["bootstrap_room"]
+        info = httpx.get(base + "/gateway/workers", timeout=5).json()
+        assert [w["total"] for w in info["pd_decode"]] == [3, 3]
+        assert sum(w["total"] for w in info["pd_prefill"]) == 6
+    finally:
+        gw.stop()
+        pre.stop()
+        d1.stop()
+        d2.stop()
