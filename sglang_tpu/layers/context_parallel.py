@@ -156,6 +156,8 @@ def dcp_paged_attention(
     capacity now scales with the mesh instead of one shard's HBM."""
     from jax.sharding import PartitionSpec as P
 
+    from sglang_tpu.environ import envs
+
     dcp = kv_cache.shape[0]
     R = kv_cache.shape[1]
     NPl = R // num_layers
@@ -170,6 +172,44 @@ def dcp_paged_attention(
     n_pt = int(batch.page_table.shape[1])
     PB = min(n_pt, 64)
     n_chunks = -(-n_pt // PB)
+
+    # Pallas per-rank partial kernel (owner-predicated page DMAs — each
+    # rank reads only its 1/dcp of the context, no gather buffer, fused
+    # KV write): decode-only, standard lane/dtype constraints.
+    interpret = bool(envs.SGLANG_TPU_INTERPRET_PALLAS.value)
+    use_pallas = (
+        Lq == 1
+        and HD % 128 == 0
+        and jnp.dtype(kv_cache.dtype).itemsize >= 2
+        and not envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value
+        and sliding_window is None
+        and (interpret or jax.devices()[0].platform == "tpu")
+    )
+
+    def fn_pallas(kv_local, q, k_new, v_new, out_slots, page_table,
+                  positions, seq_lens, li):
+        from sglang_tpu.ops.paged_attention import fused_dcp_partial_decode
+
+        me = jax.lax.axis_index(axis)
+        meta = jnp.stack([
+            li * NPl,
+            jnp.asarray(0, jnp.int32),
+            me.astype(jnp.int32),
+            jnp.asarray(dcp, jnp.int32),
+        ])
+        acc, m, l, kv_out = fused_dcp_partial_decode(
+            q, k_new, v_new, kv_local[0], page_table, out_slots,
+            seq_lens, meta, page_size=ps, sm_scale=sm_scale,
+            logit_cap=logit_cap, interpret=interpret,
+        )
+        # exact LSE merge across ranks (reference cp_lse_ag_out_rs_mha)
+        m_star = jax.lax.pmax(m, axis)
+        scale = jnp.exp(m - m_star)
+        num = jax.lax.psum(acc * scale, axis)
+        den = jax.lax.psum(l * scale, axis)
+        den = jnp.where(den == 0.0, 1.0, den)
+        out = (num / den).astype(q.dtype)  # [B, Hq, D]
+        return out[:, None], kv_out[None]
 
     def fn(kv_local, q, k_new, v_new, out_slots, page_table, positions,
            seq_lens, li):
@@ -261,7 +301,7 @@ def dcp_paged_attention(
         return jnp.transpose(out, (0, 2, 1, 3)), kv_local
 
     out, kv_cache = jax.shard_map(
-        fn,
+        fn_pallas if use_pallas else fn,
         mesh=mesh,
         in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(axis)),

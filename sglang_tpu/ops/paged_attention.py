@@ -397,3 +397,335 @@ def fused_paged_decode_attention(
         sinks_in,
     )
     return out[:, :, :D].reshape(B, 1, Hq, D), kv_out
+
+
+# ---------------------------------------------------------------------------
+# DCP partial decode kernel (per-rank, inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _dcp_decode_kernel(
+    # scalar prefetch
+    page_table_ref,  # [B, P] int32 GLOBAL page ids
+    seq_lens_ref,  # [B] int32 (incl. the new token)
+    out_slots_ref,  # [B] int32 GLOBAL slot of the new token
+    meta_ref,  # [4] int32: (layer*NPl, sliding_window, me, dcp)
+    # inputs
+    qb_ref,  # [RB, Hq, Hkv*D] VMEM — block-diagonal packed queries
+    kv_new_ref,  # [RB, 2, Hkv*D] VMEM
+    kv_hbm_ref,  # [L*NPl, ps, 2, Hkv*D] (ANY → HBM) — the rank's slice
+    # outputs
+    acc_ref,  # [RB, Hq, LANE] f32 — UNNORMALIZED partial numerator
+    m_ref,  # [RB, Hq, LANE] f32 — running max (broadcast on lanes)
+    l_ref,  # [RB, Hq, LANE] f32 — running denominator
+    kv_out_ref,  # aliased to kv_hbm_ref
+    # scratch
+    kv_buf,  # [2, RB, PB, ps, 2, Hkv*D] VMEM
+    sems,
+    w_sems,
+    *,
+    rows_per_block: int,
+    pages_per_block: int,
+    page_size: int,
+    hq: int,
+    hkv: int,
+    d: int,
+    logit_cap: Optional[float],
+):
+    """Per-rank DCP decode partial (reference layers/dcp/comm.py role).
+
+    Global page ``p`` lives on rank ``p % dcp`` at local page
+    ``p // dcp`` — the kernel walks the request's GLOBAL page list and
+    issues DMAs ONLY for owned pages (1/dcp of the context bytes per
+    rank, vs the XLA gather that reads a garbage row for every
+    non-owned slot), writes the new K/V row if this rank owns its page,
+    and returns the UNNORMALIZED flash partial (acc, m, l) — the caller
+    merges ranks with one LSE-corrected psum pair."""
+    blk = pl.program_id(0)
+    RB, PB, ps = rows_per_block, pages_per_block, page_size
+    T = PB * ps
+    HD = hkv * d
+    layer_page0 = meta_ref[0]  # layer_idx * NPl (local pages per layer)
+    window = meta_ref[1]
+    me = meta_ref[2]
+    dcp = meta_ref[3]
+
+    @pl.when(blk == 0)
+    def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+
+    # ---- 1. owner-predicated write of the new K/V rows ----
+    for r in range(RB):
+        b = blk * RB + r
+        slot = out_slots_ref[b]
+        gpage = slot // ps
+
+        @pl.when(gpage % dcp == me)
+        def _(r=r, slot=slot, gpage=gpage):
+            pltpu.make_async_copy(
+                kv_new_ref.at[r],
+                kv_out_ref.at[layer_page0 + gpage // dcp, slot % ps],
+                w_sems.at[r],
+            ).start()
+            pltpu.make_async_copy(
+                kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
+            ).wait()
+
+    # ---- 2. flash partial over OWNED pages of every group ----
+    seq_lens = [seq_lens_ref[blk * RB + r] for r in range(RB)]
+    n_valids = [pl.cdiv(s, T) for s in seq_lens]
+    n_valid = n_valids[0]
+    for nv in n_valids[1:]:
+        n_valid = jnp.maximum(n_valid, nv)
+    firsts = [jnp.maximum(s - window, 0) // T for s in seq_lens]
+    first_group = firsts[0]
+    for fg in firsts[1:]:
+        first_group = jnp.minimum(first_group, fg)
+    first_group = jnp.where(window > 0, first_group, 0)
+
+    def start_group(g, slot_idx):
+        for r in range(RB):
+            b = blk * RB + r
+
+            @pl.when(g < n_valids[r])
+            def _(r=r, b=b, g=g, slot_idx=slot_idx):
+                for i in range(PB):
+                    page = page_table_ref[b, g * PB + i]
+
+                    @pl.when(page % dcp == me)
+                    def _(r=r, i=i, page=page, slot_idx=slot_idx):
+                        pltpu.make_async_copy(
+                            kv_out_ref.at[layer_page0 + page // dcp],
+                            kv_buf.at[slot_idx, r, i],
+                            sems.at[slot_idx, r, i],
+                        ).start()
+
+    def wait_group(g, slot_idx):
+        for r in range(RB):
+            b = blk * RB + r
+
+            @pl.when(g < n_valids[r])
+            def _(r=r, b=b, g=g, slot_idx=slot_idx):
+                for i in range(PB):
+                    page = page_table_ref[b, g * PB + i]
+
+                    @pl.when(page % dcp == me)
+                    def _(r=r, i=i, slot_idx=slot_idx):
+                        pltpu.make_async_copy(
+                            kv_out_ref.at[0],
+                            kv_buf.at[slot_idx, r, i],
+                            sems.at[slot_idx, r, i],
+                        ).wait()
+
+    @pl.when(first_group < n_valid)
+    def _():
+        start_group(first_group, first_group % 2)
+
+    qb = qb_ref[...].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    def body(g, carry):
+        m_prev, l_prev, acc = carry
+        slot_idx = g % 2
+
+        @pl.when(g + 1 < n_valid)
+        def _():
+            start_group(g + 1, (g + 1) % 2)
+
+        wait_group(g, slot_idx)
+        kv = kv_buf[slot_idx]
+        k3 = kv[:, :, :, 0].reshape(RB, T, HD)
+        v3 = kv[:, :, :, 1].reshape(RB, T, HD)
+
+        scores = jax.lax.dot_general(
+            qb,
+            k3.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if logit_cap is not None and logit_cap > 0:
+            scores = logit_cap * jnp.tanh(scores / logit_cap)
+
+        rows_ok = []
+        for r in range(RB):
+            b = blk * RB + r
+            pos = g * T + col  # absolute context position [1, T]
+            ok = pos < seq_lens[r]
+            in_win = jnp.logical_or(
+                window <= 0, pos > seq_lens[r] - 1 - window
+            )
+            # ownership of each buffered slot (stale non-owned regions
+            # must not contribute)
+            ownedv = jnp.zeros((1, T), jnp.bool_)
+            for i in range(PB):
+                page = page_table_ref[b, g * PB + i]
+                ownedv = jnp.logical_or(
+                    ownedv,
+                    jnp.logical_and(col // ps == i, page % dcp == me),
+                )
+            rows_ok.append(
+                jnp.logical_and(jnp.logical_and(ok, in_win), ownedv)
+            )
+        mask = jnp.stack(rows_ok, axis=0)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        pv = jax.lax.dot_general(
+            p,
+            v3.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    init = (
+        jnp.full((RB, hq, 1), NEG_INF, jnp.float32),
+        jnp.zeros((RB, hq, 1), jnp.float32),
+        jnp.zeros((RB, hq, HD), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
+
+    # clamp m so exp(m - pmax) outside is finite for rows that saw no
+    # owned/valid slot on this rank (m stays NEG_INF, l 0, acc 0)
+    m = jnp.maximum(m, -1e20)
+    m_ref[...] = jnp.broadcast_to(m, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l, l_ref.shape)
+    out_all = acc.reshape(RB * hq, HD)
+    G = hq // hkv
+    if hkv == 1:
+        acc_ref[...] = out_all.reshape(RB, hq, HD)
+        return
+    row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
+    out = jnp.zeros((RB * hq, LANE), jnp.float32)
+    for h in range(hkv):
+        rolled = pltpu.roll(out_all, shift=(HD - h * d) % HD, axis=1)[:, :LANE]
+        if HD < LANE:
+            pad = jnp.zeros((RB * hq, LANE - HD), jnp.float32)
+            rolled = jnp.concatenate([rolled, pad], axis=1)
+        out = jnp.where(((row % hq) // G) == h, rolled, out)
+    acc_ref[...] = out.reshape(RB, hq, LANE)
+
+
+def fused_dcp_partial_decode(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k_new: jnp.ndarray,  # [B, 1, Hkv, D]
+    v_new: jnp.ndarray,  # [B, 1, Hkv, D]
+    kv_local: jnp.ndarray,  # [L*NPl, ps, 2, Hkv*D] this rank's slice
+    page_table: jnp.ndarray,  # [B, P] int32 GLOBAL page ids
+    out_slots: jnp.ndarray,  # [B, 1] int32 GLOBAL new-token slot
+    seq_lens: jnp.ndarray,  # [B] int32
+    meta: jnp.ndarray,  # [4] int32 (layer*NPl, window, me, dcp)
+    *,
+    page_size: int,
+    sm_scale: float,
+    logit_cap: Optional[float] = None,
+    pages_per_block: Optional[int] = None,
+    rows_per_block: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Owner-predicated partial decode for one DCP rank.
+
+    Returns (acc [B, Hq, D] f32 unnormalized, m [B, Hq, 1], l [B, Hq, 1],
+    kv_local) — merge across ranks with the LSE-corrected psum pair."""
+    B, Lq, Hq, D = q.shape
+    assert Lq == 1
+    Hkv = kv_local.shape[-1] // D
+    G = Hq // Hkv
+    P = page_table.shape[1]
+
+    if pages_per_block is None:
+        pages_per_block = max(1, min(P, max(1, 64 // page_size)))
+    PB = min(pages_per_block, P)
+    while P % PB != 0:
+        PB -= 1
+    if rows_per_block is None:
+        rows_per_block = 8
+    RB = min(rows_per_block, B)
+    while B % RB != 0:
+        RB -= 1
+
+    onehot = jnp.asarray(
+        np.eye(Hkv, dtype=np.float32)[np.arange(Hq) // G], q.dtype
+    )
+    qb = jnp.einsum("bhd,hk->bhkd", q.reshape(B, Hq, D) * sm_scale, onehot)
+    qb = qb.reshape(B, Hq, Hkv * D)
+    kv_new = jnp.stack(
+        [k_new.reshape(B, Hkv * D), v_new.reshape(B, Hkv * D)], axis=1
+    ).astype(kv_local.dtype)
+
+    kernel = functools.partial(
+        _dcp_decode_kernel,
+        rows_per_block=RB,
+        pages_per_block=PB,
+        page_size=page_size,
+        hq=Hq,
+        hkv=Hkv,
+        d=D,
+        logit_cap=logit_cap,
+    )
+    lane_out = Hkv * D if Hkv == 1 else LANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B // RB,),
+        in_specs=[
+            pl.BlockSpec(
+                (RB, Hq, Hkv * D),
+                lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RB, 2, Hkv * D),
+                lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (RB, Hq, lane_out), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RB, Hq, LANE), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RB, Hq, LANE), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, RB, PB, page_size, 2, Hkv * D), kv_local.dtype),
+            pltpu.SemaphoreType.DMA((2, RB, PB)),
+            pltpu.SemaphoreType.DMA((RB,)),
+        ],
+    )
+    acc, m, l, kv_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, lane_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, LANE), jnp.float32),
+            jax.ShapeDtypeStruct(kv_local.shape, kv_local.dtype),
+        ),
+        grid_spec=grid_spec,
+        # operand 6 (kv_local; 4 scalar-prefetch args) aliases output 3.
+        input_output_aliases={6: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        out_slots.reshape(B).astype(jnp.int32),
+        meta.astype(jnp.int32),
+        qb,
+        kv_new,
+        kv_local,
+    )
+    return acc[:, :, :D], m[:, :, :1], l[:, :, :1], kv_out

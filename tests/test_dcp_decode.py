@@ -97,3 +97,51 @@ def test_dcp_rejects_unsupported_combos():
     with pytest.raises(ValueError):
         ServerArgs(model_path="x", tp_size=2, enable_dcp=True,
                    kv_cache_dtype="float8_e4m3")
+
+
+def test_dcp_pallas_partial_kernel_matches_xla(monkeypatch):
+    """With 128-aligned KV lanes + SGLANG_TPU_INTERPRET_PALLAS, DCP
+    decode runs the per-rank Pallas partial kernel (owner-predicated
+    page DMAs, fused KV write, unnormalized (acc, m, l) merged by the
+    LSE psum pair) — token-exact vs the XLA DCP path AND the plain
+    engine."""
+    from tests.conftest import make_server_args, make_tiny_config
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    def build(force_xla):
+        if force_xla:
+            monkeypatch.setenv("SGLANG_TPU_FORCE_XLA_ATTENTION", "1")
+            monkeypatch.delenv("SGLANG_TPU_INTERPRET_PALLAS",
+                               raising=False)
+        else:
+            monkeypatch.delenv("SGLANG_TPU_FORCE_XLA_ATTENTION",
+                               raising=False)
+            monkeypatch.setenv("SGLANG_TPU_INTERPRET_PALLAS", "1")
+        args = make_server_args(tp_size=4, enable_dcp=True)
+        cfg = make_tiny_config(head_dim=64, hidden_size=128)
+        runner = ModelRunner(args, model_config=cfg)
+        return Engine(server_args=args, model_runner=runner)
+
+    prompt = [(7 * i) % 250 + 1 for i in range(57)]
+    sp = {"temperature": 0.0, "max_new_tokens": 16, "ignore_eos": True,
+          "return_logprob": True}
+    ep = build(force_xla=False)
+    try:
+        op = ep.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    finally:
+        ep.shutdown()
+    ex = build(force_xla=True)
+    try:
+        ox = ex.generate(input_ids=list(prompt), sampling_params=dict(sp))
+    finally:
+        ex.shutdown()
+    assert op["output_ids"] == ox["output_ids"], (
+        op["output_ids"], ox["output_ids"])
+    lp = [t[0] for t in op["meta_info"]["output_token_logprobs"]]
+    lx = [t[0] for t in ox["meta_info"]["output_token_logprobs"]]
+    np.testing.assert_allclose(lp, lx, rtol=1e-3, atol=1e-3)
