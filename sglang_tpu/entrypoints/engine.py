@@ -646,6 +646,12 @@ class Engine:
             lambda: runner.update_weights_from_disk(model_path)
         )
 
+    def save_sharded_state(self, path: str):
+        """Persist the live sharded params for fast multi-rank reload
+        (reference save_sharded_state.py + ShardedStateLoader)."""
+        runner = self.scheduler.runner
+        return self._run_when_idle(lambda: runner.save_sharded_state(path))
+
     def init_weights_update_group(self, master_address: str, master_port: int):
         """Register the trainer's weight endpoint (reference
         /init_weights_update_group, model_runner.py:2011)."""

@@ -139,6 +139,7 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/save_sharded_state", self.save_sharded_state)
         r.add_post(
             "/init_weights_update_group", self.init_weights_update_group
         )
@@ -265,6 +266,16 @@ class HttpServer:
         loop = asyncio.get_running_loop()
         await loop.run_in_executor(
             None, self.engine.update_weights_from_disk, body["model_path"]
+        )
+        return web.json_response({"success": True})
+
+    async def save_sharded_state(self, request: web.Request) -> web.Response:
+        """Reference save_sharded_state.py role: persist the live
+        sharded params for fast --load-format sharded_state reload."""
+        body = await request.json()
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(
+            None, self.engine.save_sharded_state, body["path"]
         )
         return web.json_response({"success": True})
 

@@ -1369,6 +1369,15 @@ class ModelRunner:
             raise ValueError("checkpoint shapes do not match the loaded model")
         self.params = new_params
 
+    def save_sharded_state(self, path: str) -> None:
+        """Write the live (device-sharded) param tree as an orbax
+        checkpoint for fast sharded reload via
+        ``--load-format sharded_state`` (reference
+        ShardedStateLoader + save_sharded_state.py role)."""
+        from sglang_tpu.model_loader.loader import save_sharded_state
+
+        save_sharded_state(self.params, path)
+
     def update_weights_from_tensor(self, named_tensors: Dict[str, np.ndarray]):
         """RL weight sync (reference model_runner.py:2160) — in-place swap of
         param leaves without recompilation (shapes/shardings must match)."""

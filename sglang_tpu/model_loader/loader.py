@@ -445,9 +445,63 @@ def _place_params(model, host_params, mesh_ctx):
     return place(host_params, specs, shapes)
 
 
+def save_sharded_state(params, path: str):
+    """Persist the LIVE (device-sharded) param tree as an orbax
+    checkpoint — every host writes only its addressable shards.
+
+    Reference role: ``model_loader/loader.py:1429`` (ShardedStateLoader
+    + save_sharded_state.py): a fast-load format for large TP models
+    where each worker reads only its own shard.  TPU-native via orbax
+    (zarr-sharded arrays; parallel multi-host IO)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    logger.info("Saved sharded state to %s", path)
+
+
+def load_sharded_state_weights(model, config: ModelConfig, mesh_ctx=None):
+    """Restore an orbax sharded-state checkpoint directly into the
+    model's target shardings — each host reads only the byte ranges its
+    shards need (reference ShardedStateLoader.load_model), and orbax
+    reshards transparently if the mesh differs from save time."""
+    import orbax.checkpoint as ocp
+
+    shapes = model.param_shapes()
+    specs = model.param_specs()
+    dtype = model.config.dtype
+
+    def build(shape_tree, spec_tree):
+        out = {}
+        for k, v in shape_tree.items():
+            if isinstance(v, dict):
+                out[k] = build(v, spec_tree[k])
+                continue
+            sharding = (
+                mesh_ctx.sharding(*spec_tree[k])
+                if mesh_ctx is not None
+                else None
+            )
+            out[k] = jax.ShapeDtypeStruct(
+                _leaf_shape(v), _leaf_dtype(v, dtype), sharding=sharding
+            )
+        return out
+
+    target = build(shapes, specs)
+    path = os.path.abspath(config.model_path)
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(path, target)
+    logger.info("Restored sharded state from %s", path)
+    return params
+
+
 def load_model_weights(model, config: ModelConfig, load_format: str, mesh_ctx=None):
     if load_format == "dummy":
         return load_dummy_weights(model, mesh_ctx)
     if load_format in ("auto", "safetensors", "gguf"):
         return load_safetensors_weights(model, config, mesh_ctx)
+    if load_format == "sharded_state":
+        return load_sharded_state_weights(model, config, mesh_ctx)
     raise ValueError(f"Unknown load_format {load_format!r}")
