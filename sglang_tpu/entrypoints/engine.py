@@ -245,6 +245,7 @@ class Engine:
         rid: Optional[str],
         lora_path: Optional[str] = None,
         images=None,
+        videos=None,
     ) -> _ReqState:
         if isinstance(sampling_params, SamplingParams):
             sp = sampling_params
@@ -255,14 +256,27 @@ class Engine:
             assert self.tokenizer is not None, "no tokenizer configured"
             input_ids = self.tokenizer.encode(prompt)
         input_embeds = None
-        if images:
+        if images or videos:
             if self.mm_processor is None:
                 raise ValueError(
-                    "images given but the model has no vision tower"
+                    "media given but the model has no vision tower"
                 )
-            input_embeds = self.mm_processor.encode_images(images)
+            if videos and images:
+                raise NotImplementedError(
+                    "mixed images + videos in one request"
+                )
+            if videos:
+                if not hasattr(self.mm_processor, "encode_videos"):
+                    raise ValueError(
+                        "videos given but the processor has no video path"
+                    )
+                input_embeds = self.mm_processor.encode_videos(videos)
+                n_media = len(videos)
+            else:
+                input_embeds = self.mm_processor.encode_images(images)
+                n_media = len(images)
             input_ids = self.mm_processor.expand_prompt(
-                list(input_ids), len(images)
+                list(input_ids), n_media
             )
         if len(input_ids) == 0:
             raise ValueError("input must contain at least one token")
@@ -409,6 +423,7 @@ class Engine:
         rid: Optional[str] = None,
         lora_path: Optional[str] = None,
         images=None,  # list of PIL images / [H, W, 3] arrays (VLMs)
+        videos=None,  # list of videos ([F, H, W, 3] or frame lists)
     ):
         """Synchronous generation (reference Engine.generate,
         entrypoints/engine.py:247). Accepts a single prompt or a batch."""
@@ -430,7 +445,7 @@ class Engine:
 
         state = self._make_req(
             prompt, input_ids, sampling_params, stream, rid, lora_path,
-            images=images,
+            images=images, videos=videos,
         )
         self.scheduler.add_request(state.req)
         if stream:
@@ -460,10 +475,11 @@ class Engine:
         rid: Optional[str] = None,
         lora_path: Optional[str] = None,
         images=None,
+        videos=None,
     ):
         state = self._make_req(
             prompt, input_ids, sampling_params, stream, rid, lora_path,
-            images=images,
+            images=images, videos=videos,
         )
         state.loop = asyncio.get_running_loop()
         state.async_queue = asyncio.Queue()

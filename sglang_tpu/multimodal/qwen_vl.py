@@ -78,6 +78,46 @@ def qwen_patchify(
     return flat.astype(np.float32), (gt, gh, gw)
 
 
+def qwen_patchify_video(
+    frames, patch_size: int = 14, merge: int = 2, temporal: int = 2,
+    min_pixels: int = 56 * 56, max_pixels: int = 14 * 14 * 4 * 1280,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Video frames ([F, H, W, 3] array or list of PIL/array frames) →
+    (flatten_patches [gt·gh·gw, C·T·ps·ps], grid_thw).  Frames resize to
+    one smart_resize target and group by ``temporal`` (the last frame
+    repeats when F is odd) — HF Qwen2VLVideoProcessor contract."""
+    import PIL.Image
+
+    frames = [
+        f if isinstance(f, PIL.Image.Image)
+        else PIL.Image.fromarray(np.asarray(f))
+        for f in (frames if isinstance(frames, (list, tuple)) else list(frames))
+    ]
+    H, W = smart_resize(
+        frames[0].size[1], frames[0].size[0], factor=patch_size * merge,
+        min_pixels=min_pixels, max_pixels=max_pixels,
+    )
+    arrs = []
+    for f in frames:
+        a = np.asarray(
+            f.convert("RGB").resize((W, H), PIL.Image.BICUBIC), np.float32
+        ) / 255.0
+        a = (a - OPENAI_MEAN) / OPENAI_STD
+        arrs.append(a.transpose(2, 0, 1))  # [C, H, W]
+    while len(arrs) % temporal:
+        arrs.append(arrs[-1])
+    patches = np.stack(arrs)  # [F, C, H, W]
+    F = patches.shape[0]
+    gt, gh, gw = F // temporal, H // patch_size, W // patch_size
+    C, ps = 3, patch_size
+    p = patches.reshape(
+        gt, temporal, C, gh // merge, merge, ps, gw // merge, merge, ps
+    )
+    p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = p.reshape(gt * gh * gw, C * temporal * ps * ps)
+    return flat.astype(np.float32), (gt, gh, gw)
+
+
 def _vision_rot_angles(grid, head_dim: int, merge: int) -> np.ndarray:
     """[S, head_dim/2] rotary angles: h-frequencies then w-frequencies,
     positions in the merge-grouped patch order (HF rot_pos_emb)."""
@@ -222,78 +262,123 @@ class QwenVLProcessor:
         self.temporal = int(vcfg.get("temporal_patch_size", 2))
         self.num_heads = int(vcfg.get("num_heads", 16))
         self.image_token_id = int(hf_config.get("image_token_id", 151655))
+        self.video_token_id = int(hf_config.get("video_token_id", 151656))
         self.n_patches = 0  # variable; last_counts carries per-image
         self.last_counts: List[int] = []
         self.last_grids: List[Tuple[int, int, int]] = []
+        self.last_kinds: List[str] = []  # "image" | "video" per media
         self.params = load_qwen_vl_vision_params(model_path)
         self._fwd = jax.jit(
             qwen_vision_forward,
             static_argnames=("num_heads", "merge", "grid"),
         )
 
+    def _tower(self, patches: np.ndarray, grid) -> np.ndarray:
+        return np.asarray(
+            self._fwd(
+                self.params, jnp.asarray(patches), grid,
+                num_heads=self.num_heads, merge=self.merge,
+            ),
+            np.float32,
+        )
+
     def encode_images(self, images: List[Any]) -> np.ndarray:
         rows = []
         self.last_counts = []
         self.last_grids = []
+        self.last_kinds = []
         for im in images:
             patches, grid = qwen_patchify(
                 im, self.patch_size, self.merge, self.temporal
             )
-            feats = np.asarray(
-                self._fwd(
-                    self.params, jnp.asarray(patches), grid,
-                    num_heads=self.num_heads, merge=self.merge,
-                ),
-                np.float32,
-            )
+            feats = self._tower(patches, grid)
             rows.append(feats)
             self.last_counts.append(feats.shape[0])
             self.last_grids.append(grid)
+            self.last_kinds.append("image")
         return np.concatenate(rows, axis=0)
 
-    def expand_prompt(self, input_ids: List[int], n_images: int) -> List[int]:
+    def encode_videos(self, videos: List[Any]) -> np.ndarray:
+        """Each video: [F, H, W, 3] array or list of PIL/array frames.
+        Frames group by temporal_patch_size into a gt>1 grid; the same
+        tower handles it (rot angles / window order tile over gt)."""
+        rows = []
+        self.last_counts = []
+        self.last_grids = []
+        self.last_kinds = []
+        for vid in videos:
+            patches, grid = qwen_patchify_video(
+                vid, self.patch_size, self.merge, self.temporal
+            )
+            feats = self._tower(patches, grid)
+            rows.append(feats)
+            self.last_counts.append(feats.shape[0])
+            self.last_grids.append(grid)
+            self.last_kinds.append("video")
+        return np.concatenate(rows, axis=0)
+
+    def expand_prompt(self, input_ids: List[int], n_media: int) -> List[int]:
         counts = self.last_counts
-        assert len(counts) == n_images, (len(counts), n_images)
+        assert len(counts) == n_media, (len(counts), n_media)
         out: List[int] = []
         next_row = 0
         seen = 0
         for t in input_ids:
-            if t == self.image_token_id:
+            if t in (self.image_token_id, self.video_token_id):
+                want = (
+                    self.image_token_id
+                    if self.last_kinds[seen] == "image"
+                    else self.video_token_id
+                )
+                if t != want:
+                    raise ValueError(
+                        "prompt media token order does not match the "
+                        "provided images/videos"
+                    )
                 for _ in range(counts[seen]):
                     out.append(-(next_row + 1))
                     next_row += 1
                 seen += 1
             else:
                 out.append(t)
-        if seen != n_images:
+        if seen != n_media:
             raise ValueError(
-                f"prompt has {seen} image tokens but {n_images} images"
+                f"prompt has {seen} media tokens but {n_media} media inputs"
             )
         return out
+
+    def _t_index(self, kind: str, gt: int) -> np.ndarray:
+        """Temporal rotary indices of one media block's gt groups.
+        Qwen2-VL: consecutive integers for images and videos alike."""
+        del kind
+        return np.arange(gt, dtype=np.int64)
 
     def mrope_positions(
         self, expanded_ids: List[int]
     ) -> Tuple[np.ndarray, int]:
         """HF ``get_rope_index``: (positions [3, n], decode delta).
-        Image blocks (negative sentinel runs, in last_grids order) get
-        (t=st, h=st+row, w=st+col); text advances all axes together."""
+        Media blocks (negative sentinel runs, in last_grids order) get
+        (t=st+t_index, h=st+row, w=st+col); text advances all axes
+        together; the next block starts past the max position so far."""
         n = len(expanded_ids)
         pos = np.zeros((3, n), np.int32)
         st = 0
         i = 0
-        img = 0
+        media = 0
         while i < n:
             if expanded_ids[i] < 0:
-                gt, gh, gw = self.last_grids[img]
+                gt, gh, gw = self.last_grids[media]
+                kind = self.last_kinds[media] if self.last_kinds else "image"
                 lh, lw = gh // self.merge, gw // self.merge
                 count = gt * lh * lw
                 idx = np.arange(count)
-                pos[0, i : i + count] = st + idx // (lh * lw)
+                tvals = self._t_index(kind, gt)
+                pos[0, i : i + count] = st + np.repeat(tvals, lh * lw)
                 pos[1, i : i + count] = st + (idx % (lh * lw)) // lw
                 pos[2, i : i + count] = st + idx % lw
-                st = st + max(gt, lh, lw)
+                st = st + max(int(tvals[-1]) + 1, lh, lw)
                 i += count
-                img += 1
+                media += 1
             else:
                 pos[:, i] = st
                 st += 1
@@ -500,9 +585,16 @@ class Qwen25VLProcessor(QwenVLProcessor):
             vcfg.get("fullatt_block_indexes") or (7, 15, 23, 31)
         )
         self.image_token_id = int(hf_config.get("image_token_id", 151655))
+        self.video_token_id = int(hf_config.get("video_token_id", 151656))
+        # video temporal rotary scale (HF get_rope_index:
+        # t = floor(group * second_per_grid_ts * tokens_per_second);
+        # second_per_grid_ts defaults to 1.0 when the caller gives none)
+        self.tokens_per_second = float(vcfg.get("tokens_per_second", 2))
+        self.second_per_grid_ts = 1.0
         self.n_patches = 0
         self.last_counts: List[int] = []
         self.last_grids: List[Tuple[int, int, int]] = []
+        self.last_kinds: List[str] = []
         self.params = load_qwen25_vl_vision_params(model_path)
         self._fwd = jax.jit(
             qwen25_vision_forward,
@@ -512,25 +604,23 @@ class Qwen25VLProcessor(QwenVLProcessor):
             ),
         )
 
-    def encode_images(self, images: List[Any]) -> np.ndarray:
-        rows = []
-        self.last_counts = []
-        self.last_grids = []
-        for im in images:
-            patches, grid = qwen_patchify(
-                im, self.patch_size, self.merge, self.temporal
-            )
-            feats = np.asarray(
-                self._fwd(
-                    self.params, jnp.asarray(patches), grid,
-                    num_heads=self.num_heads, merge=self.merge,
-                    window_size=self.window_size,
-                    patch_size=self.patch_size,
-                    fullatt_blocks=self.fullatt_blocks,
-                ),
-                np.float32,
-            )
-            rows.append(feats)
-            self.last_counts.append(feats.shape[0])
-            self.last_grids.append(grid)
-        return np.concatenate(rows, axis=0)
+    def _tower(self, patches: np.ndarray, grid) -> np.ndarray:
+        return np.asarray(
+            self._fwd(
+                self.params, jnp.asarray(patches), grid,
+                num_heads=self.num_heads, merge=self.merge,
+                window_size=self.window_size,
+                patch_size=self.patch_size,
+                fullatt_blocks=self.fullatt_blocks,
+            ),
+            np.float32,
+        )
+
+    def _t_index(self, kind: str, gt: int) -> np.ndarray:
+        if kind != "video":
+            return np.arange(gt, dtype=np.int64)
+        return np.floor(
+            np.arange(gt, dtype=np.float64)
+            * self.second_per_grid_ts
+            * self.tokens_per_second
+        ).astype(np.int64)

@@ -48,6 +48,7 @@ def _save_hf(tmpdir):
         ),
         "vision_config": dict(VIS_TINY, model_type="qwen2_vl"),
         "image_token_id": 500,
+        "video_token_id": 501,
         "vision_start_token_id": 502,
         "eos_token_id": 257,
         "tie_word_embeddings": False,
@@ -154,6 +155,43 @@ def test_qwen_vl_image_generation_matches_hf(tmp_path):
                 torch.tensor([hf_ids]),
                 pixel_values=torch.tensor(patches),
                 image_grid_thw=torch.tensor([list(grid)]),
+                max_new_tokens=10, do_sample=False,
+            )[0, len(hf_ids):].tolist()
+        assert out["output_ids"] == ref, (out["output_ids"], ref)
+    finally:
+        eng.shutdown()
+
+
+def test_qwen_vl_video_generation_matches_hf(tmp_path):
+    """Video path: frames group by temporal_patch_size into a gt>1
+    grid; the M-RoPE t-axis advances per frame group — token-exact
+    greedy continuation vs HF with the same patches."""
+    torch = pytest.importorskip("torch")
+    hf = _save_hf(tmp_path)
+    from sglang_tpu.multimodal.qwen_vl import qwen_patchify_video
+
+    rng = np.random.RandomState(9)
+    frames = (rng.rand(6, 40, 56, 3) * 255).astype(np.uint8)
+    patches, grid = qwen_patchify_video(frames, 14, 2, 2)
+    gt, gh, gw = grid
+    assert gt == 3  # 6 frames / temporal 2
+    count = gt * (gh // 2) * (gw // 2)
+
+    eng = _engine(tmp_path)
+    try:
+        prompt = [3, 88, 501, 41, 7]  # 501 = video token
+        out = eng.generate(
+            input_ids=list(prompt),
+            videos=[frames],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 10,
+                             "ignore_eos": True},
+        )
+        hf_ids = [3, 88] + [501] * count + [41, 7]
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([hf_ids]),
+                pixel_values_videos=torch.tensor(patches),
+                video_grid_thw=torch.tensor([list(grid)]),
                 max_new_tokens=10, do_sample=False,
             )[0, len(hf_ids):].tolist()
         assert out["output_ids"] == ref, (out["output_ids"], ref)
