@@ -113,6 +113,23 @@ class DeepseekV2ForCausalLM:
                 "moe_w3": (Km, E, H, MI),
                 "moe_w2": (Km, E, MI, H),
             }
+            if self._moe_int8():
+                from sglang_tpu.layers.quantization import ParamShape
+
+                moe.update(
+                    moe_w1=ParamShape((Km, E, H, MI), jnp.int8, fan=H),
+                    moe_w1_scale=ParamShape(
+                        (Km, E, 1, MI), jnp.float32, fan=H
+                    ),
+                    moe_w3=ParamShape((Km, E, H, MI), jnp.int8, fan=H),
+                    moe_w3_scale=ParamShape(
+                        (Km, E, 1, MI), jnp.float32, fan=H
+                    ),
+                    moe_w2=ParamShape((Km, E, MI, H), jnp.int8, fan=MI),
+                    moe_w2_scale=ParamShape(
+                        (Km, E, 1, H), jnp.float32, fan=MI
+                    ),
+                )
             if self.topk_method == "noaux_tc":
                 moe["gate_bias"] = (Km, E)
             if self.n_shared:
@@ -139,10 +156,13 @@ class DeepseekV2ForCausalLM:
                     out[k] = P(*([None] * (nd - 1) + [AXIS_TP]))
                 elif k in ("o_proj", "down_proj", "shared_down"):
                     out[k] = P(*([None] * (nd - 2) + [AXIS_TP, None]))
-                elif k in ("moe_w1", "moe_w3"):
+                elif k in ("moe_w1", "moe_w3", "moe_w1_scale",
+                           "moe_w3_scale"):
                     out[k] = P(None, None, None, AXIS_TP)
                 elif k == "moe_w2":
                     out[k] = P(None, None, AXIS_TP, None)
+                elif k == "moe_w2_scale":
+                    out[k] = P(None, None, None, None)
                 elif k == "embed" or k == "lm_head":
                     out[k] = P(AXIS_TP, None)
                 else:
@@ -204,6 +224,27 @@ class DeepseekV2ForCausalLM:
                 leaf = expert_table.get(sub[-2])
                 if leaf is None:
                     return None
+                if self._moe_int8():
+                    import numpy as _np
+
+                    # quantize to int8-resident + per-out-channel scale;
+                    # wants_dequant makes the loader fold any checkpoint
+                    # sibling scale in first (block-fp8 siblings always
+                    # dequantize on read)
+                    def q8(t, leaf=leaf):
+                        wq = _np.asarray(t, _np.float32).T  # [in, out]
+                        s = _np.abs(wq).max(axis=0, keepdims=True)
+                        s = _np.maximum(s, 1e-8) / 127.0
+                        qw = _np.clip(
+                            _np.round(wq / s), -127, 127
+                        ).astype(_np.int8)
+                        return {
+                            leaf: qw,
+                            leaf + "_scale": s.astype(_np.float32),
+                        }
+
+                    q8.wants_dequant = True
+                    return (stack, (idx, e), q8)
                 return (f"{stack}.{leaf}", (idx, e), "t")
             if tail in attn_table:
                 leaf, tf = attn_table[tail]
@@ -324,6 +365,14 @@ class DeepseekV2ForCausalLM:
         out = out.reshape(B, Lq, hq * vd)
         return h + out @ w["o_proj"], kv
 
+    def _moe_int8(self) -> bool:
+        """INT8-RESIDENT expert weights under w8a8_int8 execution (incl.
+        the block-fp8 → int8 transcode DeepSeek-V3 checkpoints take):
+        expert stacks stay int8 in HBM with per-out-channel scales —
+        half the expert memory (reference w8a8_int8.py MoE role)."""
+        qc = self.config.quant_config
+        return qc is not None and qc.method == "w8a8_int8"
+
     def _dense_mlp(self, w, normed):
         inter = act_and_mul(
             self.config.hidden_act, normed @ w["gate_proj"], normed @ w["up_proj"]
@@ -332,12 +381,20 @@ class DeepseekV2ForCausalLM:
 
     def _moe_mlp(self, w, normed):
         capture = getattr(self, "_ecounts_capture", False)
+        w1, w3, w2 = w["moe_w1"], w["moe_w3"], w["moe_w2"]
+        if self._moe_int8():
+            # int8-resident experts: dequant feeds the grouped GEMM (XLA
+            # fuses the convert+mul into the consumer; HBM keeps int8)
+            dt = normed.dtype
+            w1 = (w1.astype(jnp.float32) * w["moe_w1_scale"]).astype(dt)
+            w3 = (w3.astype(jnp.float32) * w["moe_w3_scale"]).astype(dt)
+            w2 = (w2.astype(jnp.float32) * w["moe_w2_scale"]).astype(dt)
         routed = moe_block(
             normed,
             w["moe_gate"],
-            w["moe_w1"],
-            w["moe_w3"],
-            w["moe_w2"],
+            w1,
+            w3,
+            w2,
             top_k=self.top_k,
             norm_topk_prob=self.norm_topk,
             hidden_act=self.config.hidden_act,

@@ -156,3 +156,69 @@ def test_dsv3_noaux_tc_matches_hf(tmp_path):
         )
     assert out["output_ids"] == hf_out[0][len(prompt_ids):].tolist()
     eng.shutdown()
+
+
+def test_dsv2_int8_resident_experts(tmp_path):
+    """w8a8_int8 execution on DeepSeek MoE: the routed expert stacks
+    stay INT8 in HBM with per-out-channel scales (reference
+    w8a8_int8.py MoE role); generation tracks the dense engine up to
+    int8 requant noise."""
+    import json
+    import shutil
+
+    import jax.numpy as jnp
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from sglang_tpu.server_args import ServerArgs
+
+    cfg = DeepseekV2Config(**TINY_DSV2)
+    torch.manual_seed(1)
+    model = DeepseekV2ForCausalLM(cfg).float().eval()
+    d_dense = tmp_path / "dense"
+    model.save_pretrained(d_dense, safe_serialization=True)
+    d_q = tmp_path / "int8"
+    shutil.copytree(d_dense, d_q)
+    with open(d_q / "config.json") as f:
+        hf = json.load(f)
+    hf["quantization_config"] = {"quant_method": "w8a8_int8"}
+    with open(d_q / "config.json", "w") as f:
+        json.dump(hf, f)
+
+    def make(d):
+        args = ServerArgs(
+            model_path=str(d), tokenizer_path="test:byte",
+            load_format="safetensors", dtype="float32", page_size=8,
+            max_total_tokens=4096,
+        )
+        mc = ModelConfig.from_model_path(str(d), dtype="float32")
+        runner = ModelRunner(args, model_config=mc)
+        return Engine(server_args=args, model_runner=runner), runner
+
+    eq, rq = make(d_q)
+    ed, _ = make(d_dense)
+    try:
+        moe = rq.params["moe_layers"]
+        for nm in ("moe_w1", "moe_w3", "moe_w2"):
+            assert moe[nm].dtype == jnp.int8, nm
+            assert moe[nm + "_scale"].dtype == jnp.float32, nm
+        prompt = [11, 310, 42, 5, 99, 6, 17, 204]
+        sp = {"max_new_tokens": 10, "temperature": 0.0,
+              "return_logprob": True}
+        oq = eq.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        od = ed.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        lq = [t[0] for t in oq["meta_info"]["output_token_logprobs"]]
+        ld = [t[0] for t in od["meta_info"]["output_token_logprobs"]]
+        prefix = 0
+        for a, b in zip(oq["output_ids"], od["output_ids"]):
+            if a != b:
+                break
+            prefix += 1
+        assert prefix >= 3, (oq["output_ids"], od["output_ids"])
+        diff = np.abs(np.array(lq[:prefix]) - np.array(ld[:prefix]))
+        assert diff.max() < 0.35, (lq, ld)
+    finally:
+        eq.shutdown()
+        ed.shutdown()
