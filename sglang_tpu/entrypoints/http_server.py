@@ -411,6 +411,25 @@ class HttpServer:
             stream=stream,
             lora_path=body.get("lora_path"),
         )
+        # reference /generate multimodal fields: image_data = data-URL
+        # (or list of them); video_data = data-URL of a multi-frame
+        # image (GIF etc.; frames extracted) or a list of frame URLs
+        # forming ONE video
+        if body.get("image_data"):
+            urls = body["image_data"]
+            if isinstance(urls, str):
+                urls = [urls]
+            kwargs["images"] = [_decode_data_url_image(u) for u in urls]
+        if body.get("video_data"):
+            vd = body["video_data"]
+            if isinstance(vd, str):
+                vd = [vd]
+            if vd and vd[0].startswith("data:image/gif"):
+                kwargs["videos"] = [_decode_data_url_frames(u) for u in vd]
+            else:  # a list of frame data-URLs = one video
+                kwargs["videos"] = [
+                    [_decode_data_url_image(u) for u in vd]
+                ]
         if not stream:
             # batch or single
             texts = kwargs["prompt"]
@@ -615,7 +634,11 @@ class HttpServer:
         if not req.messages:
             return _error("messages must be non-empty")
         sp = req.to_sampling_dict(self.server_args.max_new_tokens_default)
-        images = _extract_images([m.model_dump() if hasattr(m, "model_dump") else m for m in req.messages]) or None
+        images, videos = _extract_media(
+            [m.model_dump() if hasattr(m, "model_dump") else m
+             for m in req.messages]
+        )
+        images, videos = images or None, videos or None
         prompt = apply_chat_template(
             self.tokenizer, req.messages, self.server_args.chat_template,
             tools=req.tools,
@@ -624,7 +647,7 @@ class HttpServer:
         if req.stream:
             gen = await self.engine.async_generate(
                 prompt=prompt, sampling_params=sp, stream=True,
-                images=images,
+                images=images, videos=videos,
             )
             resp = self._sse(request)
             await resp.prepare(request)
@@ -729,7 +752,8 @@ class HttpServer:
         outs = await asyncio.gather(
             *[
                 self.engine.async_generate(
-                    prompt=prompt, sampling_params=dict(sp), images=images
+                    prompt=prompt, sampling_params=dict(sp), images=images,
+                    videos=videos,
                 )
                 for _ in range(n)
             ]
@@ -866,28 +890,52 @@ def _anthropic_stop_reason(meta) -> str:
     return "end_turn"
 
 
-def _extract_images(messages) -> list:
-    """Decode data-URL image_url content parts (reference multimodal
-    chat inputs) → list of PIL images; text parts stay in the message."""
+def _decode_data_url_image(url: str):
+    """data-URL → PIL image (single frame)."""
     import base64
     import io
 
-    images = []
+    from PIL import Image
+
+    assert url.startswith("data:"), url[:32]
+    b64 = url.split(",", 1)[1]
+    return Image.open(io.BytesIO(base64.b64decode(b64)))
+
+
+def _decode_data_url_frames(url: str) -> list:
+    """data-URL of a multi-frame image (GIF) → list of RGB frames."""
+    from PIL import ImageSequence
+
+    im = _decode_data_url_image(url)
+    return [f.convert("RGB").copy() for f in ImageSequence.Iterator(im)]
+
+
+def _extract_images(messages) -> list:
+    """Decode data-URL image_url content parts (reference multimodal
+    chat inputs) → list of PIL images; text parts stay in the message."""
+    return _extract_media(messages)[0]
+
+
+def _extract_media(messages):
+    """→ (images, videos): data-URL image_url parts and video_url parts
+    (a multi-frame GIF data-URL = one video) of list-typed contents."""
+    images, videos = [], []
     for m in messages:
         content = m.content if hasattr(m, "content") else m.get("content")
         if not isinstance(content, list):
             continue
         for part in content:
-            if isinstance(part, dict) and part.get("type") == "image_url":
+            if not isinstance(part, dict):
+                continue
+            if part.get("type") == "image_url":
                 url = (part.get("image_url") or {}).get("url", "")
                 if url.startswith("data:"):
-                    b64 = url.split(",", 1)[1]
-                    from PIL import Image
-
-                    images.append(
-                        Image.open(io.BytesIO(base64.b64decode(b64)))
-                    )
-    return images
+                    images.append(_decode_data_url_image(url))
+            elif part.get("type") == "video_url":
+                url = (part.get("video_url") or {}).get("url", "")
+                if url.startswith("data:"):
+                    videos.append(_decode_data_url_frames(url))
+    return images, videos
 
 
 def _chat_msgs(dicts):

@@ -197,3 +197,101 @@ def test_qwen_vl_video_generation_matches_hf(tmp_path):
         assert out["output_ids"] == ref, (out["output_ids"], ref)
     finally:
         eng.shutdown()
+
+
+def test_qwen_vl_http_media_data_urls(tmp_path):
+    """HTTP multimodal: /generate accepts image_data (data-URL) and
+    video_data (multi-frame GIF data-URL); outputs match the library
+    API fed the same decoded media."""
+    import asyncio
+    import base64
+    import io
+    import threading
+
+    import httpx
+    from aiohttp import web
+
+    from sglang_tpu.entrypoints.http_server import (
+        _decode_data_url_frames,
+        build_app,
+    )
+
+    pytest.importorskip("torch")
+    _save_hf(tmp_path)
+    eng = _engine(tmp_path)
+    args = eng.server_args if hasattr(eng, "server_args") else None
+    from tests.conftest import make_server_args
+
+    app = build_app(eng, make_server_args(host="127.0.0.1", port=0))
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    port_box = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def start():
+            r = web.AppRunner(app)
+            await r.setup()
+            site = web.TCPSite(r, "127.0.0.1", 0)
+            await site.start()
+            port_box["port"] = site._server.sockets[0].getsockname()[1]
+            started.set()
+
+        loop.run_until_complete(start())
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    assert started.wait(15)
+    base = f"http://127.0.0.1:{port_box['port']}"
+
+    def durl(img, fmt="PNG", **kw):
+        buf = io.BytesIO()
+        img.save(buf, format=fmt, **kw)
+        mime = "image/gif" if fmt == "GIF" else "image/png"
+        return f"data:{mime};base64," + base64.b64encode(
+            buf.getvalue()
+        ).decode()
+
+    try:
+        sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+        # ---- image via data URL ----
+        img = _image(5)
+        r = httpx.post(base + "/generate", json={
+            "input_ids": [3, 88, 500, 41, 7], "sampling_params": sp,
+            "image_data": durl(img),
+        }, timeout=120)
+        assert r.status_code == 200, r.text
+        direct = eng.generate(
+            input_ids=[3, 88, 500, 41, 7], images=[img],
+            sampling_params=dict(sp),
+        )
+        assert r.json()["output_ids"] == direct["output_ids"]
+        # ---- video via multi-frame GIF data URL ----
+        from PIL import Image
+
+        rng = np.random.RandomState(4)
+        frames = [
+            Image.fromarray((rng.rand(40, 56, 3) * 255).astype(np.uint8))
+            for _ in range(4)
+        ]
+        gif = durl(
+            frames[0], fmt="GIF", save_all=True,
+            append_images=frames[1:], loop=0,
+        )
+        r = httpx.post(base + "/generate", json={
+            "input_ids": [3, 88, 501, 41, 7], "sampling_params": sp,
+            "video_data": gif,
+        }, timeout=120)
+        assert r.status_code == 200, r.text
+        # compare against the SAME decoded frames (GIF palettization is
+        # lossy, so decode the data URL rather than reusing `frames`)
+        dec = _decode_data_url_frames(gif)
+        direct = eng.generate(
+            input_ids=[3, 88, 501, 41, 7], videos=[dec],
+            sampling_params=dict(sp),
+        )
+        assert r.json()["output_ids"] == direct["output_ids"]
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        eng.shutdown()
