@@ -219,17 +219,25 @@ def paged_attention(
             sinks=sinks,
             interpret=interpret,
         )
-    kv_cache = write_kv(
-        kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots,
-        kv_scales=kv_scales if fp8_kv else None,
-    )
     if backend == "pallas" and q.shape[1] == 1:  # fp8 KV decode
         from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
 
+        # The kernel READ-MODIFY-WRITES the new row's whole page (1-byte
+        # [2, HD] slices violate Mosaic tiling, full-page DMAs don't) —
+        # no XLA scatter on the cache.  Rows store x / scale, so
+        # pre-scale here like write_kv would.
+        k_w, v_w = k_new, v_new
+        if kv_scales is not None:
+            k_w = (k_new.astype(jnp.float32) / kv_scales[0]).astype(
+                k_new.dtype
+            )
+            v_w = (v_new.astype(jnp.float32) / kv_scales[1]).astype(
+                v_new.dtype
+            )
         out, kv_cache = fused_paged_decode_attention(
             q,
-            k_new,
-            v_new,
+            k_w,
+            v_w,
             kv_cache,
             batch.page_table,
             batch.out_slots,
@@ -242,11 +250,16 @@ def paged_attention(
             sliding_window=sliding_window,
             sinks=sinks,
             fused_write=False,
+            rmw_write=True,
             interpret=interpret,
         )
         if kv_scales is not None:
             out = (out.astype(jnp.float32) * kv_scales[1]).astype(q.dtype)
         return out, kv_cache
+    kv_cache = write_kv(
+        kv_cache, k_new, v_new, batch.out_slots, layer_idx, num_slots,
+        kv_scales=kv_scales if fp8_kv else None,
+    )
     if backend == "pallas":  # extend / chunked prefill, Lq > 1
         from sglang_tpu.ops.prefill_attention import paged_prefill_attention
 

@@ -62,6 +62,7 @@ def _decode_kernel(
     kv_buf,  # [2, RB, PB, ps, 2, Hkv*D] VMEM
     sems,  # DMA sems [2, RB, PB]
     w_sems,  # write sems [RB]
+    w_buf,  # [RB, ps, 2, Hkv*D] VMEM — RMW page staging (rmw_write only)
     *,
     rows_per_block: int,
     pages_per_block: int,
@@ -71,6 +72,7 @@ def _decode_kernel(
     d: int,
     logit_cap: Optional[float],
     fused_write: bool,
+    rmw_write: bool,
     use_sinks: bool,
 ):
     blk = pl.program_id(0)
@@ -89,9 +91,6 @@ def _decode_kernel(
         kv_buf[...] = jnp.zeros_like(kv_buf)
 
     # ---- 1. write the new K/V rows (tiny DMAs into the aliased cache).
-    # fp8 caches skip this (fused_write=False): a [2, HD] 1-byte VMEM
-    # slice violates Mosaic's sublane tiling, so the caller scatters the
-    # new rows with XLA before invoking the kernel read-only.
     if fused_write:
         for r in range(RB):
             b = blk * RB + r
@@ -106,6 +105,44 @@ def _decode_kernel(
         for r in range(RB):
             pltpu.make_async_copy(
                 kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
+            ).wait()
+    elif rmw_write:
+        # fp8 caches: a [2, HD] 1-byte slice violates Mosaic's 32-sublane
+        # tiling, so READ-MODIFY-WRITE the whole page instead (page DMAs
+        # are tile-aligned given ps*2 % 32 == 0): fetch the target page,
+        # splice the new row in with a sublane-mask select in int8 bit
+        # space, write it back — the cache never sees an XLA scatter.
+        for r in range(RB):
+            b = blk * RB + r
+            page_row = layer_page0 + out_slots_ref[b] // ps
+            pltpu.make_async_copy(
+                kv_out_ref.at[page_row], w_buf.at[r], w_sems.at[r]
+            ).start()
+        for r in range(RB):
+            pltpu.make_async_copy(
+                kv_out_ref.at[0], w_buf.at[r], w_sems.at[r]
+            ).wait()
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (ps, 2, HD), 0)
+        for r in range(RB):
+            b = blk * RB + r
+            in_page = out_slots_ref[b] % ps
+            cur8 = pltpu.bitcast(w_buf[r], jnp.int8)
+            new8 = pltpu.bitcast(kv_new_ref[r], jnp.int8)  # [2, HD]
+            sel = jnp.where(
+                rowi == in_page,
+                jnp.broadcast_to(new8[None], cur8.shape),
+                cur8,
+            )
+            w_buf[r] = pltpu.bitcast(sel, w_buf.dtype)
+        for r in range(RB):
+            b = blk * RB + r
+            page_row = layer_page0 + out_slots_ref[b] // ps
+            pltpu.make_async_copy(
+                w_buf.at[r], kv_out_ref.at[page_row], w_sems.at[r]
+            ).start()
+        for r in range(RB):
+            pltpu.make_async_copy(
+                w_buf.at[r], kv_out_ref.at[0], w_sems.at[r]
             ).wait()
 
     # ---- 2. paged attention over [first_group, n_valid) page groups ----
@@ -259,6 +296,7 @@ def _decode_kernel(
         "rows_per_block",
         "interpret",
         "fused_write",
+        "rmw_write",
     ),
 )
 def fused_paged_decode_attention(
@@ -281,6 +319,7 @@ def fused_paged_decode_attention(
     rows_per_block: Optional[int] = None,
     interpret: bool = False,
     fused_write: bool = True,
+    rmw_write: bool = False,
 ):
     """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
     B, Lq, Hq, D = q.shape
@@ -340,6 +379,7 @@ def fused_paged_decode_attention(
         d=D,
         logit_cap=logit_cap,
         fused_write=fused_write,
+        rmw_write=rmw_write,
         use_sinks=use_sinks,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
@@ -373,6 +413,7 @@ def fused_paged_decode_attention(
             pltpu.VMEM((2, RB, PB, page_size, 2, Hkv * D), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, RB, PB)),
             pltpu.SemaphoreType.DMA((RB,)),
+            pltpu.VMEM((RB, page_size, 2, Hkv * D), kv_cache.dtype),
         ],
     )
     out, kv_out = pl.pallas_call(
