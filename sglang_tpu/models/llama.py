@@ -50,7 +50,11 @@ class LlamaForCausalLM:
 
     has_qkv_bias = False
     has_qk_norm = False
+    qk_norm_full = False  # OLMo2: norm over the FLAT q/k (hq*d), pre-split
     has_o_bias = False
+    has_pre_norms = True  # OLMo2: False → post-block norms only
+    residual_multiplier = 1.0  # Granite residual_multiplier
+    logits_divisor = 1.0  # Granite logits_scaling
     # YaRN attention factor multiplying cos/sin (rotary.py)
     rope_mscale = 1.0
     # double-sparsity config (runner sets when --enable-double-sparsity)
@@ -250,11 +254,17 @@ class LlamaForCausalLM:
             layers["k_bias"] = (L, hkv * d)
             layers["v_bias"] = (L, hkv * d)
         if self.has_qk_norm:
-            layers["q_norm"] = (L, d)
-            layers["k_norm"] = (L, d)
+            if self.qk_norm_full:  # OLMo2: one norm over the flat proj
+                layers["q_norm"] = (L, hq * d)
+                layers["k_norm"] = (L, hkv * d)
+            else:
+                layers["q_norm"] = (L, d)
+                layers["k_norm"] = (L, d)
         if self.has_post_norms:
             layers["post_attn_ln"] = (L, H)
             layers["post_ffw_ln"] = (L, H)
+        if not self.has_pre_norms:
+            del layers["input_ln"], layers["post_ln"]
         shapes = {"embed": (V, H), "layers": layers, "final_ln": (H,)}
         if not c.tie_word_embeddings:
             shapes["lm_head"] = (V, H)
@@ -330,11 +340,15 @@ class LlamaForCausalLM:
             layers["k_bias"] = P(None, AXIS_TP)
             layers["v_bias"] = P(None, AXIS_TP)
         if self.has_qk_norm:
-            layers["q_norm"] = P(None, None)
-            layers["k_norm"] = P(None, None)
+            # full-width (flat-proj) norms shard with the head axis
+            ax = AXIS_TP if self.qk_norm_full else None
+            layers["q_norm"] = P(None, ax)
+            layers["k_norm"] = P(None, ax)
         if self.has_post_norms:
             layers["post_attn_ln"] = P(None, None)
             layers["post_ffw_ln"] = P(None, None)
+        if not self.has_pre_norms:
+            del layers["input_ln"], layers["post_ln"]
         if self.mesh_ctx is not None and self.mesh_ctx.parallel.pp_size > 1:
             # layer stacks shard their leading [L] axis over pp stages
             def _pp(spec):
@@ -802,7 +816,10 @@ class LlamaForCausalLM:
                 cos = jnp.cos(angles)[..., None, :] * self.rope_mscale
                 sin = jnp.sin(angles)[..., None, :] * self.rope_mscale
                 # --- attention block ---
-                normed = self._norm(h, w["input_ln"])
+                normed = (
+                    self._norm(h, w["input_ln"]) if self.has_pre_norms
+                    else h
+                )
                 q = proj(normed, "q_proj")
                 k = proj(normed, "k_proj")
                 v = proj(normed, "v_proj")
@@ -810,10 +827,14 @@ class LlamaForCausalLM:
                     q = q + w["q_bias"]
                     k = k + w["k_bias"]
                     v = v + w["v_bias"]
+                if self.has_qk_norm and self.qk_norm_full:
+                    # OLMo2: one RMSNorm over the FLAT projection
+                    q = self._norm(q, w["q_norm"])
+                    k = self._norm(k, w["k_norm"])
                 q = q.reshape(B, Lq, hq, d)
                 k = k.reshape(B, Lq, hkv, d)
                 v = v.reshape(B, Lq, hkv, d)
-                if self.has_qk_norm:
+                if self.has_qk_norm and not self.qk_norm_full:
                     q = self._norm(q, w["q_norm"])
                     k = self._norm(k, w["k_norm"])
                 head_ax = None if self._attn_replicated() else AXIS_TP
@@ -997,13 +1018,20 @@ class LlamaForCausalLM:
                     attn_out = attn_out + w["o_bias"]
                 if self.has_post_norms:
                     attn_out = self._norm(attn_out, w["post_attn_ln"])
+                if self.residual_multiplier != 1.0:  # Granite
+                    attn_out = attn_out * self.residual_multiplier
                 h = h + attn_out
                 h = self._shard(h, AXIS_DP, seq_ax, None)
                 # --- mlp block ---
-                normed = self._norm(h, w["post_ln"])
+                normed = (
+                    self._norm(h, w["post_ln"]) if self.has_pre_norms
+                    else h
+                )
                 mlp_out = self._mlp_forward(w, normed, proj)
                 if self.has_post_norms:
                     mlp_out = self._norm(mlp_out, w["post_ffw_ln"])
+                if self.residual_multiplier != 1.0:  # Granite
+                    mlp_out = mlp_out * self.residual_multiplier
                 h = h + mlp_out
                 h = self._shard(h, AXIS_DP, seq_ax, None)
                 # EPLB load signal: MoE _mlp_forward stashes this layer's
@@ -1135,6 +1163,8 @@ class LlamaForCausalLM:
         if self.config.final_logit_softcap:
             cap = self.config.final_logit_softcap
             logits = cap * jnp.tanh(logits / cap)
+        if self.logits_divisor != 1.0:  # Granite logits_scaling
+            logits = logits / self.logits_divisor
         return logits
 
 
