@@ -53,6 +53,7 @@ class LlamaForCausalLM:
     qk_norm_full = False  # OLMo2: norm over the FLAT q/k (hq*d), pre-split
     has_o_bias = False
     has_pre_norms = True  # OLMo2: False → post-block norms only
+    parallel_block = False  # Cohere: attn and mlp share one normed input
     residual_multiplier = 1.0  # Granite residual_multiplier
     logits_divisor = 1.0  # Granite logits_scaling
     # YaRN attention factor multiplying cos/sin (rotary.py)
@@ -265,7 +266,15 @@ class LlamaForCausalLM:
             layers["post_ffw_ln"] = (L, H)
         if not self.has_pre_norms:
             del layers["input_ln"], layers["post_ln"]
+        elif self.parallel_block:
+            del layers["post_ln"]  # attn and mlp share input_ln
+        if self.has_norm_bias:
+            for nm in ("input_ln", "post_ln"):
+                if nm in layers:
+                    layers[nm + "_b"] = (L, H)
         shapes = {"embed": (V, H), "layers": layers, "final_ln": (H,)}
+        if self.has_norm_bias:
+            shapes["final_ln_b"] = (H,)
         if not c.tie_word_embeddings:
             shapes["lm_head"] = (V, H)
         return shapes
@@ -349,6 +358,12 @@ class LlamaForCausalLM:
             layers["post_ffw_ln"] = P(None, None)
         if not self.has_pre_norms:
             del layers["input_ln"], layers["post_ln"]
+        elif self.parallel_block:
+            del layers["post_ln"]
+        if self.has_norm_bias:
+            for nm in ("input_ln", "post_ln"):
+                if nm in layers:
+                    layers[nm + "_b"] = P(None, None)
         if self.mesh_ctx is not None and self.mesh_ctx.parallel.pp_size > 1:
             # layer stacks shard their leading [L] axis over pp stages
             def _pp(spec):
@@ -362,6 +377,8 @@ class LlamaForCausalLM:
             "layers": layers,
             "final_ln": P(None),
         }
+        if self.has_norm_bias:
+            specs["final_ln_b"] = P(None)
         if not self.config.tie_word_embeddings:
             specs["lm_head"] = P(AXIS_TP, None)
         return specs
@@ -540,8 +557,11 @@ class LlamaForCausalLM:
     norm_offset: float = 0.0
     # Extra norms on attn/mlp outputs before the residual add (Gemma 2/3).
     has_post_norms: bool = False
+    # LayerNorm families (Starcoder2) carry bias leaves next to the norms.
+    has_norm_bias: bool = False
 
-    def _norm(self, x, w):
+    def _norm(self, x, w, b=None):
+        del b  # rms families have no norm bias; LayerNorm models override
         return rms_norm(
             x, w, self.config.rms_norm_eps, offset=self.norm_offset
         )
@@ -817,9 +837,11 @@ class LlamaForCausalLM:
                 sin = jnp.sin(angles)[..., None, :] * self.rope_mscale
                 # --- attention block ---
                 normed = (
-                    self._norm(h, w["input_ln"]) if self.has_pre_norms
+                    self._norm(h, w["input_ln"], w.get("input_ln_b"))
+                    if self.has_pre_norms
                     else h
                 )
+                attn_in = normed  # parallel_block: mlp shares this
                 q = proj(normed, "q_proj")
                 k = proj(normed, "k_proj")
                 v = proj(normed, "v_proj")
@@ -1020,11 +1042,24 @@ class LlamaForCausalLM:
                     attn_out = self._norm(attn_out, w["post_attn_ln"])
                 if self.residual_multiplier != 1.0:  # Granite
                     attn_out = attn_out * self.residual_multiplier
+                if self.parallel_block:
+                    # Cohere: h += attn(norm(h)) + mlp(norm(h)) — both
+                    # branches read the SAME normed input
+                    mlp_out = self._mlp_forward(w, attn_in, proj)
+                    h = h + attn_out + mlp_out
+                    h = self._shard(h, AXIS_DP, seq_ax, None)
+                    aux = (
+                        self.__dict__.pop("_moe_counts_stash", None)
+                        if capture_expert_counts
+                        else None
+                    )
+                    return (h, kv, li + 1), aux
                 h = h + attn_out
                 h = self._shard(h, AXIS_DP, seq_ax, None)
                 # --- mlp block ---
                 normed = (
-                    self._norm(h, w["post_ln"]) if self.has_pre_norms
+                    self._norm(h, w["post_ln"], w.get("post_ln_b"))
+                    if self.has_pre_norms
                     else h
                 )
                 mlp_out = self._mlp_forward(w, normed, proj)
@@ -1117,7 +1152,9 @@ class LlamaForCausalLM:
                     ecounts = jnp.concatenate(stage_counts, axis=0)
 
         features = hidden  # pre-final-norm last-layer output
-        hidden = self._norm(hidden, params["final_ln"])
+        hidden = self._norm(
+            hidden, params["final_ln"], params.get("final_ln_b")
+        )
         flat = hidden.reshape(B * Lq, -1)
         extras = []
         if capture_features:

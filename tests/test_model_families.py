@@ -149,3 +149,42 @@ def test_phi3_longrope_greedy_matches_hf(tmp_path):
     cfg = dict(kw, architectures=["Phi3ForCausalLM"], model_type="phi3")
     # prompt longer than original_max → long factors from step 1
     _check_greedy(tmp_path, m, cfg, [(3 * i) % 500 + 1 for i in range(24)])
+
+
+def test_cohere_greedy_matches_hf(tmp_path):
+    """Cohere Command-R: parallel attn+mlp block, mean-centered
+    LayerNorm, interleaved rotary pairs, logit_scale, tied embeds."""
+    from transformers import CohereConfig, CohereForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, layer_norm_eps=1e-5,
+        rope_theta=10000.0, logit_scale=0.25, use_qk_norm=False,
+        tie_word_embeddings=True, eos_token_id=257, pad_token_id=0,
+    )
+    torch.manual_seed(4)
+    m = CohereForCausalLM(CohereConfig(**kw)).float().eval()
+    cfg = dict(kw, architectures=["CohereForCausalLM"], model_type="cohere")
+    _check_greedy(tmp_path, m, cfg, [(9 * i) % 500 + 1 for i in range(18)])
+
+
+def test_starcoder2_greedy_matches_hf(tmp_path):
+    """StarCoder2: LayerNorm with bias, non-gated gelu MLP with bias,
+    biased attention projections, tied embeddings."""
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, norm_epsilon=1e-5,
+        rope_theta=10000.0, use_bias=True, tie_word_embeddings=True,
+        eos_token_id=257, pad_token_id=0,
+    )
+    torch.manual_seed(5)
+    m = Starcoder2ForCausalLM(Starcoder2Config(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["Starcoder2ForCausalLM"],
+        model_type="starcoder2",
+    )
+    _check_greedy(tmp_path, m, cfg, [(11 * i) % 500 + 1 for i in range(18)])
