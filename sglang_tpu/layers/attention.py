@@ -119,10 +119,18 @@ def attention_xla(
     causal = ctx_pos[None, None, :] <= positions[:, :, None]  # [B, Lq, C]
     mask = valid[:, None, :] & causal  # [B, Lq, C]
     if sliding_window is not None:
-        # traced scalar; <= 0 disables the window
+        # traced scalar; 0 disables. NEGATIVE encodes Llama4-style
+        # CHUNKED attention of size -win: token p attends only positions
+        # in its own chunk [p - p % C, p].
         win = jnp.asarray(sliding_window, jnp.int32)
         in_window = ctx_pos[None, None, :] > (positions[:, :, None] - win)
-        mask = mask & (in_window | (win <= 0))
+        chunk = jnp.maximum(-win, 1)
+        same_chunk = (
+            ctx_pos[None, None, :] // chunk == positions[:, :, None] // chunk
+        )
+        mask = mask & jnp.where(
+            win > 0, in_window, jnp.where(win < 0, same_chunk, True)
+        )
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
     if sinks is not None:

@@ -50,6 +50,12 @@ def moe_topk(
     gl = gate_logits.astype(jnp.float32)
     if scoring == "sigmoid":
         probs = jax.nn.sigmoid(gl)
+    elif scoring == "llama4":
+        # Llama4Router: top-k on the RAW logits; the selected weights are
+        # sigmoid of the top logits (no renormalization)
+        _, idx = jax.lax.top_k(gl, top_k)
+        w = jax.nn.sigmoid(jnp.take_along_axis(gl, idx, axis=-1))
+        return w, idx.astype(jnp.int32)
     else:
         probs = jax.nn.softmax(gl, axis=-1)
     select = probs if gate_bias is None else probs + gate_bias
@@ -95,6 +101,7 @@ def moe_block(
     expert_parallel: bool = False,
     return_counts: bool = False,
     a2a: bool = False,
+    weight_on_input: bool = False,  # Llama4: score scales the expert INPUT
 ) -> jnp.ndarray:
     """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families).
 
@@ -108,6 +115,8 @@ def moe_block(
     T = B * L
     x = hidden.reshape(T, H)
 
+    if weight_on_input:
+        assert not a2a, "weight_on_input not wired through the a2a path"
     if expert_parallel and mesh is not None and a2a:
         from sglang_tpu.parallel.mesh import AXIS_TP
 
@@ -148,6 +157,12 @@ def moe_block(
     group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
 
     xs = x[sorted_token]  # [N, H]
+    if weight_on_input:
+        # Llama4TextMoe: the router score scales the expert INPUT (the
+        # nonlinearity sees the scaled activation), not the output
+        xs = (
+            xs.astype(jnp.float32) * flat_w[order][:, None]
+        ).astype(xs.dtype)
     if expert_parallel and mesh is not None:
         out_s = ep_grouped_mlp(
             xs, w1, w3, w2, group_sizes, mesh, hidden_act
@@ -160,7 +175,9 @@ def moe_block(
             inter.astype(w2.dtype), w2, group_sizes
         )  # [N, H]
 
-    out_s = out_s.astype(jnp.float32) * flat_w[order][:, None]
+    out_s = out_s.astype(jnp.float32)
+    if not weight_on_input:
+        out_s = out_s * flat_w[order][:, None]
     out = jnp.zeros((T, H), jnp.float32).at[sorted_token].add(out_s)
     out = out.reshape(B, L, H).astype(hidden.dtype)
     if return_counts:

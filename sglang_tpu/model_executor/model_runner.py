@@ -348,6 +348,11 @@ class ModelRunner:
     def _pick_attn_backend(self, device) -> str:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
             return "xla"
+        if getattr(self.model, "force_xla_attention", False):
+            # model-declared (Llama4: chunked-attention masks are not in
+            # the pallas kernels yet)
+            logger.info("Pallas attention disabled by the model family")
+            return "xla"
         # double-sparsity rides the fused top-K-page kernel when the
         # standard pallas geometry checks below pass
         # (ops/sparse_attention.fused_sparse_paged_decode)

@@ -566,6 +566,13 @@ class LlamaForCausalLM:
             x, w, self.config.rms_norm_eps, offset=self.norm_offset
         )
 
+    def _post_rope(self, q, k, inv_freq, batch, pos_f):
+        """Per-layer post-rotary hook (Llama4: qk L2 norm on rope layers,
+        temperature tuning on nope layers — derived from the layer's
+        inv_freq riding the scan).  Default: identity."""
+        del inv_freq, batch, pos_f
+        return q, k
+
     def _pp_wavefront(self, hidden, kv_cache, batch, xs_all, pp, M,
                       make_layer_fn):
         """GPipe-style micro-batch pipeline inside one jitted program.
@@ -864,6 +871,7 @@ class LlamaForCausalLM:
                 k = self._shard(k, AXIS_DP, None, head_ax, None)
                 v = self._shard(v, AXIS_DP, None, head_ax, None)
                 q, k = rope(q, cos, sin), rope(k, cos, sin)
+                q, k = self._post_rope(q, k, inv_freq, batch, pos_f)
                 if getattr(self, "_ds", None) is not None:
                     # double-sparsity: label-cache write + top-K-page
                     # decode (ops/sparse_attention.py); prefill attends

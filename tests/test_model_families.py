@@ -188,3 +188,30 @@ def test_starcoder2_greedy_matches_hf(tmp_path):
         model_type="starcoder2",
     )
     _check_greedy(tmp_path, m, cfg, [(11 * i) % 500 + 1 for i in range(18)])
+
+
+def test_llama4_greedy_matches_hf(tmp_path):
+    """Llama 4 (Scout geometry: all-MoE): NoPE layers with temperature
+    tuning, qk L2 norm on rope layers, CHUNKED attention (negative
+    per-layer window), interleaved-pair rotary, router-scaled expert
+    INPUTS + shared expert."""
+    from transformers import Llama4ForCausalLM as HFLlama4
+    from transformers import Llama4TextConfig
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, intermediate_size_mlp=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, vocab_size=512, max_position_embeddings=512,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=1, use_qk_norm=True,
+        attn_temperature_tuning=True, floor_scale=4.0, attn_scale=0.1,
+        attention_chunk_size=8,  # tiny → chunking bites within the prompt
+        eos_token_id=257, pad_token_id=0,
+    )
+    torch.manual_seed(6)
+    m = HFLlama4(Llama4TextConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["Llama4ForCausalLM"], model_type="llama4_text"
+    )
+    _check_greedy(tmp_path, m, cfg, [(13 * i) % 500 + 1 for i in range(24)])
