@@ -296,13 +296,18 @@ std::atomic<int64_t> g_retries{0};
 // Both sides are POOLS (reference pd_router decode-side balancing):
 // the decode worker is picked least-in-flight (each decode engine has
 // its own KV bootstrap rendezvous, carried per worker), the prefill
-// worker round-robin.
+// worker CACHE-AWARE — the engine whose approximate prefix tree best
+// matches the request keeps its radix cache hot (reference pd_router
+// prefill policy), falling back to round-robin on poor matches or
+// load imbalance.
 struct PDWorker {
   std::string host;
   int port = 0;
   std::string bootstrap;  // decode side: its engine's bootstrap addr
   std::atomic<int64_t> in_flight{0};
   std::atomic<int64_t> total{0};
+  PrefixTree tree;  // prefill side: routed-prefix cache affinity
+  std::mutex tree_mu;
 };
 using PDWorkerPtr = std::shared_ptr<PDWorker>;
 
@@ -316,10 +321,39 @@ struct PDConfig {
     std::lock_guard<std::mutex> g(mu);
     return !prefill.empty() && !decode.empty();
   }
-  PDWorkerPtr pick_prefill() {
-    std::lock_guard<std::mutex> g(mu);
-    if (prefill.empty()) return nullptr;
-    return prefill[rr++ % prefill.size()];
+  PDWorkerPtr pick_prefill(const std::string& key, double threshold) {
+    std::vector<PDWorkerPtr> pool;
+    {
+      std::lock_guard<std::mutex> g(mu);
+      pool = prefill;
+    }
+    if (pool.empty()) return nullptr;
+    PDWorkerPtr chosen;
+    if (!key.empty() && pool.size() > 1) {
+      PDWorkerPtr best = nullptr;
+      size_t best_len = 0;
+      int64_t min_load = INT64_MAX, max_load = 0;
+      for (auto& w : pool) {
+        min_load = std::min(min_load, w->in_flight.load());
+        max_load = std::max(max_load, w->in_flight.load());
+        std::lock_guard<std::mutex> g(w->tree_mu);
+        size_t m = w->tree.match_len(key);
+        if (m > best_len) {
+          best_len = m;
+          best = w;
+        }
+      }
+      bool imbalanced = (max_load - min_load) > 8 &&
+                        max_load > 2 * std::max<int64_t>(min_load, 1);
+      double frac = double(best_len) / double(key.size());
+      if (best && frac >= threshold && !imbalanced) chosen = best;
+    }
+    if (!chosen) chosen = pool[rr++ % pool.size()];
+    if (!key.empty()) {
+      std::lock_guard<std::mutex> g(chosen->tree_mu);
+      chosen->tree.insert(key);
+    }
+    return chosen;
   }
   PDWorkerPtr pick_decode() {
     std::lock_guard<std::mutex> g(mu);
@@ -406,7 +440,8 @@ bool forward_once(const std::string& host, int port,
 void serve_pd(int cfd, const std::string& head, const std::string& body) {
   static std::atomic<uint64_t> room_ctr{0};
   PDWorkerPtr dec = g_pd.pick_decode();
-  PDWorkerPtr pre = g_pd.pick_prefill();
+  PDWorkerPtr pre =
+      g_pd.pick_prefill(cache_key(body), g_gateway.cache_threshold);
   if (!dec || !pre) {
     std::string resp = "HTTP/1.1 503 Service Unavailable\r\n"
                        "Content-Length: 0\r\nConnection: close\r\n\r\n";
@@ -428,11 +463,11 @@ void serve_pd(int cfd, const std::string& head, const std::string& body) {
   // prefill fires on its own thread (its KV lands at the bootstrap
   // server); the decode response relays to the client
   std::string pre_head = rebuild_head(head, pre_body.size());
-  std::string ph = pre->host;
-  int pp = pre->port;
   ++pre->total;
-  std::thread([ph, pp, pre_head, pre_body]() {
-    forward_once(ph, pp, pre_head, pre_body, -1);
+  ++pre->in_flight;
+  std::thread([pre, pre_head, pre_body]() {
+    forward_once(pre->host, pre->port, pre_head, pre_body, -1);
+    --pre->in_flight;
   }).detach();
   std::string dec_head = rebuild_head(head, dec_body.size());
   ++dec->in_flight;

@@ -322,3 +322,42 @@ def test_gateway_pd_decode_load_balancing():
         pre.stop()
         d1.stop()
         d2.stop()
+
+
+def test_gateway_pd_prefill_cache_aware():
+    """PD prefill routing is cache-aware: repeated prompts stick to the
+    prefill worker whose prefix tree they seeded (radix cache affinity),
+    reference pd_router prefill policy."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    p1, p2 = _StubWorker(), _StubWorker()
+    dec = _StubWorker()
+    gw = GatewayProcess(
+        0, [],
+        pd_prefill=[p1.addr, p2.addr],
+        pd_decode=[f"{dec.addr}=127.0.0.1:7201"],
+    )
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+
+        def post(text):
+            r = httpx.post(base + "/generate",
+                           json={"text": text}, timeout=10)
+            assert r.status_code == 200, r.text
+
+        post("AAAA common prefix request")   # seeds p1 (round robin)
+        post("BBBB a different workload")    # seeds p2
+        for _ in range(3):
+            post("AAAA common prefix request")
+            post("BBBB a different workload")
+        assert _poll(lambda: len(p1.bodies) + len(p2.bodies) == 8)
+        a_home = p1 if "AAAA" in p1.bodies[0] else p2
+        b_home = p2 if a_home is p1 else p1
+        assert all("AAAA" in b for b in a_home.bodies), a_home.bodies
+        assert all("BBBB" in b for b in b_home.bodies), b_home.bodies
+        assert len(a_home.bodies) == 4 and len(b_home.bodies) == 4
+    finally:
+        gw.stop()
+        p1.stop()
+        p2.stop()
+        dec.stop()
