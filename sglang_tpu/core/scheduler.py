@@ -132,6 +132,10 @@ class Scheduler:
             self.runner.model, "needs_mrope", False
         )
         self.spec_algo = (server_args.speculative_algorithm or "").lower()
+        if self.spec_algo == "eagle3":
+            # EAGLE3 shares the whole EAGLE scheduler lifecycle; the
+            # draft geometry difference lives in the runner/draft
+            self.spec_algo = "eagle"
         self.spec_enabled = self.spec_algo in ("ngram", "eagle")
         self.num_spec_drafted = 0
         self.num_spec_accepted = 0

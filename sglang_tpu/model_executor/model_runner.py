@@ -1496,6 +1496,7 @@ class ModelRunner:
     # (reference speculative/eagle_worker_v2.py:505 draft, :1538 verify,
     # reject_sampling.py). See speculative/eagle.py for the design.
     eagle = None  # EagleDraft after init_eagle()
+    _eagle_aux_ids: tuple = ()  # EAGLE3 target aux-capture layer ids
 
     def init_eagle(self, k: int, spec_slots: int):
         assert not getattr(self.model, "needs_mrope", False), (
@@ -1506,9 +1507,17 @@ class ModelRunner:
         self.eagle = EagleDraft(self.model_config)
         self.eagle_k = k
         dtype = self.model_config.dtype
-        self.eagle_params = self.eagle.load_params(
-            self.server_args.speculative_draft_model_path, dtype
-        )
+        draft_path = self.server_args.speculative_draft_model_path
+        self._eagle_aux_ids: tuple = ()
+        if (
+            self.server_args.speculative_algorithm or ""
+        ).lower() == "eagle3":
+            assert draft_path, "EAGLE3 needs --speculative-draft-model-path"
+            self.eagle.init_eagle3(
+                draft_path, self.model_config.vocab_size
+            )
+            self._eagle_aux_ids = self.eagle.aux_layer_ids
+        self.eagle_params = self.eagle.load_params(draft_path, dtype)
         g = self.kv_pool.geometry
         # 1-layer paged KV over the SAME page table as the target pool.
         self.eagle_kv = jnp.zeros(
@@ -1516,7 +1525,9 @@ class ModelRunner:
             self.kv_cache.dtype,
         )
         H = self.model_config.hidden_size
-        self.eagle_feats = jnp.zeros((spec_slots, k + 1, H), dtype)
+        # EAGLE3: the pool holds the target's num_aux-layer aux concat
+        fw = H * (self.eagle.num_aux if self.eagle.is_eagle3 else 1)
+        self.eagle_feats = jnp.zeros((spec_slots, k + 1, fw), dtype)
         self._eagle_extend_fns: Dict[Tuple, Callable] = {}
         self._eagle_draft_fns: Dict[Tuple, Callable] = {}
         self._eagle_verify_fns: Dict[Tuple, Callable] = {}
@@ -1526,9 +1537,13 @@ class ModelRunner:
 
     def _head_logits(self, params, features):
         """lm_head(final_norm(features)) — draft/verify token dists.
-        MTP/NextN drafts carry their own shared_head norm."""
+        MTP/NextN drafts carry their own shared_head norm; EAGLE3
+        drafts carry their OWN head over a draft vocab mapped into the
+        target vocab (d2t)."""
         from sglang_tpu.layers.norm import rms_norm
 
+        if getattr(self.eagle, "is_eagle3", False):
+            return self.eagle.head_logits(self.eagle_params, features)
         w = (
             self.eagle_params["head_norm"]
             if getattr(self.eagle, "has_head_norm", False)
@@ -1553,6 +1568,7 @@ class ModelRunner:
             page_size=self.kv_pool.page_size,
             attn_backend=self.attn_backend,
             capture_features=True,
+            capture_aux_layers=self._eagle_aux_ids,
         )
         logits = self.model.compute_logits(params, hidden)
         st = unpack_sampling_params(st_packed)
@@ -1734,6 +1750,7 @@ class ModelRunner:
             attn_backend=self.attn_backend,
             return_all_hidden=True,
             capture_features=True,
+            capture_aux_layers=self._eagle_aux_ids,
         )
         p_logits = self.model.compute_logits(params, hidden).reshape(B, L, -1)
         st = unpack_sampling_params(st_packed)
@@ -2031,6 +2048,7 @@ class ModelRunner:
             attn_backend=self.attn_backend,
             return_all_hidden=True,
             capture_features=True,
+            capture_aux_layers=self._eagle_aux_ids,
         )
         logits = self.model.compute_logits(params, hidden).reshape(Bb, L, -1)
         lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -710,6 +710,7 @@ class LlamaForCausalLM:
         return_all_hidden: bool = False,
         lora=None,  # (LoRAManager.device_tree(), adapter_idx [B] i32)
         capture_features: bool = False,
+        capture_aux_layers: tuple = (),  # EAGLE3: concat these layers' aux
         capture_expert_counts: bool = False,  # MoE: EPLB load recording
         context_parallel: bool = False,  # zigzag prefill CP (layers/cp)
         cp_prefix: bool = False,  # CP chunk has cached-prefix KV in pages
@@ -1109,7 +1110,34 @@ class LlamaForCausalLM:
         )
         self._ecounts_capture = capture_expert_counts
         ecounts = None
-        if pp <= 1:
+        aux_cat = None
+        if capture_aux_layers:
+            # EAGLE3 aux capture (reference llama.py layers_to_capture):
+            # the residual stream ENTERING each listed layer.  The scan
+            # splits at the capture indices — static slices of the
+            # stacked weights, so nothing rides the carry.
+            assert pp <= 1, "EAGLE3 aux capture under pp is unsupported"
+            ids = sorted(int(i) for i in capture_aux_layers)
+            carry = (hidden, kv_cache, np.int32(0))
+            aux_list = []
+            ec_parts = []
+            start = 0
+            for idx in ids + [c.num_hidden_layers]:
+                if idx > start:
+                    xs_seg = jax.tree_util.tree_map(
+                        lambda x, s=start, e=idx: x[s:e], xs_all
+                    )
+                    carry, ys = jax.lax.scan(layer_fn, carry, xs_seg)
+                    if ys is not None:
+                        ec_parts.append(ys)
+                if idx < c.num_hidden_layers:
+                    aux_list.append(carry[0])
+                start = max(start, idx)
+            hidden, kv_cache = carry[0], carry[1]
+            aux_cat = jnp.concatenate(aux_list, axis=-1)
+            if ec_parts:
+                ecounts = jnp.concatenate(ec_parts, axis=0)
+        elif pp <= 1:
             (hidden, kv_cache, _), ecounts = jax.lax.scan(
                 layer_fn, (hidden, kv_cache, np.int32(0)), xs_all
             )
@@ -1159,7 +1187,9 @@ class LlamaForCausalLM:
                 if stage_counts:
                     ecounts = jnp.concatenate(stage_counts, axis=0)
 
-        features = hidden  # pre-final-norm last-layer output
+        features = (
+            aux_cat if aux_cat is not None else hidden
+        )  # pre-final-norm last-layer output (EAGLE3: 3-layer aux concat)
         hidden = self._norm(
             hidden, params["final_ln"], params.get("final_ln_b")
         )

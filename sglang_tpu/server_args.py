@@ -90,7 +90,7 @@ class ServerArgs:
     max_new_tokens_default: int = 128
 
     # ---- speculative decoding ----
-    speculative_algorithm: Optional[str] = None  # NGRAM | EAGLE
+    speculative_algorithm: Optional[str] = None  # NGRAM | EAGLE | EAGLE3
     speculative_num_draft_tokens: int = 4
     speculative_eagle_topk: int = 1  # >1 = top-b root-branch tree verify
     speculative_ngram_n: int = 3
@@ -184,7 +184,9 @@ class ServerArgs:
         assert self.tp_size >= 1 and self.dp_size >= 1 and self.pp_size >= 1
         if self.schedule_policy not in ("fcfs", "lpm", "lof", "random", "dfs-weight"):
             raise ValueError(f"Unknown schedule policy {self.schedule_policy!r}")
-        if self.speculative_algorithm not in (None, "NGRAM", "ngram", "EAGLE", "eagle"):
+        if self.speculative_algorithm not in (
+            None, "NGRAM", "ngram", "EAGLE", "eagle", "EAGLE3", "eagle3",
+        ):
             raise ValueError(
                 f"Unknown speculative algorithm {self.speculative_algorithm!r}"
             )

@@ -57,6 +57,15 @@ class EagleDraft:
 
     has_eh_norms = False
     has_head_norm = False
+    # EAGLE3 (reference models/llama_eagle3.py): the draft fuses the
+    # target's aux hidden states from `num_aux` layers via fc (3H→H),
+    # its decoder layer reads cat(ln(embeds), hidden_norm(hidden)) (2H
+    # qkv in-dim), and it carries its OWN lm_head over a DRAFT vocab
+    # with a d2t offset map into the target vocab.
+    is_eagle3 = False
+    num_aux = 3
+    aux_layer_ids: tuple = ()
+    draft_vocab = 0
 
     def __init__(self, config: ModelConfig):
         self.config = config
@@ -164,8 +173,77 @@ class EagleDraft:
 
         return mapping
 
+    # -------------------------------------------------------------- EAGLE3
+    def init_eagle3(self, draft_path: str, target_vocab: int):
+        """Switch to the EAGLE3 geometry; reads the draft's config.json
+        for the aux-capture layer ids (defaults to the reference's
+        [2, L//2, L-3] over the TARGET depth)."""
+        import json
+        import os
+
+        self.is_eagle3 = True
+        cfgp = os.path.join(draft_path, "config.json")
+        dcfg = {}
+        if os.path.exists(cfgp):
+            with open(cfgp) as f:
+                dcfg = json.load(f)
+        ec = dcfg.get("eagle_config") or {}
+        ids = ec.get("eagle_aux_hidden_state_layer_ids")
+        Lt = self.config.num_hidden_layers
+        self.aux_layer_ids = tuple(
+            int(i) for i in (ids or (2, Lt // 2, Lt - 3))
+        )
+        self.num_aux = len(self.aux_layer_ids)
+        self.draft_vocab = int(
+            dcfg.get("draft_vocab_size", dcfg.get("vocab_size", 0))
+            or target_vocab
+        )
+        self.target_vocab = target_vocab
+
+    def _eagle3_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H, I = c.hidden_size, c.intermediate_size
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        from sglang_tpu.layers.quantization import ParamShape
+
+        return {
+            "fc": (self.num_aux * H, H),
+            "fc_bias": (H,),
+            "embed_ln": (H,),  # input_layernorm (applies to EMBEDS)
+            "hidden_norm": (H,),
+            "q_proj": (2 * H, hq * d),
+            "k_proj": (2 * H, hkv * d),
+            "v_proj": (2 * H, hkv * d),
+            "o_proj": (hq * d, H),
+            "post_ln": (H,),
+            "gate_proj": (H, I),
+            "up_proj": (H, I),
+            "down_proj": (I, H),
+            "d_norm": (H,),  # draft final norm before the draft head
+            "d_head": (H, self.draft_vocab),
+            "d2t": ParamShape((self.draft_vocab,), jnp.int32),
+        }
+
+    def head_logits(self, dp: Dict[str, Any], g: jnp.ndarray) -> jnp.ndarray:
+        """EAGLE3 draft head: rms(g) @ d_head over the DRAFT vocab,
+        scattered into the target vocab via the d2t offset map
+        (target_id = draft_idx + d2t[draft_idx]); non-draft target ids
+        get -inf so their probability is exactly 0."""
+        c = self.config
+        normed = rms_norm(g, dp["d_norm"], c.rms_norm_eps)
+        dl = jnp.einsum(
+            "...h,hv->...v", normed, dp["d_head"],
+            preferred_element_type=jnp.float32,
+        )  # [..., Vd]
+        tmap = dp["d2t"] + jnp.arange(self.draft_vocab, dtype=jnp.int32)
+        out = jnp.full((*dl.shape[:-1], self.target_vocab), NEG_INF,
+                       jnp.float32)
+        return out.at[..., tmap].set(dl)
+
     def load_params(self, draft_path: Optional[str], dtype) -> Dict[str, Any]:
         """Load from a draft checkpoint dir; dummy random when absent."""
+        if self.is_eagle3:
+            return self._load_eagle3(draft_path, dtype)
         shapes = self.param_shapes()
         if draft_path:
             import glob
@@ -220,6 +298,128 @@ class EagleDraft:
                 )
         return out
 
+    def _load_eagle3(self, draft_path: Optional[str], dtype):
+        """EAGLE3 checkpoint names: top-level fc/d2t/norm/lm_head (+
+        optional embed_tokens) and the decoder layer under ``midlayer.``
+        or ``layers.0.`` — reference llama_eagle3.py load_weights."""
+        import glob
+        import os
+
+        shapes = self._eagle3_shapes()
+        host = {
+            k: np.zeros(
+                v.shape if hasattr(v, "shape") else v,
+                np.int32 if k == "d2t" else np.float32,
+            )
+            for k, v in shapes.items()
+        }
+        for nm in ("embed_ln", "hidden_norm", "post_ln", "d_norm"):
+            host[nm][:] = 1.0
+        table = {
+            "fc.weight": ("fc", "t"),
+            "fc.bias": ("fc_bias", None),
+            "d2t": ("d2t", None),
+            "norm.weight": ("d_norm", None),
+            "lm_head.weight": ("d_head", "t"),
+            "input_layernorm.weight": ("embed_ln", None),
+            "hidden_norm.weight": ("hidden_norm", None),
+            "self_attn.q_proj.weight": ("q_proj", "t"),
+            "self_attn.k_proj.weight": ("k_proj", "t"),
+            "self_attn.v_proj.weight": ("v_proj", "t"),
+            "self_attn.o_proj.weight": ("o_proj", "t"),
+            "post_attention_layernorm.weight": ("post_ln", None),
+            "mlp.gate_proj.weight": ("gate_proj", "t"),
+            "mlp.up_proj.weight": ("up_proj", "t"),
+            "mlp.down_proj.weight": ("down_proj", "t"),
+        }
+        n = 0
+        embed_d = None
+        if draft_path:
+            from sglang_tpu.model_loader.loader import SafetensorsFile
+
+            for f in sorted(
+                glob.glob(os.path.join(draft_path, "*.safetensors"))
+            ):
+                st = SafetensorsFile(f)
+                for name in st.keys():
+                    tail = name.removeprefix("model.")
+                    for pre in ("midlayer.", "layers.0."):
+                        tail = tail.removeprefix(pre)
+                    if tail == "embed_tokens.weight":
+                        embed_d = np.asarray(
+                            st.get_tensor(name), np.float32
+                        )
+                        n += 1
+                        continue
+                    ent = table.get(tail)
+                    if ent is None:
+                        continue
+                    path, tf = ent
+                    t = st.get_tensor(name)
+                    if tf == "t":
+                        t = t.T
+                    np.copyto(
+                        host[path],
+                        np.asarray(
+                            t, np.int32 if path == "d2t" else np.float32
+                        ),
+                    )
+                    n += 1
+            if n == 0:
+                raise ValueError(f"no EAGLE3 draft tensors in {draft_path}")
+            logger.info("EAGLE3 draft: loaded %d tensors", n)
+        out = {
+            k: jnp.asarray(v, jnp.int32 if k == "d2t" else dtype)
+            for k, v in host.items()
+        }
+        out["d2t"] = out["d2t"].astype(jnp.int32)
+        out["d_norm"] = out["d_norm"].astype(dtype)
+        if embed_d is not None:
+            out["embed_d"] = jnp.asarray(embed_d, dtype)
+        return out
+
+    def _forward_eagle3(self, dp, embed, draft_kv, batch, feat_prev, *,
+                        num_slots, page_size, attn_backend):
+        """EAGLE3 layer (reference llama_eagle3.LlamaDecoderLayer): when
+        the incoming features are aux-width (num_aux*H — fresh from the
+        target), fc fuses them to H first; chain steps feed the draft's
+        own H-wide aux output and skip fc."""
+        c = self.config
+        B, L = batch.input_ids.shape
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        H = c.hidden_size
+
+        emb = dp.get("embed_d", embed)
+        x_emb = emb[jnp.maximum(batch.input_ids, 0)]
+        hid = feat_prev.astype(x_emb.dtype)
+        if hid.shape[-1] != H:  # aux-width → fuse
+            hid = (hid @ dp["fc"] + dp["fc_bias"]).astype(x_emb.dtype)
+        residual = hid
+        x = jnp.concatenate(
+            [
+                rms_norm(x_emb, dp["embed_ln"], c.rms_norm_eps),
+                rms_norm(hid, dp["hidden_norm"], c.rms_norm_eps),
+            ],
+            axis=-1,
+        )  # [B, L, 2H]
+        q = (x @ dp["q_proj"]).reshape(B, L, hq, d)
+        k = (x @ dp["k_proj"]).reshape(B, L, hkv, d)
+        v = (x @ dp["v_proj"]).reshape(B, L, hkv, d)
+        q = self._rope(q, batch.positions)
+        k = self._rope(k, batch.positions)
+        attn_out, draft_kv = paged_attention(
+            q, k, v, draft_kv, batch, jnp.int32(0),
+            num_slots=num_slots, page_size=page_size,
+            sm_scale=self.sm_scale, backend=attn_backend,
+        )
+        h = residual + (attn_out.reshape(B, L, hq * d) @ dp["o_proj"])
+        normed2 = rms_norm(h, dp["post_ln"], c.rms_norm_eps)
+        inter = act_and_mul(
+            c.hidden_act, normed2 @ dp["gate_proj"], normed2 @ dp["up_proj"]
+        )
+        h = h + inter @ dp["down_proj"]
+        return h, draft_kv
+
     # ------------------------------------------------------------ forward
     def _rope(self, x, positions):
         half = self.rot_half
@@ -247,6 +447,12 @@ class EagleDraft:
         attn_backend: str = "xla",
     ):
         """One draft-layer forward; returns (features [B, L, H], draft_kv)."""
+        if self.is_eagle3:
+            return self._forward_eagle3(
+                dp, embed, draft_kv, batch, feat_prev,
+                num_slots=num_slots, page_size=page_size,
+                attn_backend=attn_backend,
+            )
         c = self.config
         B, L = batch.input_ids.shape
         hq, hkv, d = self.hq, self.hkv, self.hd

@@ -444,3 +444,83 @@ def test_nextn_mtp_draft_checkpoint_served(tmp_path):
     finally:
         eagle.shutdown()
         plain.shutdown()
+
+
+# ------------------------------------------------------------- EAGLE3
+def _make_eagle3_draft_dir(tmp_path, H=64, I=128, hq=4, hkv=2, d=16,
+                           Vd=256, Vt=512):
+    """Random EAGLE3-geometry draft checkpoint (fc 3H→H, 2H-in qkv,
+    own draft-vocab head + d2t map, midlayer.* names)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    rng = np.random.RandomState(77)
+
+    def r(*s, scale=None):
+        return (rng.randn(*s) / (scale or np.sqrt(s[-1]))).astype(
+            np.float32
+        )
+
+    st = {
+        "fc.weight": r(H, 3 * H),
+        "d2t": np.arange(Vd, dtype=np.int64),  # draft i → target 2i
+        "norm.weight": np.ones(H, np.float32),
+        "lm_head.weight": r(Vd, H),
+        "midlayer.input_layernorm.weight": np.ones(H, np.float32),
+        "midlayer.hidden_norm.weight": np.ones(H, np.float32),
+        "midlayer.self_attn.q_proj.weight": r(hq * d, 2 * H),
+        "midlayer.self_attn.k_proj.weight": r(hkv * d, 2 * H),
+        "midlayer.self_attn.v_proj.weight": r(hkv * d, 2 * H),
+        "midlayer.self_attn.o_proj.weight": r(H, hq * d),
+        "midlayer.post_attention_layernorm.weight": np.ones(H, np.float32),
+        "midlayer.mlp.gate_proj.weight": r(I, H),
+        "midlayer.mlp.up_proj.weight": r(I, H),
+        "midlayer.mlp.down_proj.weight": r(H, I),
+    }
+    d_dir = tmp_path / "eagle3_draft"
+    d_dir.mkdir()
+    save_file(st, str(d_dir / "model.safetensors"))
+    with open(d_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": Vt, "draft_vocab_size": Vd,
+            "eagle_config": {
+                "eagle_aux_hidden_state_layer_ids": [1, 2, 3],
+            },
+        }, f)
+    return str(d_dir)
+
+
+def test_eagle3_greedy_exact_and_serves(tmp_path):
+    """EAGLE3 (reference llama_eagle3.py): target aux capture at 3
+    layers, fc-fused draft input, draft-vocab head mapped by d2t —
+    greedy outputs must equal the plain engine token-for-token (the
+    rejection contract holds for ANY draft), and drafting must engage."""
+    four = dict(TINY_HF_CONFIG, num_hidden_layers=4)
+    draft_dir = _make_eagle3_draft_dir(tmp_path)
+    eagle = _make_engine(
+        "EAGLE3", seed_cfg=four,
+        speculative_draft_model_path=draft_dir,
+    )
+    plain = _make_engine(None, seed_cfg=four)
+    try:
+        runner = eagle.scheduler.runner
+        assert runner.eagle.is_eagle3
+        assert runner.eagle_feats.shape[-1] == 3 * 64
+        prompt = [5, 99, 203, 17, 42, 7, 310, 8]
+        sp = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+        oe = eagle.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        op = plain.generate(input_ids=list(prompt), sampling_params=dict(sp))
+        assert oe["output_ids"] == op["output_ids"], (
+            oe["output_ids"], op["output_ids"])
+        assert eagle.scheduler.num_spec_drafted > 0
+        # sampled path also serves through the same draft
+        os_ = eagle.generate(
+            input_ids=list(prompt),
+            sampling_params={"max_new_tokens": 8, "temperature": 0.8,
+                             "ignore_eos": True},
+        )
+        assert len(os_["output_ids"]) == 8
+    finally:
+        eagle.shutdown()
+        plain.shutdown()
