@@ -146,7 +146,7 @@ class ModelRunner:
         if (
             qc is not None
             and qc.method == "fp8"
-            and server_args.quant_execution == "int8"
+            and server_args.quant_execution in ("int8", "auto")
         ):
             import dataclasses
 
@@ -159,7 +159,7 @@ class ModelRunner:
             # a runtime per-channel epilogue, so the loader dequantizes on
             # read; execution is then dense bf16 or (opt-in) requantized
             # per-channel int8 on the native MXU int8 path.
-            if server_args.quant_execution == "int8":
+            if server_args.quant_execution in ("int8", "auto"):
                 import dataclasses
 
                 model_config.quant_config = dataclasses.replace(

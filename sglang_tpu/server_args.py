@@ -99,8 +99,11 @@ class ServerArgs:
     # ---- quantization execution ----
     # "native": run checkpoints in their stored format; "int8": transcode
     # fp8 checkpoints to per-channel int8 at load (v5e-native MXU path,
-    # ~3.5x faster than emulated fp8 dequant; precision comparable)
-    quant_execution: str = "native"
+    # ~3.5x faster than emulated fp8 dequant; precision comparable).
+    # "auto" (default) picks int8 for fp8/block-fp8 checkpoints — fp8
+    # weight dequant is VPU-emulated on v5e-class chips and measured
+    # ~2.9x SLOWER than bf16, so native fp8 must be an explicit opt-in.
+    quant_execution: str = "auto"
     plugins: Optional[List[str]] = None  # module paths (reference plugins/)
     # ---- two-batch overlap (reference batch_overlap/) ----
     enable_two_batch_overlap: bool = False

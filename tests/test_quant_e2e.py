@@ -106,13 +106,14 @@ def awq_pair_dirs(tmp_path_factory):
     return da, dd
 
 
-def _make_engine(model_dir):
+def _make_engine(model_dir, quant_execution="auto"):
     from sglang_tpu.configs.model_config import ModelConfig
     from sglang_tpu.entrypoints.engine import Engine
     from sglang_tpu.model_executor.model_runner import ModelRunner
 
     args = make_server_args(
-        model_path=model_dir, load_format="safetensors", dtype="float32"
+        model_path=model_dir, load_format="safetensors", dtype="float32",
+        quant_execution=quant_execution,
     )
     cfg = ModelConfig.from_model_path(model_dir, dtype="float32")
     runner = ModelRunner(args, model_config=cfg)
@@ -172,7 +173,7 @@ def fp8_pair_dirs(tmp_path_factory):
 
 def test_fp8_checkpoint_matches_dequantized_dense(fp8_pair_dirs):
     df, dd = fp8_pair_dirs
-    ef = _make_engine(df)
+    ef = _make_engine(df, quant_execution="native")
     ed = _make_engine(dd)
     try:
         assert ef.scheduler.runner.model_config.quant_config.method == "fp8"
@@ -306,7 +307,7 @@ def test_block_fp8_dense_exec_token_exact(block_fp8_pair_dirs):
     (sibling weight_scale_inv), dense execution is bit-faithful to the
     dequantized-dense reference."""
     dq, dd = block_fp8_pair_dirs
-    eq = _make_engine(dq)
+    eq = _make_engine(dq, quant_execution="native")
     ed = _make_engine(dd)
     try:
         # fp8_block rewrites to dense execution (quant_config cleared)
@@ -442,7 +443,7 @@ def test_mixtral_fp8_expert_weights(moe_fp8_pair_dirs):
     (reference fp8.py Fp8MoEMethod); generation matches the
     dequantized-dense checkpoint token-exactly."""
     dq, dd = moe_fp8_pair_dirs
-    eq = _make_engine(dq)
+    eq = _make_engine(dq, quant_execution="native")
     ed = _make_engine(dd)
     try:
         prompt = [11, 310, 42, 5, 99, 6]
