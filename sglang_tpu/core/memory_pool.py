@@ -86,13 +86,14 @@ def compute_num_pages(
     kv_dtype,
     max_total_tokens: Optional[int],
     hbm_budget_bytes: Optional[int],
+    num_kv_layers: Optional[int] = None,
 ) -> int:
     """Pool sizing: explicit token count, or fill the HBM budget."""
     if max_total_tokens is not None:
         return max(2, cdiv(max_total_tokens, page_size) + 1)
     assert hbm_budget_bytes is not None
     bytes_per_token = (
-        config.num_hidden_layers
+        (num_kv_layers or config.num_hidden_layers)
         * 2
         * config.num_key_value_heads
         * config.head_dim
@@ -112,10 +113,12 @@ class KVCachePool:
         hbm_budget_bytes: Optional[int] = None,
         sharding=None,
         dcp_shards: int = 1,
+        num_kv_layers: Optional[int] = None,  # hybrid models: full-attn only
     ):
         kv_dtype = resolve_kv_dtype(kv_cache_dtype, config.dtype)
         num_pages = compute_num_pages(
-            config, page_size, kv_dtype, max_total_tokens, hbm_budget_bytes
+            config, page_size, kv_dtype, max_total_tokens,
+            hbm_budget_bytes, num_kv_layers,
         )
         if dcp_shards > 1:
             num_pages = cdiv(num_pages, dcp_shards) * dcp_shards
@@ -128,7 +131,7 @@ class KVCachePool:
         ):
             padded_hd = -(-config.head_dim // 128) * 128
         self.geometry = KVCacheGeometry(
-            num_layers=config.num_hidden_layers,
+            num_layers=num_kv_layers or config.num_hidden_layers,
             num_pages=num_pages,
             page_size=page_size,
             num_kv_heads=config.num_key_value_heads,

@@ -215,6 +215,9 @@ class ModelRunner:
                 if self.mesh_ctx.parallel.dcp
                 else 1
             ),
+            # hybrid models (Qwen3-Next) page only their full-attention
+            # layers; linear layers live in the state pool
+            num_kv_layers=getattr(self.model, "num_kv_layers", None),
         )
         self.kv_cache = self.kv_pool.kv_cache
         if getattr(server_args, "enable_double_sparsity", False):
@@ -258,14 +261,20 @@ class ModelRunner:
             # the KV cache, slot-indexed by each request's first page id
             # (pages are unique per live request; garbage page 0 absorbs
             # padded rows).  It flows through the jitted steps as the
-            # donated cache operand exactly like the KV pool.
-            self.kv_cache = jax.device_put(
+            # donated cache operand exactly like the KV pool.  HYBRID
+            # models (Qwen3-Next) keep the paged pool for their
+            # full-attention layers alongside the state pools.
+            pools = jax.device_put(
                 self.model.init_state_pool(
                     self.kv_pool.geometry.num_pages
                 ),
                 self.mesh_ctx.replicated,
             )
-            self.kv_pool.kv_cache = None  # release the unused KV array
+            if getattr(self.model, "hybrid_state", False):
+                self.kv_cache = {"kv": self.kv_cache, **pools}
+            else:
+                self.kv_cache = pools
+            self.kv_pool.kv_cache = None  # release the duplicate ref
             if getattr(self.model, "requires_disable_radix", False):
                 if not server_args.disable_radix_cache:
                     server_args.disable_radix_cache = True
