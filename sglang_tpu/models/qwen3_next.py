@@ -45,6 +45,95 @@ def _l2norm(x, eps=1e-6):
     return xf * jax.lax.rsqrt((xf * xf).sum(-1, keepdims=True) + eps)
 
 
+def _chunked_gdn(q, k, v, g, beta, S0, chunk: int = 64):
+    """Chunked gated delta rule (reference fla chunk_gated_delta_rule /
+    HF torch_chunk_gated_delta_rule), exactly equal to the sequential
+    recurrence: within-chunk work becomes [Q, Q] MXU matmuls (the WY
+    inversion is one batched triangular solve), chunks carry the state.
+
+    Shapes: q/k [B, T, Hn, dk] (q pre-scaled, both l2-normed),
+    v [B, T, Hn, dv], g/beta [B, T, Hn] (pad rows must carry g=0,
+    beta=0 — exact no-ops).  Returns (y [B, T, Hn, dv], S [B,Hn,dk,dv]).
+    """
+    B, T, Hn, dk = q.shape
+    dv = v.shape[-1]
+    Q = min(chunk, T)
+    while T % Q:
+        Q -= 1
+    nC = T // Q
+
+    # head-first chunked views [B, Hn, nC, Q, ...]
+    def cview(t):
+        t = jnp.moveaxis(t, 2, 1)  # [B, Hn, T, ...]
+        return t.reshape(B, Hn, nC, Q, *t.shape[3:])
+
+    qc, kc, vc = cview(q), cview(k), cview(v)
+    gc = cview(g[..., None])[..., 0]  # [B, Hn, nC, Q]
+    bc = cview(beta[..., None])[..., 0]
+    g_cum = jnp.cumsum(gc, axis=-1)
+    # decay_mask[i, j] = exp(g_i - g_j) for j <= i (lower incl. diag)
+    tril = jnp.tril(jnp.ones((Q, Q), bool))
+    dmask = jnp.where(
+        tril, jnp.exp(g_cum[..., :, None] - g_cum[..., None, :]), 0.0
+    )
+    k_beta = kc * bc[..., None]
+    v_beta = vc * bc[..., None]
+    # WY inversion: M = strictly-lower(-(k_beta kᵀ ∘ dmask));
+    # torch's row recurrence computes Tm with (I - M) Tm = I + ... —
+    # equivalently (attn + I) = (I - M)^{-1}, one triangular solve.
+    strict = jnp.tril(jnp.ones((Q, Q), bool), -1)
+    M = jnp.where(
+        strict,
+        -(jnp.einsum("bhcqd,bhckd->bhcqk", k_beta, kc) * dmask),
+        0.0,
+    )
+    eye = jnp.eye(Q, dtype=M.dtype)
+    Tm = jax.scipy.linalg.solve_triangular(
+        eye - M, jnp.broadcast_to(eye, M.shape), lower=True
+    )  # [B, Hn, nC, Q, Q] == torch's (attn + I)
+    value = jnp.einsum("bhcqk,bhckd->bhcqd", Tm, v_beta)
+    k_cumdecay = jnp.einsum(
+        "bhcqk,bhckd->bhcqd", Tm, k_beta * jnp.exp(g_cum)[..., None]
+    )
+
+    def chunk_step(S, ops):
+        q_i, k_i, v_i, g_i, kcd_i = ops  # [B, Hn, Q, ...]
+        attn = jnp.where(
+            tril,
+            jnp.einsum("bhqd,bhkd->bhqk", q_i, k_i)
+            * jnp.exp(g_i[..., :, None] - g_i[..., None, :]),
+            0.0,
+        )
+        v_prime = jnp.einsum("bhqk,bhkd->bhqd", kcd_i, S)
+        v_new = v_i - v_prime
+        y = (
+            jnp.einsum("bhqk,bhkv->bhqv", q_i * jnp.exp(g_i)[..., None], S)
+            + jnp.einsum("bhqk,bhkd->bhqd", attn, v_new)
+        )
+        g_last = g_i[..., -1]
+        S = S * jnp.exp(g_last)[..., None, None] + jnp.einsum(
+            "bhqk,bhqd->bhkd",
+            k_i * jnp.exp(g_last[..., None] - g_i)[..., None],
+            v_new,
+        )
+        return S, y
+
+    S, ys = jax.lax.scan(
+        chunk_step,
+        S0,
+        (
+            qc.swapaxes(0, 2).swapaxes(1, 2),  # [nC, B, Hn, Q, d]
+            kc.swapaxes(0, 2).swapaxes(1, 2),
+            value.swapaxes(0, 2).swapaxes(1, 2),
+            g_cum.swapaxes(0, 2).swapaxes(1, 2),
+            k_cumdecay.swapaxes(0, 2).swapaxes(1, 2),
+        ),
+    )
+    # ys [nC, B, Hn, Q, dv] → [B, T, Hn, dv]
+    y = ys.transpose(1, 0, 3, 2, 4).reshape(B, T, Hn, dv)
+    return y, S
+
+
 class Qwen3NextForCausalLM:
     is_stateful = True
     hybrid_state = True  # paged KV for full layers + state pool for linear
@@ -354,30 +443,37 @@ class Qwen3NextForCausalLM:
         beta = jnp.where(tmask[..., None], beta, 0.0)
         g = jnp.where(tmask[..., None], g, 0.0)
 
-        # gated delta rule, exact sequential recurrence in f32
-        # (reference torch_recurrent_gated_delta_rule; the chunked WY
-        # formulation is the planned MXU upgrade for long prefills)
         S0 = rec_pool[li][slot]  # [B, nv, dk, dv] f32
+        if Lq > 1:
+            # prefill: chunked WY formulation — within-chunk [Q, Q] MXU
+            # matmuls + one triangular solve, exactly equal to the
+            # per-token recurrence
+            y, S = _chunked_gdn(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), g, beta, S0,
+            )
+        else:
+            # decode: one recurrence step
+            # (reference torch_recurrent_gated_delta_rule)
+            def step(S, xs):
+                q_t, k_t, v_t, g_t, b_t = xs
+                S = S * jnp.exp(g_t)[..., None, None]
+                kv_mem = jnp.einsum("bhkv,bhk->bhv", S, k_t)
+                delta = (v_t - kv_mem) * b_t[..., None]
+                S = S + k_t[..., None] * delta[..., None, :]
+                y = jnp.einsum("bhkv,bhk->bhv", S, q_t)
+                return S, y
 
-        def step(S, xs):
-            q_t, k_t, v_t, g_t, b_t = xs
-            S = S * jnp.exp(g_t)[..., None, None]
-            kv_mem = jnp.einsum("bhkv,bhk->bhv", S, k_t)
-            delta = (v_t - kv_mem) * b_t[..., None]
-            S = S + k_t[..., None] * delta[..., None, :]
-            y = jnp.einsum("bhkv,bhk->bhv", S, q_t)
-            return S, y
-
-        xs = (
-            q.astype(jnp.float32).transpose(1, 0, 2, 3),
-            k.astype(jnp.float32).transpose(1, 0, 2, 3),
-            v.astype(jnp.float32).transpose(1, 0, 2, 3),
-            g.transpose(1, 0, 2),
-            beta.transpose(1, 0, 2),
-        )
-        S, ys = jax.lax.scan(step, S0, xs)
+            xs = (
+                q.astype(jnp.float32).transpose(1, 0, 2, 3),
+                k.astype(jnp.float32).transpose(1, 0, 2, 3),
+                v.astype(jnp.float32).transpose(1, 0, 2, 3),
+                g.transpose(1, 0, 2),
+                beta.transpose(1, 0, 2),
+            )
+            S, ys = jax.lax.scan(step, S0, xs)
+            y = ys.transpose(1, 0, 2, 3)  # [B, Lq, nv, dv]
         rec_pool = rec_pool.at[li, slot].set(S)
-        y = ys.transpose(1, 0, 2, 3)  # [B, Lq, nv, dv]
 
         # gated RMSNorm (plain weight, NOT zero-centered): norm(y)·w·silu(z)
         yf = y

@@ -109,3 +109,44 @@ def test_qwen3_next_chunked_prefill_and_batch(hf_dir):
                 assert o["output_ids"] == ref, (o["output_ids"], ref)
     finally:
         eng.shutdown()
+
+
+def test_chunked_gdn_equals_recurrence():
+    """The chunked WY gated delta rule must equal the per-token
+    recurrence bit-for-bit up to f32 tolerance, incl. non-multiple
+    lengths and padded (g=0, beta=0) tail rows."""
+    import jax.numpy as jnp
+
+    from sglang_tpu.models.qwen3_next import _chunked_gdn, _l2norm
+
+    rng = np.random.RandomState(3)
+    B, T, Hn, dk, dv = 2, 48, 3, 16, 16
+    q = _l2norm(jnp.asarray(rng.randn(B, T, Hn, dk), jnp.float32)) * (
+        dk ** -0.5
+    )
+    k = _l2norm(jnp.asarray(rng.randn(B, T, Hn, dk), jnp.float32))
+    v = jnp.asarray(rng.randn(B, T, Hn, dv), jnp.float32)
+    g = jnp.asarray(-np.abs(rng.randn(B, T, Hn)), jnp.float32)
+    beta = jnp.asarray(
+        1.0 / (1.0 + np.exp(-rng.randn(B, T, Hn))), jnp.float32
+    )
+    # padded tail: exact no-ops
+    g = g.at[:, -5:].set(0.0)
+    beta = beta.at[:, -5:].set(0.0)
+    S0 = jnp.asarray(rng.randn(B, Hn, dk, dv) * 0.1, jnp.float32)
+
+    yc, Sc = _chunked_gdn(q, k, v, g, beta, S0, chunk=16)
+
+    # sequential reference
+    S = np.asarray(S0)
+    ys = np.zeros((B, T, Hn, dv), np.float32)
+    qn, kn, vn = np.asarray(q), np.asarray(k), np.asarray(v)
+    gn, bn = np.asarray(g), np.asarray(beta)
+    for t in range(T):
+        S = S * np.exp(gn[:, t])[..., None, None]
+        kv_mem = np.einsum("bhkv,bhk->bhv", S, kn[:, t])
+        delta = (vn[:, t] - kv_mem) * bn[:, t][..., None]
+        S = S + kn[:, t][..., None] * delta[..., None, :]
+        ys[:, t] = np.einsum("bhkv,bhk->bhv", S, qn[:, t])
+    np.testing.assert_allclose(np.asarray(yc), ys, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Sc), S, rtol=2e-4, atol=2e-4)
