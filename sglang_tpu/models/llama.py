@@ -1111,7 +1111,36 @@ class LlamaForCausalLM:
         self._ecounts_capture = capture_expert_counts
         ecounts = None
         aux_cat = None
-        if capture_aux_layers:
+        if "dense_layers" in params:
+            # Dense-PREFIX stack (GLM4-MoE first_k_dense_replace /
+            # DeepSeek-style): the first kd layers carry dense MLP
+            # leaves, the remaining stack carries MoE leaves —
+            # _mlp_forward dispatches on which leaves are present.
+            assert pp <= 1 and lora is None and not capture_aux_layers
+            dstack = {
+                k: v
+                for k, v in params["dense_layers"].items()
+                if not (isinstance(v, dict) and "qw" in v)
+            }
+            kd = next(iter(dstack.values())).shape[0]
+            # scan_layers is already the MoE-only stack ([L-kd] leading
+            # dim); the per-layer arrays cover the FULL depth and split
+            # at kd.
+            _, inv_all, win_all, kvs_all, la_, lb_ = xs_all
+            xs_d = (
+                dstack, inv_all[:kd], win_all[:kd], kvs_all[:kd], la_, lb_
+            )
+            (hidden, kv_cache, _), _ = jax.lax.scan(
+                layer_fn, (hidden, kv_cache, np.int32(0)), xs_d
+            )
+            xs_m = (
+                scan_layers, inv_all[kd:], win_all[kd:], kvs_all[kd:],
+                la_, lb_,
+            )
+            (hidden, kv_cache, _), ecounts = jax.lax.scan(
+                layer_fn, (hidden, kv_cache, np.int32(kd)), xs_m
+            )
+        elif capture_aux_layers:
             # EAGLE3 aux capture (reference llama.py layers_to_capture):
             # the residual stream ENTERING each listed layer.  The scan
             # splits at the capture indices — static slices of the
@@ -1247,6 +1276,22 @@ class MistralForCausalLM(LlamaForCausalLM):
     pass
 
 
+class SmolLM3ForCausalLM(LlamaForCausalLM):
+    """SmolLM3 (HF ``smollm3``): llama with NoPE layers — every
+    ``no_rope_layers[i] == 0`` layer skips rotary entirely (its
+    per-layer inv_freq rides the scan as zeros → identity rotation)."""
+
+    def per_layer_inv_freq(self) -> np.ndarray:
+        base = super().per_layer_inv_freq()
+        hf = self.config.hf_config or {}
+        L = self.config.num_hidden_layers
+        nrl = hf.get("no_rope_layers")
+        if not nrl:
+            step = int(hf.get("no_rope_layer_interval", 4) or 4)
+            nrl = [int((i + 1) % step != 0) for i in range(L)]
+        return base * np.asarray(nrl, np.float32)[:, None]
+
+
 class Qwen2ForCausalLM(LlamaForCausalLM):
     has_qkv_bias = True
 
@@ -1261,4 +1306,5 @@ EntryClass = [
     MistralForCausalLM,
     Qwen2ForCausalLM,
     Qwen3ForCausalLM,
+    SmolLM3ForCausalLM,
 ]

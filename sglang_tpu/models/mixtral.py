@@ -120,6 +120,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
     # ------------------------------------------------------------- forward
     def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
+        if "moe_w1" not in w:
+            # dense-prefix layers (GLM4-MoE first_k_dense_replace) carry
+            # plain gate/up/down leaves — standard llama MLP
+            return LlamaForCausalLM._mlp_forward(self, w, normed, proj)
         del proj  # no LoRA on expert weights (reference likewise)
         capture = getattr(self, "_ecounts_capture", False)
         w1, w3, w2 = w["moe_w1"], w["moe_w3"], w["moe_w2"]

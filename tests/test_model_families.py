@@ -215,3 +215,53 @@ def test_llama4_greedy_matches_hf(tmp_path):
         kw, architectures=["Llama4ForCausalLM"], model_type="llama4_text"
     )
     _check_greedy(tmp_path, m, cfg, [(13 * i) % 500 + 1 for i in range(24)])
+
+
+def test_glm4_moe_greedy_matches_hf(tmp_path):
+    """GLM-4.5-class MoE: GQA attention with qk norms + qkv bias +
+    partial rotary, DeepSeek-style sigmoid/bias/group-limited routing,
+    shared experts, and a first_k_dense_replace dense prefix riding the
+    dense-prefix scan."""
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, vocab_size=512, max_position_embeddings=512,
+        rms_norm_eps=1e-5, rope_theta=10000.0, partial_rotary_factor=0.5,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, norm_topk_prob=True,
+        routed_scaling_factor=1.5, n_group=2, topk_group=1,
+        use_qk_norm=True, attention_bias=True,
+        tie_word_embeddings=False, eos_token_id=257, pad_token_id=0,
+    )
+    torch.manual_seed(7)
+    m = Glm4MoeForCausalLM(Glm4MoeConfig(**kw)).float().eval()
+    # give the selection bias real values (init is zeros)
+    with torch.no_grad():
+        for layer in m.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.normal_(0, 0.5)
+    cfg = dict(
+        kw, architectures=["Glm4MoeForCausalLM"], model_type="glm4_moe"
+    )
+    _check_greedy(tmp_path, m, cfg, [(17 * i) % 500 + 1 for i in range(20)])
+
+
+def test_smollm3_greedy_matches_hf(tmp_path):
+    """SmolLM3: llama with NoPE layers (every 4th layer skips rotary)."""
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True,
+        eos_token_id=257, pad_token_id=0,
+    )
+    torch.manual_seed(8)
+    m = SmolLM3ForCausalLM(SmolLM3Config(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["SmolLM3ForCausalLM"], model_type="smollm3",
+        no_rope_layers=list(m.config.no_rope_layers),
+    )
+    _check_greedy(tmp_path, m, cfg, [(19 * i) % 500 + 1 for i in range(20)])
