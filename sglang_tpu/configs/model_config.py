@@ -153,7 +153,9 @@ class ModelConfig:
                 "attention_bias", text.get("qkv_bias", False)
             ),
             mlp_bias=text.get("mlp_bias", False),
-            hidden_act=text.get("hidden_act", "silu"),
+            hidden_act=text.get(
+                "hidden_act", text.get("hidden_activation", "silu")
+            ),
             sliding_window=text.get("sliding_window"),
             qk_norm="qwen3" in str(hf.get("model_type", "")).lower(),
             final_logit_softcap=text.get("final_logit_softcapping"),

@@ -157,6 +157,19 @@ class Engine:
                     cfg.hf_config, server_args.model_path
                 )
             logger.info("Qwen-VL processor ready (dynamic resolution)")
+        elif any(
+            "Gemma3ForConditionalGeneration" in a
+            for a in cfg.architectures
+        ) and server_args.load_format in ("auto", "safetensors"):
+            from sglang_tpu.multimodal.gemma3 import Gemma3Processor
+
+            self.mm_processor = Gemma3Processor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info(
+                "Gemma3 processor ready (%d tokens per image)",
+                self.mm_processor.n_patches,
+            )
 
         # PD-over-HTTP roles (reference --disaggregation-mode): the
         # decode engine hosts the KV bootstrap rendezvous; prefill

@@ -91,6 +91,7 @@ def attention_xla(
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
     sinks: Optional[jnp.ndarray] = None,  # [Hq] attention-sink logits
+    bidir_groups: Optional[jnp.ndarray] = None,  # [B, Lq] image spans
 ) -> jnp.ndarray:
     """Dense masked attention over the gathered paged context.
 
@@ -131,6 +132,22 @@ def attention_xla(
         mask = mask & jnp.where(
             win > 0, in_window, jnp.where(win < 0, same_chunk, True)
         )
+    if bidir_groups is not None:
+        # Gemma 3 multimodal: tokens of the same image span attend each
+        # other BIDIRECTIONALLY (ORed over causal+window); context-slot
+        # group ids come from scattering this chunk's groups at its own
+        # positions — earlier chunks stay causal (images never split
+        # across chunks).
+        bg = bidir_groups.astype(jnp.int32)
+        ctx_g = jnp.full((B, C), -1, jnp.int32)
+        ctx_g = ctx_g.at[
+            jnp.arange(B)[:, None],
+            jnp.where(bg >= 0, positions, C),  # non-image rows drop
+        ].set(bg, mode="drop")
+        qg = bg[:, :, None]
+        same_img = (qg >= 0) & (ctx_g[:, None, :] == qg)
+        same_img = same_img & valid[:, None, :]
+        mask = mask | same_img
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
     if sinks is not None:
@@ -180,6 +197,7 @@ def paged_attention(
     backend: str = "xla",
     kv_scales=None,  # (k_scale, v_scale) traced scalars (fp8 KV dequant)
     sinks: Optional[jnp.ndarray] = None,  # [Hq] sink logits (GPT-OSS)
+    bidir_groups=None,  # [B, Lq] image-span ids (Gemma3-MM; xla path)
 ):
     """Write new K/V into the cache, then attend over the full context.
 
@@ -306,6 +324,9 @@ def paged_attention(
             logit_cap=logit_cap,
             sliding_window=sliding_window,
             sinks=sinks,
+            bidir_groups=(
+                bidir_groups if q.shape[1] > 1 else None
+            ),
         )
     if fp8_kv and kv_scales is not None:
         out = (out.astype(jnp.float32) * kv_scales[1]).astype(q.dtype)

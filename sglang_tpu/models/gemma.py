@@ -97,4 +97,49 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
         )
 
 
-EntryClass = [GemmaForCausalLM, Gemma2ForCausalLM, Gemma3ForCausalLM]
+
+
+class Gemma3ForConditionalGeneration(Gemma3ForCausalLM):
+    """Gemma 3 multimodal text trunk (the SigLIP tower + projector live
+    in multimodal/gemma3.py).  Image-token spans (negative-sentinel
+    runs) attend each other BIDIRECTIONALLY — the _bidir_groups hook
+    feeds the OR-mask in attention_xla, so the family forces the XLA
+    attention path.  Spans must be separated by at least one text token
+    (Gemma's chat template always is) and must not straddle a prefill
+    chunk boundary (size chunks >= mm_tokens_per_image + markers)."""
+
+    force_xla_attention = True
+    supports_cp = False
+    supports_pp_wavefront = False
+
+    def _bidir_groups(self, batch):
+        import jax.numpy as jnp
+
+        ids = batch.input_ids
+        if ids.shape[1] == 1:
+            return None  # decode: new tokens are text (causal)
+        img = ids < 0
+        prev = jnp.pad(img[:, :-1], ((0, 0), (1, 0)))
+        starts = img & ~prev
+        gid = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1
+        return jnp.where(img, gid, -1)
+
+    def hf_weight_mapping(self):
+        base = super().hf_weight_mapping()
+
+        def mapping(name: str):
+            if "vision_tower" in name or "multi_modal_projector" in name:
+                return None  # the processor loads the tower separately
+            name = name.replace("model.language_model.", "model.")
+            name = name.replace("language_model.", "")
+            return base(name)
+
+        return mapping
+
+
+EntryClass = [
+    GemmaForCausalLM,
+    Gemma2ForCausalLM,
+    Gemma3ForCausalLM,
+    Gemma3ForConditionalGeneration,
+]

@@ -573,6 +573,13 @@ class LlamaForCausalLM:
         del inv_freq, batch, pos_f
         return q, k
 
+    def _bidir_groups(self, batch):
+        """Optional [B, Lq] image-span group ids (-1 = causal-only
+        token): tokens of the same group attend each other
+        BIDIRECTIONALLY (Gemma 3 multimodal).  Default: None."""
+        del batch
+        return None
+
     def _pp_wavefront(self, hidden, kv_cache, batch, xs_all, pp, M,
                       make_layer_fn):
         """GPipe-style micro-batch pipeline inside one jitted program.
@@ -726,6 +733,12 @@ class LlamaForCausalLM:
         B, Lq = batch.input_ids.shape
         ids_safe = jnp.maximum(batch.input_ids, 0)
         hidden = params["embed"][ids_safe]  # [B, Lq, H]
+        if self.embed_scale != 1.0:
+            # scale BEFORE the multimodal splice: vision-tower features
+            # enter unscaled (HF Gemma3 scales only token embeddings)
+            hidden = (hidden.astype(jnp.float32) * self.embed_scale).astype(
+                hidden.dtype
+            )
         if input_embeds is not None:
             # multimodal splice: negative prompt ids mark positions whose
             # embedding comes from the request's precomputed rows
@@ -733,10 +746,6 @@ class LlamaForCausalLM:
             is_emb = (batch.input_ids < 0)[..., None]
             hidden = jnp.where(
                 is_emb, input_embeds.astype(hidden.dtype), hidden
-            )
-        if self.embed_scale != 1.0:
-            hidden = (hidden.astype(jnp.float32) * self.embed_scale).astype(
-                hidden.dtype
             )
         # With context_parallel the tokens of this chunk arrive in ZIGZAG
         # order and the Lq axis shards over the cp mesh axis; everything
@@ -815,6 +824,7 @@ class LlamaForCausalLM:
             # factory: the pp wavefront builds one per micro-batch
             # (sliced batch fields); serial paths build it once
             B, Lq = batch.input_ids.shape  # shadows the full-batch dims
+            bidir_groups = self._bidir_groups(batch)
             def layer_fn(carry, xs):
                 h, kv, li = carry
                 w, inv_freq, window, kvs, la, lb = xs
@@ -1042,6 +1052,7 @@ class LlamaForCausalLM:
                         backend=attn_backend,
                         kv_scales=kv_scales,
                         sinks=w.get("sinks"),
+                        bidir_groups=bidir_groups,
                     )
                 attn_out = attn_out.reshape(B, Lq, hq * d)
                 attn_out = proj(attn_out, "o_proj")
