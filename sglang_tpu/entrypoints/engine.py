@@ -170,6 +170,18 @@ class Engine:
                 "Gemma3 processor ready (%d tokens per image)",
                 self.mm_processor.n_patches,
             )
+        elif any(
+            "InternVL" in a for a in cfg.architectures
+        ) and server_args.load_format in ("auto", "safetensors"):
+            from sglang_tpu.multimodal.internvl import InternVLProcessor
+
+            self.mm_processor = InternVLProcessor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info(
+                "InternVL processor ready (%d tokens per image)",
+                self.mm_processor.n_patches,
+            )
 
         # PD-over-HTTP roles (reference --disaggregation-mode): the
         # decode engine hosts the KV bootstrap rendezvous; prefill

@@ -81,3 +81,49 @@ EntryClass = [
     Qwen2VLForConditionalGeneration,
     Qwen2_5_VLForConditionalGeneration,
 ]
+
+
+class InternVLForConditionalGeneration:
+    """Dispatcher: InternVL's text trunk follows its text_config
+    architecture (Qwen2/Qwen3/Llama); vision lives in
+    multimodal/internvl.py.  Construction returns the right trunk
+    subclass with the language_model-stripping weight mapping."""
+
+    def __new__(cls, config, mesh_ctx=None):
+        from sglang_tpu.models.llama import (
+            LlamaForCausalLM,
+            Qwen2ForCausalLM,
+            Qwen3ForCausalLM,
+        )
+
+        hf = config.hf_config or {}
+        text_arch = (
+            (hf.get("text_config") or {}).get("architectures")
+            or ["Qwen2ForCausalLM"]
+        )[0]
+        base = {
+            "Qwen2ForCausalLM": Qwen2ForCausalLM,
+            "Qwen3ForCausalLM": Qwen3ForCausalLM,
+            "LlamaForCausalLM": LlamaForCausalLM,
+        }.get(text_arch, Qwen2ForCausalLM)
+
+        class _InternVLTrunk(base):
+            def hf_weight_mapping(self):
+                inner = super().hf_weight_mapping()
+
+                def mapping(name: str):
+                    if (
+                        "vision_tower" in name
+                        or "multi_modal_projector" in name
+                    ):
+                        return None
+                    name = name.replace("model.language_model.", "model.")
+                    name = name.replace("language_model.", "")
+                    return inner(name)
+
+                return mapping
+
+        return _InternVLTrunk(config, mesh_ctx=mesh_ctx)
+
+
+EntryClass.append(InternVLForConditionalGeneration)
