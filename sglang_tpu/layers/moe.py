@@ -82,6 +82,38 @@ def moe_topk(
     return w, idx.astype(jnp.int32)
 
 
+def _grouped_mlp(xs, w1, w3, w2, group_sizes, act, scales=None, e_row=None):
+    """Grouped expert MLP over expert-sorted rows.
+
+    With ``scales`` (int8-RESIDENT experts, reference ``w8a8_int8.py``
+    MoE role): the per-out-channel scale applies to the ragged-dot
+    OUTPUT, gathered per row's expert (``e_row``) — mathematically equal
+    to dequantizing the weight (the scale doesn't touch the contraction
+    dim) but the int8 slab stays resident in HBM: the int8→dtype convert
+    fuses into the dot's operand read instead of materializing a bf16
+    copy of every expert."""
+    if scales is None:
+        h1 = jax.lax.ragged_dot(xs, w1, group_sizes)  # [N, I]
+        h3 = jax.lax.ragged_dot(xs, w3, group_sizes)
+        inter = act(h1) * h3
+        return jax.lax.ragged_dot(
+            inter.astype(w2.dtype), w2, group_sizes
+        )  # [N, H]
+    s1, s3, s2 = scales  # [E, 1, I] / [E, 1, I] / [E, 1, H] f32
+    dt = xs.dtype
+    f32 = jnp.float32
+    h1 = jax.lax.ragged_dot(
+        xs, w1.astype(dt), group_sizes, preferred_element_type=f32
+    ) * s1[e_row, 0]
+    h3 = jax.lax.ragged_dot(
+        xs, w3.astype(dt), group_sizes, preferred_element_type=f32
+    ) * s3[e_row, 0]
+    inter = (act(h1) * h3).astype(dt)
+    return jax.lax.ragged_dot(
+        inter, w2.astype(dt), group_sizes, preferred_element_type=f32
+    ) * s2[e_row, 0]
+
+
 def moe_block(
     hidden: jnp.ndarray,  # [B, L, H]
     gate_w: jnp.ndarray,  # [H, E]
@@ -102,6 +134,7 @@ def moe_block(
     return_counts: bool = False,
     a2a: bool = False,
     weight_on_input: bool = False,  # Llama4: score scales the expert INPUT
+    scales=None,  # (w1_s, w3_s, w2_s) per-out-channel f32 — int8 experts
 ) -> jnp.ndarray:
     """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families).
 
@@ -129,7 +162,7 @@ def moe_block(
             norm_topk_prob=norm_topk_prob, gate_bias=gate_bias,
             scoring=scoring, routed_scaling_factor=routed_scaling_factor,
             n_group=n_group, topk_group=topk_group,
-            return_counts=return_counts,
+            return_counts=return_counts, scales=scales,
         )
         if return_counts:
             out, counts = out
@@ -165,14 +198,12 @@ def moe_block(
         ).astype(xs.dtype)
     if expert_parallel and mesh is not None:
         out_s = ep_grouped_mlp(
-            xs, w1, w3, w2, group_sizes, mesh, hidden_act
+            xs, w1, w3, w2, group_sizes, mesh, hidden_act, scales=scales
         )  # [N, H]
     else:
-        h1 = jax.lax.ragged_dot(xs, w1, group_sizes)  # [N, I]
-        h3 = jax.lax.ragged_dot(xs, w3, group_sizes)
-        inter = get_act_fn(hidden_act)(h1) * h3
-        out_s = jax.lax.ragged_dot(
-            inter.astype(w2.dtype), w2, group_sizes
+        out_s = _grouped_mlp(
+            xs, w1, w3, w2, group_sizes, get_act_fn(hidden_act),
+            scales=scales, e_row=flat_expert[order],
         )  # [N, H]
 
     out_s = out_s.astype(jnp.float32)
@@ -200,6 +231,7 @@ def ep_grouped_mlp(
     group_sizes: jnp.ndarray,  # [E] i32 (replicated)
     mesh,
     hidden_act: str,
+    scales=None,  # (s1, s3, s2) [E, 1, D] f32, sharded on E like w
 ) -> jnp.ndarray:
     """Expert-parallel grouped MLP via shard_map (reference
     ``layers/moe/ep_moe/layer.py`` + ``token_dispatcher/``, TPU-native):
@@ -221,17 +253,25 @@ def ep_grouped_mlp(
     E_local = E // ep
     act = get_act_fn(hidden_act)
 
-    def fn(xs, gs, w1l, w3l, w2l):
+    def fn(xs, gs, w1l, w3l, w2l, *sc):
         r = jax.lax.axis_index(AXIS_TP)
         start = r * E_local
         csum = jnp.cumsum(gs)
         offset = jnp.where(start == 0, 0, csum[jnp.maximum(start - 1, 0)])
         xl = jnp.roll(xs, -offset, axis=0)
         gsl = jax.lax.dynamic_slice(gs, (start,), (E_local,))
-        h1 = jax.lax.ragged_dot(xl, w1l, gsl)
-        h3 = jax.lax.ragged_dot(xl, w3l, gsl)
-        inter = act(h1) * h3
-        out = jax.lax.ragged_dot(inter.astype(w2l.dtype), w2l, gsl)
+        e_row = None
+        if sc:
+            # per-row LOCAL expert ordinal (rows beyond the shard's span
+            # get an arbitrary in-range id; they're masked to 0 below)
+            rows1 = jnp.arange(xs.shape[0], dtype=jnp.int32)
+            e_row = jnp.clip(
+                jnp.searchsorted(jnp.cumsum(gsl), rows1, side="right"),
+                0, E_local - 1,
+            )
+        out = _grouped_mlp(
+            xl, w1l, w3l, w2l, gsl, act, scales=sc or None, e_row=e_row
+        )
         n_local = jnp.sum(gsl)
         rows = jnp.arange(xs.shape[0], dtype=jnp.int32)[:, None]
         out = jnp.where(rows < n_local, out, 0.0)
@@ -241,14 +281,23 @@ def ep_grouped_mlp(
         # is numerically right anyway.
         return jax.lax.psum(out.astype(jnp.float32), AXIS_TP)
 
-    return jax.shard_map(
+    args = [xs, group_sizes, w1, w3, w2]
+    in_specs = [P(), P(), P(AXIS_TP), P(AXIS_TP), P(AXIS_TP)]
+    if scales is not None:
+        args.extend(scales)
+        in_specs.extend([P(AXIS_TP)] * 3)
+    sm = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_TP), P(AXIS_TP), P(AXIS_TP)),
+        in_specs=tuple(in_specs),
         out_specs=P(),
         axis_names={AXIS_TP},  # manual over tp only; dp/pp stay automatic
         check_vma=False,
-    )(xs, group_sizes, w1, w3, w2)
+    )
+    # jit wrapper: the eager dispatch path of partial-manual shard_map
+    # with check_vma=False hits a jax 0.9 bug (see ep_dispatch_mlp); in
+    # the serving path this nests inside the model jit and inlines free.
+    return jax.jit(sm)(*args)
 
 
 # --------------------------------------------------------------------------
@@ -309,6 +358,7 @@ def ep_dispatch_mlp(
     topk_group: int = 1,
     return_counts: bool = False,
     a2a_impl: str = "auto",
+    scales=None,  # (s1, s3, s2) [E, 1, D] f32, sharded on E like w
 ):
     """Expert-parallel MoE with REAL token dispatch — the TPU-native
     analogue of the reference's DeepEP dispatch/combine
@@ -355,7 +405,7 @@ def ep_dispatch_mlp(
         # driver virtual-mesh dryrun); real collective everywhere else.
         a2a_impl = "gather" if jax.default_backend() == "cpu" else "ragged"
 
-    def fn(xl, gw, gb, w1l, w3l, w2l):
+    def fn(xl, gw, gb, w1l, w3l, w2l, *sc):
         me = jax.lax.axis_index(AXIS_TP)
         # ---- local gating ----
         gl = jnp.einsum(
@@ -406,10 +456,10 @@ def ep_dispatch_mlp(
         gs_local = jnp.bincount(
             jnp.where(valid, le, E_local), length=E_local + 1
         ).astype(jnp.int32)[:E_local]
-        h1 = jax.lax.ragged_dot(xr, w1l, gs_local)
-        h3 = jax.lax.ragged_dot(xr, w3l, gs_local)
-        inter = act(h1) * h3
-        out_r = jax.lax.ragged_dot(inter.astype(w2l.dtype), w2l, gs_local)
+        out_r = _grouped_mlp(
+            xr, w1l, w3l, w2l, gs_local, act, scales=sc or None,
+            e_row=jnp.clip(le, 0, E_local - 1) if sc else None,
+        )
         rows = jnp.arange(CAP, dtype=jnp.int32)
         out_r = jnp.where((rows < total_recv)[:, None], out_r, 0.0)
         # unsort back to arrival (src-chunk) order
@@ -434,10 +484,15 @@ def ep_dispatch_mlp(
         return y
 
     gb = gate_bias if gate_bias is not None else jnp.zeros((E,), jnp.float32)
+    args = [x, gate_w, gb, w1, w3, w2]
+    in_specs = [P(AXIS_TP), P(), P(), P(AXIS_TP), P(AXIS_TP), P(AXIS_TP)]
+    if scales is not None:
+        args.extend(scales)
+        in_specs.extend([P(AXIS_TP)] * 3)
     sm = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(AXIS_TP), P(), P(), P(AXIS_TP), P(AXIS_TP), P(AXIS_TP)),
+        in_specs=tuple(in_specs),
         out_specs=(P(AXIS_TP), P()) if return_counts else P(AXIS_TP),
         axis_names={AXIS_TP},
         check_vma=False,
@@ -446,4 +501,4 @@ def ep_dispatch_mlp(
     # check_vma=False hits a jax 0.9 bug (_unmatch builds P(mesh.axis_names),
     # referring to non-manual axes); under jit the path isn't taken.  In the
     # serving path this is nested inside the model jit and inlines for free.
-    return jax.jit(sm)(x, gate_w, gb, w1, w3, w2)
+    return jax.jit(sm)(*args)

@@ -142,7 +142,17 @@ class DeepseekV2ForCausalLM:
             shapes["lm_head"] = (V, H)
         return shapes
 
+    def _expert_parallel(self) -> bool:
+        return (
+            self.mesh_ctx is not None
+            and self.mesh_ctx.parallel.ep_size > 1
+            and self.n_experts > 0
+            and self.n_experts % self.mesh_ctx.tp_size == 0
+        )
+
     def param_specs(self) -> Dict[str, Any]:
+        ep = self._expert_parallel()
+
         def spec_like(tree):
             out = {}
             for k, v in tree.items():
@@ -156,6 +166,10 @@ class DeepseekV2ForCausalLM:
                     out[k] = P(*([None] * (nd - 1) + [AXIS_TP]))
                 elif k in ("o_proj", "down_proj", "shared_down"):
                     out[k] = P(*([None] * (nd - 2) + [AXIS_TP, None]))
+                elif ep and k.startswith("moe_w"):
+                    # EP: experts sharded over the tp axis (weights AND
+                    # their int8 per-out-channel scales move together)
+                    out[k] = P(None, AXIS_TP, None, None)
                 elif k in ("moe_w1", "moe_w3", "moe_w1_scale",
                            "moe_w3_scale"):
                     out[k] = P(None, None, None, AXIS_TP)
@@ -381,20 +395,21 @@ class DeepseekV2ForCausalLM:
 
     def _moe_mlp(self, w, normed):
         capture = getattr(self, "_ecounts_capture", False)
-        w1, w3, w2 = w["moe_w1"], w["moe_w3"], w["moe_w2"]
-        if self._moe_int8():
-            # int8-resident experts: dequant feeds the grouped GEMM (XLA
-            # fuses the convert+mul into the consumer; HBM keeps int8)
-            dt = normed.dtype
-            w1 = (w1.astype(jnp.float32) * w["moe_w1_scale"]).astype(dt)
-            w3 = (w3.astype(jnp.float32) * w["moe_w3_scale"]).astype(dt)
-            w2 = (w2.astype(jnp.float32) * w["moe_w2_scale"]).astype(dt)
+        # int8-resident experts: per-out-channel scales ride into the
+        # grouped GEMM (output-side application) so the int8 slabs stay
+        # resident in HBM through the dense, EP, and a2a paths
+        scales = (
+            (w["moe_w1_scale"], w["moe_w3_scale"], w["moe_w2_scale"])
+            if self._moe_int8()
+            else None
+        )
         routed = moe_block(
             normed,
             w["moe_gate"],
-            w1,
-            w3,
-            w2,
+            w["moe_w1"],
+            w["moe_w3"],
+            w["moe_w2"],
+            scales=scales,
             top_k=self.top_k,
             norm_topk_prob=self.norm_topk,
             hidden_act=self.config.hidden_act,
@@ -404,6 +419,12 @@ class DeepseekV2ForCausalLM:
             n_group=self.n_group,
             topk_group=self.topk_group,
             return_counts=capture,
+            mesh=self.mesh_ctx.mesh if self.mesh_ctx is not None else None,
+            expert_parallel=self._expert_parallel(),
+            a2a=(
+                self.mesh_ctx is not None
+                and self.mesh_ctx.parallel.moe_a2a
+            ),
         )
         if capture:
             routed, self._moe_counts_stash = routed

@@ -126,20 +126,21 @@ class MixtralForCausalLM(LlamaForCausalLM):
             return LlamaForCausalLM._mlp_forward(self, w, normed, proj)
         del proj  # no LoRA on expert weights (reference likewise)
         capture = getattr(self, "_ecounts_capture", False)
-        w1, w3, w2 = w["moe_w1"], w["moe_w3"], w["moe_w2"]
-        if self._moe_int8():
-            # int8-resident experts: dequant feeds the grouped GEMM (XLA
-            # fuses the convert+mul into the consumer; HBM keeps int8)
-            dt = normed.dtype
-            w1 = (w1.astype(jnp.float32) * w["moe_w1_scale"]).astype(dt)
-            w3 = (w3.astype(jnp.float32) * w["moe_w3_scale"]).astype(dt)
-            w2 = (w2.astype(jnp.float32) * w["moe_w2_scale"]).astype(dt)
+        # int8-resident experts: the per-out-channel scales ride into the
+        # grouped GEMM (applied to its OUTPUT rows) so the int8 slabs
+        # stay resident in HBM through the dense, EP, and a2a paths
+        scales = (
+            (w["moe_w1_scale"], w["moe_w3_scale"], w["moe_w2_scale"])
+            if self._moe_int8()
+            else None
+        )
         out = moe_block(
             normed,
             w["moe_gate"],
-            w1,
-            w3,
-            w2,
+            w["moe_w1"],
+            w["moe_w3"],
+            w["moe_w2"],
+            scales=scales,
             top_k=self.top_k,
             norm_topk_prob=self.config.norm_topk_prob,
             hidden_act=self.config.hidden_act,

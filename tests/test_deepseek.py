@@ -222,3 +222,46 @@ def test_dsv2_int8_resident_experts(tmp_path):
     finally:
         eq.shutdown()
         ed.shutdown()
+
+
+def test_dsv2_ep_a2a_matches_tp1():
+    """DeepSeek MoE under EP token dispatch (tp=2, ep=2,
+    --moe-a2a-backend a2a) with INT8-RESIDENT experts: the expert stacks
+    and scales shard over the expert axis (param_specs EP branch) and
+    tokens ride the ragged all-to-all; outputs match the single-device
+    int8 engine token-for-token."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.conftest import make_server_args
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    hf = dict(
+        TINY_DSV2,
+        architectures=["DeepseekV2ForCausalLM"],
+        model_type="deepseek_v2",
+        quantization_config={"quant_method": "w8a8_int8"},
+    )
+    sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+    outs = {}
+    for name, kw in (
+        ("base", dict(tp_size=1)),
+        ("a2a", dict(tp_size=2, ep_size=2, moe_a2a_backend="a2a")),
+    ):
+        cfg = ModelConfig.from_hf_dict(hf, dtype="float32")
+        args = make_server_args(**kw)
+        runner = ModelRunner(args, model_config=cfg,
+                             devices=jax.devices()[:kw["tp_size"]])
+        moe = runner.params["moe_layers"]
+        assert moe["moe_w1"].dtype == jnp.int8
+        if name == "a2a":
+            assert runner.mesh_ctx.parallel.moe_a2a
+        eng = Engine(server_args=args, model_runner=runner)
+        outs[name] = eng.generate(input_ids=[4, 5, 6, 7, 8, 9],
+                                  sampling_params=dict(sp))
+        eng.shutdown()
+    assert outs["base"]["output_ids"] == outs["a2a"]["output_ids"]

@@ -141,3 +141,49 @@ def test_dispatch_comm_is_all_to_all_not_psum():
     for line in text.splitlines():
         if "all_reduce" in line:
             assert f"{T * TOPK}x{H}xf32" not in line, line
+
+
+def _quantize(w):
+    """Per-out-channel int8 quantization over the contraction dim."""
+    s = np.abs(w).max(axis=1, keepdims=True)
+    s = np.maximum(s, 1e-8) / 127.0
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "mode", ["dense", "ep", "a2a"], ids=["dense", "ep-psum", "ep-a2a"]
+)
+def test_int8_resident_scales_parity(mode):
+    """INT8-RESIDENT expert slabs with per-out-channel scales through all
+    three grouped-MLP paths: the scale applies to the ragged-dot OUTPUT
+    (gathered per row's expert), so results must match the dequantized
+    dense reference while the weights stay int8."""
+    rng = np.random.RandomState(7)
+    T = 16
+    gate_w, w1, w3, w2 = _weights(rng)
+    q1, s1 = _quantize(w1)
+    q3, s3 = _quantize(w3)
+    q2, s2 = _quantize(w2)
+    x = rng.randn(T, H).astype(np.float32) * 0.5
+
+    ref = _dense_ref(
+        x, gate_w,
+        q1.astype(np.float32) * s1,
+        q3.astype(np.float32) * s3,
+        q2.astype(np.float32) * s2,
+    )
+    scales = (jnp.asarray(s1), jnp.asarray(s3), jnp.asarray(s2))
+    if mode == "dense":
+        y = moe_block(
+            jnp.asarray(x)[None], jnp.asarray(gate_w), jnp.asarray(q1),
+            jnp.asarray(q3), jnp.asarray(q2), top_k=TOPK, scales=scales,
+        )[0]
+    else:
+        mesh = MeshContext(ParallelConfig(tp_size=4)).mesh
+        y = moe_block(
+            jnp.asarray(x)[None], jnp.asarray(gate_w), jnp.asarray(q1),
+            jnp.asarray(q3), jnp.asarray(q2), top_k=TOPK, scales=scales,
+            mesh=mesh, expert_parallel=True, a2a=(mode == "a2a"),
+        )[0]
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)

@@ -508,3 +508,42 @@ def test_mixtral_int8_resident_experts(moe_fp8_pair_dirs):
     finally:
         ei.shutdown()
         ed.shutdown()
+
+
+def test_int8_resident_experts_ep_a2a():
+    """INT8-RESIDENT experts under EP token dispatch (tp=2, ep=2,
+    --moe-a2a-backend a2a): the int8 slabs and their per-out-channel
+    scales shard over the expert axis and ride the ragged all-to-all
+    path; outputs match the single-device int8 engine token-for-token
+    (same quantization levels, expert-parallel execution)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+    from tests.test_moe import TINY_MOE_HF
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    hf = dict(TINY_MOE_HF)
+    hf["quantization_config"] = {
+        "quant_method": "w8a8_int8",
+        "modules_to_not_convert": ["proj"],  # experts only
+    }
+    sp = {"temperature": 0.0, "max_new_tokens": 8, "ignore_eos": True}
+    outs = {}
+    for name, kw in (
+        ("base", dict(tp_size=1)),
+        ("a2a", dict(tp_size=2, ep_size=2, moe_a2a_backend="a2a")),
+    ):
+        cfg = ModelConfig.from_hf_dict(hf, dtype="float32")
+        args = make_server_args(**kw)
+        runner = ModelRunner(args, model_config=cfg,
+                             devices=jax.devices()[:kw["tp_size"]])
+        assert runner.params["layers"]["moe_w1"].dtype == jnp.int8
+        eng = Engine(server_args=args, model_runner=runner)
+        outs[name] = eng.generate(input_ids=[4, 5, 6, 7],
+                                  sampling_params=dict(sp))
+        eng.shutdown()
+    assert outs["base"]["output_ids"] == outs["a2a"]["output_ids"]
