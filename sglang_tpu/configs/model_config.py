@@ -104,6 +104,32 @@ class ModelConfig:
         dtype: str = "bfloat16",
         context_length: Optional[int] = None,
     ) -> "ModelConfig":
+        if hf.get("model_type") == "dbrx":
+            # DBRX nests its geometry under attn_config/ffn_config with
+            # non-standard names — normalize to the common field names
+            # (srt/models/dbrx.py reads the same nested config).
+            attn = hf.get("attn_config") or {}
+            ffn = hf.get("ffn_config") or {}
+            nw = ffn.get("moe_normalize_expert_weights", 1)
+            hf = dict(
+                hf,
+                hidden_size=hf["d_model"],
+                num_hidden_layers=hf["n_layers"],
+                num_attention_heads=hf["n_heads"],
+                num_key_value_heads=attn.get("kv_n_heads", hf["n_heads"]),
+                intermediate_size=ffn.get(
+                    "ffn_hidden_size", 4 * hf["d_model"]
+                ),
+                max_position_embeddings=hf.get("max_seq_len", 8192),
+                rope_theta=attn.get("rope_theta", 10000.0),
+                num_local_experts=ffn.get("moe_num_experts", 0),
+                num_experts_per_tok=ffn.get("moe_top_k", 0),
+                # p-norm with p=1 over positive softmax weights == the
+                # standard top-k renormalization; None disables it
+                norm_topk_prob=bool(nw),
+                clip_qkv=attn.get("clip_qkv"),
+                tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            )
         # Some HF configs nest the text config (multimodal wrappers).
         text = hf.get("text_config", hf)
         # SSM configs (mamba2) have no attention heads; default from the

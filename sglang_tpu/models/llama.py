@@ -54,6 +54,7 @@ class LlamaForCausalLM:
     has_o_bias = False
     has_pre_norms = True  # OLMo2: False → post-block norms only
     parallel_block = False  # Cohere: attn and mlp share one normed input
+    clip_qkv = None  # OLMoE/DBRX: clamp q/k/v activations to ±clip_qkv
     residual_multiplier = 1.0  # Granite residual_multiplier
     logits_divisor = 1.0  # Granite logits_scaling
     # YaRN attention factor multiplying cos/sin (rotary.py)
@@ -80,6 +81,8 @@ class LlamaForCausalLM:
             self.has_qkv_bias = True
         if config.qk_norm:
             self.has_qk_norm = True
+        # OLMoE / DBRX: clamp q/k/v activations to ±clip_qkv
+        self.clip_qkv = config.hf_config.get("clip_qkv")
 
     # ------------------------------------------------------------- params
     # Projection name → (hf module suffix, in_dim fn, out_dim fn); drives
@@ -871,6 +874,13 @@ class LlamaForCausalLM:
                     # OLMo2: one RMSNorm over the FLAT projection
                     q = self._norm(q, w["q_norm"])
                     k = self._norm(k, w["k_norm"])
+                if self.clip_qkv is not None:
+                    # OLMoE/DBRX: clamp activations (after the flat norm,
+                    # matching HF's q_norm→clamp order)
+                    cq = float(self.clip_qkv)
+                    q = jnp.clip(q, -cq, cq)
+                    k = jnp.clip(k, -cq, cq)
+                    v = jnp.clip(v, -cq, cq)
                 q = q.reshape(B, Lq, hq, d)
                 k = k.reshape(B, Lq, hkv, d)
                 v = v.reshape(B, Lq, hkv, d)

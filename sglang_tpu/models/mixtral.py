@@ -207,4 +207,19 @@ class Qwen3MoeForCausalLM(MixtralForCausalLM):
     has_qk_norm = True
 
 
-EntryClass = [MixtralForCausalLM, Qwen2MoeForCausalLM, Qwen3MoeForCausalLM]
+class OlmoeForCausalLM(MixtralForCausalLM):
+    """OLMoE (reference ``srt/models/olmoe.py``): Mixtral-style
+    token-choice MoE (softmax→topk, norm_topk_prob from config) on a
+    llama trunk with FULL-width q/k RMSNorm (OLMo2-style, pre-split)
+    and optional ±clip_qkv clamping after the norm."""
+
+    has_qk_norm = True
+    qk_norm_full = True
+
+
+EntryClass = [
+    MixtralForCausalLM,
+    Qwen2MoeForCausalLM,
+    Qwen3MoeForCausalLM,
+    OlmoeForCausalLM,
+]

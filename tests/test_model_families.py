@@ -265,3 +265,68 @@ def test_smollm3_greedy_matches_hf(tmp_path):
         no_rope_layers=list(m.config.no_rope_layers),
     )
     _check_greedy(tmp_path, m, cfg, [(19 * i) % 500 + 1 for i in range(20)])
+
+
+def test_olmoe_greedy_matches_hf(tmp_path):
+    """OLMoE: Mixtral-style MoE (softmax→top-8, norm_topk_prob=False in
+    released configs) + OLMo2-style FULL-width qk RMSNorm + clip_qkv
+    clamping (clip chosen small enough to actually bite on the
+    RMS-normalized q/k)."""
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        num_experts=8, num_experts_per_tok=2, norm_topk_prob=False,
+        clip_qkv=0.8,
+    )
+    torch.manual_seed(2)
+    m = OlmoeForCausalLM(OlmoeConfig(**kw)).float().eval()
+    cfg = dict(kw, architectures=["OlmoeForCausalLM"], model_type="olmoe")
+    _check_greedy(tmp_path, m, cfg, [(5 * i) % 500 + 1 for i in range(12)])
+
+
+def test_granitemoe_greedy_matches_hf(tmp_path):
+    """GraniteMoE: the four granite multipliers on a Mixtral-style MoE
+    with FUSED stacked expert tensors (input_linear [E, 2I, H] splits
+    into gate/up; output_linear transposes into [E, I, H]) and
+    top-k-then-softmax gating."""
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        num_local_experts=8, num_experts_per_tok=2,
+        embedding_multiplier=6.0, attention_multiplier=0.21,
+        residual_multiplier=0.3, logits_scaling=4.0,
+    )
+    torch.manual_seed(3)
+    m = GraniteMoeForCausalLM(GraniteMoeConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["GraniteMoeForCausalLM"], model_type="granitemoe",
+    )
+    _check_greedy(tmp_path, m, cfg, [(7 * i) % 500 + 1 for i in range(12)])
+
+
+def test_dbrx_greedy_matches_hf(tmp_path):
+    """DBRX: nested attn/ffn config, fused clamped Wqkv, bias-free
+    LayerNorm, flat [E*I, H] expert slabs with w2 applied un-transposed,
+    softmax→top-k→L1-normalized router."""
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    cfg_kw = dict(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=512, vocab_size=512,
+        attn_config=dict(kv_n_heads=2, clip_qkv=0.15, rope_theta=10000.0),
+        ffn_config=dict(ffn_hidden_size=96, moe_num_experts=8, moe_top_k=2),
+    )
+    torch.manual_seed(4)
+    m = DbrxForCausalLM(DbrxConfig(**cfg_kw)).float().eval()
+    cfg = dict(
+        cfg_kw, architectures=["DbrxForCausalLM"], model_type="dbrx",
+        eos_token_id=257, tie_word_embeddings=False,
+    )
+    _check_greedy(tmp_path, m, cfg, [(9 * i) % 500 + 1 for i in range(12)])
