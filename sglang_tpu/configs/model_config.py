@@ -104,6 +104,38 @@ class ModelConfig:
         dtype: str = "bfloat16",
         context_length: Optional[int] = None,
     ) -> "ModelConfig":
+        if hf.get("model_type") in ("gpt2", "gpt_bigcode"):
+            # GPT-2-lineage configs use n_embd/n_head/n_layer/n_positions
+            # (srt/models/gpt2.py, gpt_bigcode.py read the same fields)
+            ne = hf.get("n_embd", hf.get("hidden_size"))
+            nh = hf.get("n_head", hf.get("num_attention_heads"))
+            mq = hf.get(
+                "multi_query", hf.get("model_type") == "gpt_bigcode"
+            )
+            hf = dict(
+                hf,
+                hidden_size=ne,
+                num_hidden_layers=hf.get(
+                    "n_layer", hf.get("num_hidden_layers")
+                ),
+                num_attention_heads=nh,
+                num_key_value_heads=1 if mq else nh,
+                max_position_embeddings=hf.get("n_positions", 1024),
+                intermediate_size=hf.get("n_inner") or 4 * ne,
+                hidden_act=hf.get("activation_function", "gelu_new"),
+                layer_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                tie_word_embeddings=hf.get("tie_word_embeddings", True),
+                attention_bias=True,
+            )
+        if hf.get("model_type") == "opt":
+            hf = dict(
+                hf,
+                intermediate_size=hf.get(
+                    "ffn_dim", 4 * hf["hidden_size"]
+                ),
+                hidden_act=hf.get("activation_function", "relu"),
+                attention_bias=True,
+            )
         if hf.get("model_type") == "dbrx":
             # DBRX nests its geometry under attn_config/ffn_config with
             # non-standard names — normalize to the common field names

@@ -55,6 +55,8 @@ class LlamaForCausalLM:
     has_pre_norms = True  # OLMo2: False → post-block norms only
     parallel_block = False  # Cohere: attn and mlp share one normed input
     clip_qkv = None  # OLMoE/DBRX: clamp q/k/v activations to ±clip_qkv
+    has_abs_pos = False  # GPT-2/OPT: learned absolute position embeddings
+    pos_offset = 0  # OPT offsets its position table by 2
     residual_multiplier = 1.0  # Granite residual_multiplier
     logits_divisor = 1.0  # Granite logits_scaling
     # YaRN attention factor multiplying cos/sin (rotary.py)
@@ -83,6 +85,10 @@ class LlamaForCausalLM:
             self.has_qk_norm = True
         # OLMoE / DBRX: clamp q/k/v activations to ±clip_qkv
         self.clip_qkv = config.hf_config.get("clip_qkv")
+        if self.has_abs_pos:
+            # learned-absolute-position models carry no rotary: zero
+            # angles make the shared rope application the identity
+            self.inv_freq = np.zeros_like(self.inv_freq)
 
     # ------------------------------------------------------------- params
     # Projection name → (hf module suffix, in_dim fn, out_dim fn); drives
@@ -276,6 +282,10 @@ class LlamaForCausalLM:
                 if nm in layers:
                     layers[nm + "_b"] = (L, H)
         shapes = {"embed": (V, H), "layers": layers, "final_ln": (H,)}
+        if self.has_abs_pos:
+            shapes["pos_embed"] = (
+                c.max_position_embeddings + self.pos_offset, H,
+            )
         if self.has_norm_bias:
             shapes["final_ln_b"] = (H,)
         if not c.tie_word_embeddings:
@@ -380,6 +390,8 @@ class LlamaForCausalLM:
             "layers": layers,
             "final_ln": P(None),
         }
+        if self.has_abs_pos:
+            specs["pos_embed"] = P(None, None)
         if self.has_norm_bias:
             specs["final_ln_b"] = P(None)
         if not self.config.tie_word_embeddings:
@@ -750,6 +762,17 @@ class LlamaForCausalLM:
             hidden = jnp.where(
                 is_emb, input_embeds.astype(hidden.dtype), hidden
             )
+        if self.has_abs_pos:
+            # learned absolute position embeddings (GPT-2/OPT; OPT's
+            # table is offset by 2); pad rows gather junk that the
+            # scheduler masks downstream
+            pos = jnp.clip(
+                batch.positions + self.pos_offset, 0,
+                params["pos_embed"].shape[0] - 1,
+            )
+            hidden = (
+                hidden.astype(jnp.float32) + params["pos_embed"][pos]
+            ).astype(hidden.dtype)
         # With context_parallel the tokens of this chunk arrive in ZIGZAG
         # order and the Lq axis shards over the cp mesh axis; everything
         # but attention is token-order-independent, so only the attention

@@ -31,7 +31,11 @@ class Starcoder2ForCausalLM(LlamaForCausalLM):
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-        eps = (self.config.hf_config or {}).get("norm_epsilon", 1e-5)
+        hf = self.config.hf_config or {}
+        eps = hf.get(
+            "norm_epsilon", hf.get("layer_norm_epsilon",
+                                   self.config.rms_norm_eps)
+        )
         out = (xf - mu) * jax.lax.rsqrt(var + eps) * w
         if b is not None:
             out = out + b
@@ -67,9 +71,12 @@ class Starcoder2ForCausalLM(LlamaForCausalLM):
         }
 
     def _mlp_forward(self, w, normed: jnp.ndarray, proj=None) -> jnp.ndarray:
+        from sglang_tpu.layers.activation import get_act_fn
+
         del proj  # no LoRA targets on the non-gated MLP yet
         h = normed @ w["c_fc"] + w["c_fc_b"]
-        h = jax.nn.gelu(h, approximate=True)  # gelu_pytorch_tanh
+        # starcoder2/gpt-2: gelu tanh; OPT: relu — from config
+        h = get_act_fn(self.config.hidden_act)(h)
         h = self._shard(h, None, None, AXIS_TP)
         return h @ w["c_proj"] + w["c_proj_b"]
 

@@ -330,3 +330,82 @@ def test_dbrx_greedy_matches_hf(tmp_path):
         eos_token_id=257, tie_word_embeddings=False,
     )
     _check_greedy(tmp_path, m, cfg, [(9 * i) % 500 + 1 for i in range(12)])
+
+
+def test_gpt2_greedy_matches_hf(tmp_path):
+    """GPT-2: learned absolute positions, Conv1D fused c_attn (weights
+    stored [in, out] — no transpose), LayerNorm+bias, non-gated gelu_new
+    MLP, tied embeddings."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    kw = dict(
+        n_embd=64, n_layer=2, n_head=4, n_positions=512, vocab_size=512,
+        eos_token_id=257, bos_token_id=256,
+    )
+    torch.manual_seed(5)
+    m = GPT2LMHeadModel(GPT2Config(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["GPT2LMHeadModel"], model_type="gpt2",
+        tie_word_embeddings=True,
+    )
+    _check_greedy(tmp_path, m, cfg, [(3 * i) % 500 + 1 for i in range(12)])
+
+
+def test_gpt_bigcode_greedy_matches_hf(tmp_path):
+    """GPT-BigCode: GPT-2 layout with nn.Linear projections and
+    MULTI-QUERY attention (1 kv head)."""
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    kw = dict(
+        n_embd=64, n_layer=2, n_head=4, n_positions=512, vocab_size=512,
+        multi_query=True, activation_function="gelu_pytorch_tanh",
+        eos_token_id=257, bos_token_id=256,
+    )
+    torch.manual_seed(6)
+    m = GPTBigCodeForCausalLM(GPTBigCodeConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["GPTBigCodeForCausalLM"],
+        model_type="gpt_bigcode", tie_word_embeddings=True,
+    )
+    _check_greedy(tmp_path, m, cfg, [(11 * i) % 500 + 1 for i in range(12)])
+
+
+def test_opt_greedy_matches_hf(tmp_path):
+    """OPT: learned positions with the fairseq +2 table offset, LN+bias,
+    non-gated ReLU MLP, tied embeddings."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    kw = dict(
+        hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, vocab_size=512,
+        max_position_embeddings=512, word_embed_proj_dim=64,
+        do_layer_norm_before=True, eos_token_id=257, bos_token_id=256,
+        pad_token_id=0,
+    )
+    torch.manual_seed(7)
+    m = OPTForCausalLM(OPTConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["OPTForCausalLM"], model_type="opt",
+        tie_word_embeddings=True,
+    )
+    _check_greedy(tmp_path, m, cfg, [(13 * i) % 500 + 1 for i in range(12)])
+
+
+def test_stablelm_greedy_matches_hf(tmp_path):
+    """StableLM-2: LayerNorm+bias, partial rotary (factor 0.5), qkv
+    biases via use_qkv_bias."""
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, partial_rotary_factor=0.5,
+        use_qkv_bias=True, rope_theta=10000.0, layer_norm_eps=1e-5,
+        tie_word_embeddings=False, eos_token_id=257,
+    )
+    torch.manual_seed(8)
+    m = StableLmForCausalLM(StableLmConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["StableLmForCausalLM"], model_type="stablelm",
+    )
+    _check_greedy(tmp_path, m, cfg, [(17 * i) % 500 + 1 for i in range(12)])
