@@ -57,6 +57,7 @@ class LlamaForCausalLM:
     clip_qkv = None  # OLMoE/DBRX: clamp q/k/v activations to ±clip_qkv
     has_abs_pos = False  # GPT-2/OPT: learned absolute position embeddings
     pos_offset = 0  # OPT offsets its position table by 2
+    qk_norm_bias = False  # Persimmon: per-head qk LayerNorm carries bias
     residual_multiplier = 1.0  # Granite residual_multiplier
     logits_divisor = 1.0  # Granite logits_scaling
     # YaRN attention factor multiplying cos/sin (rotary.py)
@@ -270,6 +271,9 @@ class LlamaForCausalLM:
             else:
                 layers["q_norm"] = (L, d)
                 layers["k_norm"] = (L, d)
+            if self.qk_norm_bias:  # Persimmon: per-head LayerNorm bias
+                layers["q_norm_b"] = tuple(layers["q_norm"])
+                layers["k_norm_b"] = tuple(layers["k_norm"])
         if self.has_post_norms:
             layers["post_attn_ln"] = (L, H)
             layers["post_ffw_ln"] = (L, H)
@@ -366,6 +370,9 @@ class LlamaForCausalLM:
             ax = AXIS_TP if self.qk_norm_full else None
             layers["q_norm"] = P(None, ax)
             layers["k_norm"] = P(None, ax)
+            if self.qk_norm_bias:
+                layers["q_norm_b"] = P(None, ax)
+                layers["k_norm_b"] = P(None, ax)
         if self.has_post_norms:
             layers["post_attn_ln"] = P(None, None)
             layers["post_ffw_ln"] = P(None, None)
@@ -908,8 +915,8 @@ class LlamaForCausalLM:
                 k = k.reshape(B, Lq, hkv, d)
                 v = v.reshape(B, Lq, hkv, d)
                 if self.has_qk_norm and not self.qk_norm_full:
-                    q = self._norm(q, w["q_norm"])
-                    k = self._norm(k, w["k_norm"])
+                    q = self._norm(q, w["q_norm"], w.get("q_norm_b"))
+                    k = self._norm(k, w["k_norm"], w.get("k_norm_b"))
                 head_ax = None if self._attn_replicated() else AXIS_TP
                 q = self._shard(q, AXIS_DP, None, head_ax, None)
                 k = self._shard(k, AXIS_DP, None, head_ax, None)

@@ -409,3 +409,83 @@ def test_stablelm_greedy_matches_hf(tmp_path):
         kw, architectures=["StableLmForCausalLM"], model_type="stablelm",
     )
     _check_greedy(tmp_path, m, cfg, [(17 * i) % 500 + 1 for i in range(12)])
+
+
+def test_arcee_greedy_matches_hf(tmp_path):
+    """Arcee: non-gated ReLU-squared MLP on the llama trunk."""
+    from transformers import ArceeConfig, ArceeForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        hidden_act="relu2",
+    )
+    torch.manual_seed(9)
+    m = ArceeForCausalLM(ArceeConfig(**kw)).float().eval()
+    cfg = dict(kw, architectures=["ArceeForCausalLM"], model_type="arcee")
+    _check_greedy(tmp_path, m, cfg, [(19 * i) % 500 + 1 for i in range(12)])
+
+
+def test_exaone4_greedy_matches_hf(tmp_path):
+    """EXAONE 4.0 hybrid: OLMo2-style post-block norms + PER-HEAD qk
+    RMSNorm; layers 1..3 sliding-window ROPE, layer 4 global NoPE
+    (sliding_window_pattern=4), window small enough to bite on the
+    prompt."""
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        sliding_window=8, sliding_window_pattern=4,
+    )
+    torch.manual_seed(10)
+    m = Exaone4ForCausalLM(Exaone4Config(**kw)).float().eval()
+    cfg = dict(kw, architectures=["Exaone4ForCausalLM"], model_type="exaone4")
+    _check_greedy(tmp_path, m, cfg, [(23 * i) % 500 + 1 for i in range(20)])
+
+
+def test_persimmon_greedy_matches_hf(tmp_path):
+    """Persimmon: head-interleaved fused qkv, per-head qk LayerNorm WITH
+    bias, partial rotary 0.5, biased ReLU-squared MLP, LN+bias."""
+    from transformers import PersimmonConfig, PersimmonForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, vocab_size=512,
+        max_position_embeddings=512, partial_rotary_factor=0.5,
+        rope_theta=25000.0, layer_norm_eps=1e-5, qk_layernorm=True,
+        hidden_act="relu2", tie_word_embeddings=False, eos_token_id=257,
+    )
+    torch.manual_seed(11)
+    m = PersimmonForCausalLM(PersimmonConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["PersimmonForCausalLM"], model_type="persimmon",
+    )
+    _check_greedy(tmp_path, m, cfg, [(29 * i) % 500 + 1 for i in range(12)])
+
+
+def test_apertus_greedy_matches_hf(tmp_path):
+    """Apertus: non-gated xIELU MLP with per-layer learned scalars +
+    per-head qk RMSNorm + renamed pre-norms."""
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        hidden_act="xielu",
+    )
+    torch.manual_seed(12)
+    m = ApertusForCausalLM(ApertusConfig(**kw)).float().eval()
+    # randomize the learned activation scalars so the test bites
+    with torch.no_grad():
+        for layer in m.model.layers:
+            layer.mlp.act_fn.alpha_p.add_(0.3)
+            layer.mlp.act_fn.alpha_n.add_(-0.2)
+    cfg = dict(kw, architectures=["ApertusForCausalLM"], model_type="apertus")
+    _check_greedy(tmp_path, m, cfg, [(31 * i) % 500 + 1 for i in range(12)])
