@@ -489,3 +489,23 @@ def test_apertus_greedy_matches_hf(tmp_path):
             layer.mlp.act_fn.alpha_n.add_(-0.2)
     cfg = dict(kw, architectures=["ApertusForCausalLM"], model_type="apertus")
     _check_greedy(tmp_path, m, cfg, [(31 * i) % 500 + 1 for i in range(12)])
+
+
+def test_nemotron_greedy_matches_hf(tmp_path):
+    """Nemotron: LayerNorm1P (weight stored centered at zero, computed
+    as weight+1), non-gated ReLU-squared MLP, partial rotary 0.5."""
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, norm_eps=1e-5,
+        rope_theta=10000.0, partial_rotary_factor=0.5,
+        tie_word_embeddings=False, eos_token_id=257, hidden_act="relu2",
+    )
+    torch.manual_seed(13)
+    m = NemotronForCausalLM(NemotronConfig(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["NemotronForCausalLM"], model_type="nemotron",
+    )
+    _check_greedy(tmp_path, m, cfg, [(37 * i) % 500 + 1 for i in range(12)])
