@@ -220,9 +220,21 @@ class ModelConfig:
             attn_logit_softcap=text.get("attn_logit_softcapping"),
             partial_rotary_factor=text.get("partial_rotary_factor", 1.0),
             num_experts=text.get(
-                "num_local_experts", text.get("n_routed_experts", text.get("num_experts", 0) or 0)
+                "num_local_experts",
+                text.get(
+                    "n_routed_experts",
+                    text.get(
+                        "num_experts",  # qwen-moe / olmoe / hunyuan
+                        text.get("moe_num_experts", 0) or 0,  # ernie 4.5
+                    ) or 0,
+                ),
             ),
-            num_experts_per_tok=text.get("num_experts_per_tok", 0),
+            num_experts_per_tok=(
+                text.get("num_experts_per_tok")
+                or text.get("moe_k")  # ernie 4.5
+                or text.get("moe_topk")  # hunyuan
+                or 0
+            ),
             moe_intermediate_size=text.get("moe_intermediate_size"),
             norm_topk_prob=text.get("norm_topk_prob", True),
             dtype=parse_dtype(dtype),

@@ -509,3 +509,69 @@ def test_nemotron_greedy_matches_hf(tmp_path):
         kw, architectures=["NemotronForCausalLM"], model_type="nemotron",
     )
     _check_greedy(tmp_path, m, cfg, [(37 * i) % 500 + 1 for i in range(12)])
+
+
+def test_hunyuan_moe_greedy_matches_hf(tmp_path):
+    """HunYuan MoE v1: softmax top-k routing + ALWAYS-ON shared MLP +
+    per-head q/k RMSNorm (query_layernorm/key_layernorm names)."""
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=512, max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        num_experts=4, moe_topk=2, attention_bias=False,
+    )
+    torch.manual_seed(14)
+    m = HunYuanMoEV1ForCausalLM(HunYuanMoEV1Config(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["HunYuanMoEV1ForCausalLM"],
+        model_type="hunyuan_v1_moe",
+    )
+    _check_greedy(tmp_path, m, cfg, [(41 * i) % 500 + 1 for i in range(12)])
+
+
+def test_ernie45_moe_greedy_matches_hf(tmp_path):
+    """ERNIE 4.5 MoE: dense prefix (moe_layer_start_index), shared
+    experts, softmax routing with a SELECTION-ONLY e_score correction
+    bias (randomized so it changes the routing)."""
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=512, max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True, eos_token_id=257,
+        pad_token_id=0, moe_num_experts=4, moe_k=2,
+        moe_num_shared_experts=1, moe_layer_start_index=1, use_bias=False,
+    )
+    torch.manual_seed(15)
+    m = Ernie4_5_MoeForCausalLM(Ernie4_5_MoeConfig(**kw)).float().eval()
+    with torch.no_grad():
+        for layer in m.model.layers[1:]:
+            layer.mlp.moe_statics.e_score_correction_bias.normal_(0, 0.3)
+    cfg = dict(
+        kw, architectures=["Ernie4_5_MoeForCausalLM"],
+        model_type="ernie4_5_moe",
+    )
+    _check_greedy(tmp_path, m, cfg, [(43 * i) % 500 + 1 for i in range(12)])
+
+
+def test_ernie45_dense_greedy_matches_hf(tmp_path):
+    """ERNIE 4.5 dense: llama stack with use_bias qkv biases."""
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True, eos_token_id=257,
+        pad_token_id=0, use_bias=False, head_dim=16,
+    )
+    torch.manual_seed(16)
+    m = Ernie4_5ForCausalLM(Ernie4_5Config(**kw)).float().eval()
+    cfg = dict(
+        kw, architectures=["Ernie4_5ForCausalLM"], model_type="ernie4_5",
+    )
+    _check_greedy(tmp_path, m, cfg, [(47 * i) % 500 + 1 for i in range(12)])
