@@ -876,7 +876,11 @@ class Scheduler:
         adapter_idx = self._lora_idx(batch, B)
         tl_k = self._tl_k(batch)
         embeds = (
-            batch.pack_embeds(B, L, self.runner.model_config.hidden_size)
+            batch.pack_embeds(
+                B, L,
+                self.runner.model_config.hidden_size
+                * (1 + getattr(self.runner.model, "deepstack_layers", 0)),
+            )
             if batch.has_input_embeds()
             else None
         )

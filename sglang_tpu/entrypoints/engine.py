@@ -142,6 +142,18 @@ class Engine:
                 self.mm_processor.n_patches,
             )
         elif any(
+            "Qwen3VL" in a for a in cfg.architectures
+        ) and server_args.load_format in ("auto", "safetensors"):
+            from sglang_tpu.multimodal.qwen_vl import Qwen3VLProcessor
+
+            self.mm_processor = Qwen3VLProcessor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info(
+                "Qwen3-VL processor ready (deepstack x%d)",
+                self.mm_processor.deepstack_layers,
+            )
+        elif any(
             "Qwen2VL" in a or "Qwen2_5_VL" in a for a in cfg.architectures
         ) and server_args.load_format in ("auto", "safetensors"):
             if any("Qwen2_5_VL" in a for a in cfg.architectures):

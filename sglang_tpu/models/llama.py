@@ -58,6 +58,7 @@ class LlamaForCausalLM:
     has_abs_pos = False  # GPT-2/OPT: learned absolute position embeddings
     pos_offset = 0  # OPT offsets its position table by 2
     qk_norm_bias = False  # Persimmon: per-head qk LayerNorm carries bias
+    deepstack_layers = 0  # Qwen3-VL: visual planes add into layers 0..n-1
     residual_multiplier = 1.0  # Granite residual_multiplier
     logits_divisor = 1.0  # Granite logits_scaling
     # YaRN attention factor multiplying cos/sin (rotary.py)
@@ -761,7 +762,22 @@ class LlamaForCausalLM:
             hidden = (hidden.astype(jnp.float32) * self.embed_scale).astype(
                 hidden.dtype
             )
+        ds_planes = None
         if input_embeds is not None:
+            H0 = c.hidden_size
+            if self.deepstack_layers and input_embeds.shape[-1] > H0:
+                # Qwen3-VL DeepStack: the packed buffer carries
+                # (1 + n) · H columns — H splice rows, then n per-layer
+                # planes that ADD to the residual stream after layers
+                # 0..n-1 (zeros at non-visual positions, so the add is
+                # unconditional)
+                n_ds = self.deepstack_layers
+                ds_planes = jnp.moveaxis(
+                    input_embeds[..., H0:].reshape(B, Lq, n_ds, H0), 2, 0
+                )
+                is_vis = (batch.input_ids < 0)[None, ..., None]
+                ds_planes = jnp.where(is_vis, ds_planes, 0.0)
+                input_embeds = input_embeds[..., :H0]
             # multimodal splice: negative prompt ids mark positions whose
             # embedding comes from the request's precomputed rows
             # (vision-tower outputs; reference multimodal embedding merge)
@@ -1168,6 +1184,7 @@ class LlamaForCausalLM:
             # leaves, the remaining stack carries MoE leaves —
             # _mlp_forward dispatches on which leaves are present.
             assert pp <= 1 and lora is None and not capture_aux_layers
+            assert ds_planes is None, "DeepStack + dense-prefix unsupported"
             dstack = {
                 k: v
                 for k, v in params["dense_layers"].items()
@@ -1197,6 +1214,7 @@ class LlamaForCausalLM:
             # splits at the capture indices — static slices of the
             # stacked weights, so nothing rides the carry.
             assert pp <= 1, "EAGLE3 aux capture under pp is unsupported"
+            assert ds_planes is None, "DeepStack + aux capture unsupported"
             ids = sorted(int(i) for i in capture_aux_layers)
             carry = (hidden, kv_cache, np.int32(0))
             aux_list = []
@@ -1217,6 +1235,26 @@ class LlamaForCausalLM:
             aux_cat = jnp.concatenate(aux_list, axis=-1)
             if ec_parts:
                 ecounts = jnp.concatenate(ec_parts, axis=0)
+        elif ds_planes is not None:
+            # DeepStack prefix: layers 0..n-1 run as length-1 scans so
+            # each visual plane can add to the residual stream between
+            # them; the remaining stack scans normally.
+            assert pp <= 1, "DeepStack under pp is unsupported"
+            n_ds = ds_planes.shape[0]
+            carry = (hidden, kv_cache, np.int32(0))
+            for j in range(n_ds):
+                xs_j = jax.tree_util.tree_map(
+                    lambda x, s=j: x[s : s + 1], xs_all
+                )
+                carry, _ = jax.lax.scan(layer_fn, carry, xs_j)
+                h_j, kvc_j, li_j = carry
+                carry = (
+                    (h_j + ds_planes[j]).astype(h_j.dtype), kvc_j, li_j,
+                )
+            xs_rest = jax.tree_util.tree_map(lambda x: x[n_ds:], xs_all)
+            (hidden, kv_cache, _), ecounts = jax.lax.scan(
+                layer_fn, carry, xs_rest
+            )
         elif pp <= 1:
             (hidden, kv_cache, _), ecounts = jax.lax.scan(
                 layer_fn, (hidden, kv_cache, np.int32(0)), xs_all

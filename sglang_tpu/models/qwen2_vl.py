@@ -77,9 +77,40 @@ class Qwen2_5_VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
     multimodal/qwen_vl.Qwen25VLProcessor."""
 
 
+class Qwen3VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    """Qwen3-VL text trunk (reference ``srt/models/qwen3_vl.py``):
+    Qwen3 attention (per-head qk RMSNorm, no biases) with INTERLEAVED
+    M-RoPE — frequency j reads axis T by default, H at j ∈ {1, 4, ...,
+    3·sec_h−2}, W at j ∈ {2, 5, ..., 3·sec_w−1} (HF
+    apply_interleaved_mrope) — plus DEEPSTACK: the processor's extra
+    feature planes add into the residual stream after the first
+    ``deepstack_layers`` text layers at visual positions (llama.py
+    deepstack injection)."""
+
+    def __init__(self, config, mesh_ctx=None):
+        super().__init__(config, mesh_ctx=mesh_ctx)
+        self.has_qkv_bias = False
+        self.has_qk_norm = True
+        hf = config.hf_config or {}
+        text = hf.get("text_config", hf)
+        rs = text.get("rope_scaling") or {}
+        sec = rs.get("mrope_section") or [self.rot_dim // 2, 0, 0]
+        if rs.get("mrope_interleaved", True):
+            m = np.zeros((self.rot_dim // 2,), np.int32)
+            for axis in (1, 2):
+                m[axis : 3 * sec[axis] : 3] = axis
+            self.mrope_section_map = m
+        # else: the contiguous-block map from the base class stands
+        vcfg = hf.get("vision_config") or {}
+        self.deepstack_layers = len(
+            vcfg.get("deepstack_visual_indexes") or ()
+        )
+
+
 EntryClass = [
     Qwen2VLForConditionalGeneration,
     Qwen2_5_VLForConditionalGeneration,
+    Qwen3VLForConditionalGeneration,
 ]
 
 

@@ -624,3 +624,248 @@ class Qwen25VLProcessor(QwenVLProcessor):
             * self.second_per_grid_ts
             * self.tokens_per_second
         ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-VL (reference srt/models/qwen3_vl.py): learned pos-embed ViT with
+# bilinear grid interpolation, LN blocks, 2D rotary, and DEEPSTACK — the
+# listed vision blocks' hidden states merge separately and ADD into the
+# text model's first layers at the visual token positions
+# (DeepStack, arXiv:2406.04334)
+# ---------------------------------------------------------------------------
+
+def _qwen3vl_pos_embed_order(grid, side: int, merge: int):
+    """Host-side bilinear interpolation plan for one grid: returns
+    (idx [4, S], w [4, S]) into the [side*side] pos-embed table, already
+    PERMUTED to the merge-window patch order (HF
+    fast_pos_embed_interpolate)."""
+    gt, gh, gw = grid
+    h_idxs = np.linspace(0, side - 1, gh)
+    w_idxs = np.linspace(0, side - 1, gw)
+    hf_, wf_ = h_idxs.astype(np.int64), w_idxs.astype(np.int64)
+    hc = np.clip(hf_ + 1, None, side - 1)
+    wc = np.clip(wf_ + 1, None, side - 1)
+    dh, dw = h_idxs - hf_, w_idxs - wf_
+    idx = np.stack(
+        [
+            (hf_[:, None] * side + wf_[None, :]).reshape(-1),
+            (hf_[:, None] * side + wc[None, :]).reshape(-1),
+            (hc[:, None] * side + wf_[None, :]).reshape(-1),
+            (hc[:, None] * side + wc[None, :]).reshape(-1),
+        ]
+    )
+    wgt = np.stack(
+        [
+            ((1 - dh)[:, None] * (1 - dw)[None, :]).reshape(-1),
+            ((1 - dh)[:, None] * dw[None, :]).reshape(-1),
+            (dh[:, None] * (1 - dw)[None, :]).reshape(-1),
+            (dh[:, None] * dw[None, :]).reshape(-1),
+        ]
+    ).astype(np.float32)
+
+    # raster → merge-window order, tiled over gt frames
+    def regroup(x):  # [gh*gw] raster → window order
+        x = x.reshape(gh // merge, merge, gw // merge, merge)
+        return x.transpose(0, 2, 1, 3).reshape(-1)
+
+    order = regroup(np.arange(gh * gw))
+    idx = np.tile(idx[:, order], (1, gt))
+    wgt = np.tile(wgt[:, order], (1, gt))
+    return idx, wgt
+
+
+def qwen3vl_vision_forward(
+    params: Dict[str, Any],
+    patches: jnp.ndarray,  # [S, C·T·ps·ps] in merge-window order
+    grid: Tuple[int, int, int],
+    *,
+    num_heads: int,
+    merge: int = 2,
+    deepstack_idx: Tuple[int, ...] = (),
+):
+    """→ (merged features [S/merge², out_hidden], deepstack features
+    [n_deepstack, S/merge², out_hidden])."""
+    x = patches @ params["patch_w"] + params["patch_b"]  # [S, E]
+    E = x.shape[-1]
+    hd = E // num_heads
+    side = int(round(float(np.sqrt(params["pos_emb"].shape[0]))))
+    pidx, pwgt = _qwen3vl_pos_embed_order(grid, side, merge)
+    pe = jnp.einsum(
+        "ksd,ks->sd", params["pos_emb"][jnp.asarray(pidx)],
+        jnp.asarray(pwgt),
+    )
+    x = x + pe
+    ang = jnp.asarray(_vision_rot_angles(grid, hd, merge))  # [S, hd/2]
+    cos = jnp.cos(jnp.concatenate([ang, ang], axis=-1))
+    sin = jnp.sin(jnp.concatenate([ang, ang], axis=-1))
+
+    def rope(t):  # [S, H, hd]
+        tf = t.astype(jnp.float32)
+        half = tf.shape[-1] // 2
+        rot = jnp.concatenate([-tf[..., half:], tf[..., :half]], axis=-1)
+        return tf * cos[:, None, :] + rot * sin[:, None, :]
+
+    def ln(v, w, b, eps=1e-6):
+        vf = v.astype(jnp.float32)
+        mu = vf.mean(-1, keepdims=True)
+        var = vf.var(-1, keepdims=True)
+        return (vf - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+    def merger(h, pfx, postshuffle):
+        if not postshuffle:
+            h = ln(h, params[pfx + "n_w"], params[pfx + "n_b"])
+        h = h.reshape(-1, E * merge * merge)
+        if postshuffle:
+            h = ln(h, params[pfx + "n_w"], params[pfx + "n_b"])
+        h = h @ params[pfx + "fc1_w"] + params[pfx + "fc1_b"]
+        h = jax.nn.gelu(h, approximate=False)  # nn.GELU exact
+        return h @ params[pfx + "fc2_w"] + params[pfx + "fc2_b"]
+
+    ds_out = []
+    L = params["blocks"]["norm1_w"].shape[0]
+    for i in range(L):
+        w = {k: v[i] for k, v in params["blocks"].items()}
+        h = ln(x, w["norm1_w"], w["norm1_b"])
+        qkv = h @ w["qkv_w"] + w["qkv_b"]  # [S, 3E]
+        S = qkv.shape[0]
+        # HF reshape(S, 3, heads, hd): per-head q/k/v interleaved
+        qkv = qkv.reshape(S, 3, num_heads, hd)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q, k = rope(q), rope(k)
+        v = v.astype(jnp.float32)
+        scores = jnp.einsum("qhd,khd->hqk", q, k) * (hd ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum("hqk,khd->qhd", probs, v).reshape(S, E)
+        x = x + (att @ w["proj_w"] + w["proj_b"])
+        h = ln(x, w["norm2_w"], w["norm2_b"])
+        h = h @ w["fc1_w"] + w["fc1_b"]
+        h = jax.nn.gelu(h, approximate=True)  # gelu_pytorch_tanh
+        x = x + (h @ w["fc2_w"] + w["fc2_b"])
+        if i in deepstack_idx:
+            j = deepstack_idx.index(i)
+            ds_out.append(merger(x, f"ds{j}_", postshuffle=True))
+
+    main = merger(x, "m_", postshuffle=False)
+    return main, jnp.stack(ds_out) if ds_out else jnp.zeros((0,) + main.shape)
+
+
+def load_qwen3vl_vision_params(model_path: str) -> Dict[str, Any]:
+    import glob
+    import os
+
+    from sglang_tpu.model_loader.loader import SafetensorsFile
+
+    t: Dict[str, np.ndarray] = {}
+    for f in sorted(glob.glob(os.path.join(model_path, "*.safetensors"))):
+        st = SafetensorsFile(f)
+        for name in st.keys():
+            for pre in ("model.visual.", "visual."):
+                if name.startswith(pre):
+                    t[name[len(pre):]] = np.asarray(
+                        st.get_tensor(name), np.float32
+                    )
+                    break
+    if not t:
+        raise ValueError(f"no qwen3-vl vision tower in {model_path}")
+    E = t["patch_embed.proj.weight"].shape[0]
+    n = 0
+    while f"blocks.{n}.norm1.weight" in t:
+        n += 1
+
+    def stack(fmt, tr=False):
+        arrs = [t[fmt.format(i)] for i in range(n)]
+        if tr:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs))
+
+    B = "blocks.{}."
+    out = {
+        "patch_w": jnp.asarray(
+            t["patch_embed.proj.weight"].reshape(E, -1).T
+        ),
+        "patch_b": jnp.asarray(t["patch_embed.proj.bias"]),
+        "pos_emb": jnp.asarray(t["pos_embed.weight"]),
+        "blocks": {
+            "norm1_w": stack(B + "norm1.weight"),
+            "norm1_b": stack(B + "norm1.bias"),
+            "qkv_w": stack(B + "attn.qkv.weight", tr=True),
+            "qkv_b": stack(B + "attn.qkv.bias"),
+            "proj_w": stack(B + "attn.proj.weight", tr=True),
+            "proj_b": stack(B + "attn.proj.bias"),
+            "norm2_w": stack(B + "norm2.weight"),
+            "norm2_b": stack(B + "norm2.bias"),
+            "fc1_w": stack(B + "mlp.linear_fc1.weight", tr=True),
+            "fc1_b": stack(B + "mlp.linear_fc1.bias"),
+            "fc2_w": stack(B + "mlp.linear_fc2.weight", tr=True),
+            "fc2_b": stack(B + "mlp.linear_fc2.bias"),
+        },
+        "m_n_w": jnp.asarray(t["merger.norm.weight"]),
+        "m_n_b": jnp.asarray(t["merger.norm.bias"]),
+        "m_fc1_w": jnp.asarray(t["merger.linear_fc1.weight"].T),
+        "m_fc1_b": jnp.asarray(t["merger.linear_fc1.bias"]),
+        "m_fc2_w": jnp.asarray(t["merger.linear_fc2.weight"].T),
+        "m_fc2_b": jnp.asarray(t["merger.linear_fc2.bias"]),
+    }
+    j = 0
+    while f"deepstack_merger_list.{j}.norm.weight" in t:
+        D = f"deepstack_merger_list.{j}."
+        out[f"ds{j}_n_w"] = jnp.asarray(t[D + "norm.weight"])
+        out[f"ds{j}_n_b"] = jnp.asarray(t[D + "norm.bias"])
+        out[f"ds{j}_fc1_w"] = jnp.asarray(t[D + "linear_fc1.weight"].T)
+        out[f"ds{j}_fc1_b"] = jnp.asarray(t[D + "linear_fc1.bias"])
+        out[f"ds{j}_fc2_w"] = jnp.asarray(t[D + "linear_fc2.weight"].T)
+        out[f"ds{j}_fc2_b"] = jnp.asarray(t[D + "linear_fc2.bias"])
+        j += 1
+    return out
+
+
+class Qwen3VLProcessor(QwenVLProcessor):
+    """Qwen3-VL images → text-space features + DEEPSTACK planes.
+
+    ``encode_images`` returns [n_tokens, (1 + n_deepstack) · H_text]:
+    the first H columns splice as embeddings; each following H-wide
+    slab ADDS to the residual stream after text layer j at the visual
+    positions (models/llama.py deepstack injection).  Videos use
+    timestamp text tokens in Qwen3-VL's chat template and are not wired
+    yet."""
+
+    def __init__(self, hf_config: Dict[str, Any], model_path: str):
+        vcfg = hf_config.get("vision_config") or {}
+        self.patch_size = int(vcfg.get("patch_size", 16))
+        self.merge = int(vcfg.get("spatial_merge_size", 2))
+        self.temporal = int(vcfg.get("temporal_patch_size", 2))
+        self.num_heads = int(vcfg.get("num_heads", 16))
+        self.deepstack_idx = tuple(
+            vcfg.get("deepstack_visual_indexes") or ()
+        )
+        self.deepstack_layers = len(self.deepstack_idx)
+        self.image_token_id = int(hf_config.get("image_token_id", 151655))
+        self.video_token_id = int(hf_config.get("video_token_id", 151656))
+        self.n_patches = 0
+        self.last_counts: List[int] = []
+        self.last_grids: List[Tuple[int, int, int]] = []
+        self.last_kinds: List[str] = []
+        self.params = load_qwen3vl_vision_params(model_path)
+        self._fwd = jax.jit(
+            qwen3vl_vision_forward,
+            static_argnames=("num_heads", "merge", "grid", "deepstack_idx"),
+        )
+
+    def _tower(self, patches: np.ndarray, grid) -> np.ndarray:
+        main, ds = self._fwd(
+            self.params, jnp.asarray(patches), grid,
+            num_heads=self.num_heads, merge=self.merge,
+            deepstack_idx=self.deepstack_idx,
+        )
+        main = np.asarray(main, np.float32)
+        ds = np.asarray(ds, np.float32)  # [n, rows, H]
+        if ds.shape[0]:
+            main = np.concatenate(
+                [main] + [ds[j] for j in range(ds.shape[0])], axis=-1
+            )
+        return main
+
+    def encode_videos(self, videos):
+        raise NotImplementedError(
+            "Qwen3-VL video inputs (timestamp-token template) not wired"
+        )
