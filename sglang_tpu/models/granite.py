@@ -88,4 +88,78 @@ class GraniteMoeForCausalLM(MixtralForCausalLM):
         return mapping
 
 
-EntryClass = [GraniteForCausalLM, GraniteMoeForCausalLM]
+class GraniteMoeSharedForCausalLM(GraniteMoeForCausalLM):
+    """GraniteMoeShared (reference ``srt/models/granitemoe.py`` shared
+    lineage): GraniteMoE plus an ALWAYS-ON shared MLP per layer, stored
+    fused like the experts (``shared_mlp.input_linear`` [2S, H] = gate;up
+    rows, ``output_linear`` [H, S])."""
+
+    def _mlp_shapes(self, L, H, I):
+        shapes = super()._mlp_shapes(L, H, I)
+        S = int((self.config.hf_config or {}).get(
+            "shared_intermediate_size", 0
+        ))
+        self._shared_I = S
+        if S:
+            shapes["shared_gate"] = (L, H, S)
+            shapes["shared_up"] = (L, H, S)
+            shapes["shared_down"] = (L, S, H)
+        return shapes
+
+    def _mlp_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        from sglang_tpu.parallel.mesh import AXIS_TP
+
+        specs = super()._mlp_specs()
+        if (self.config.hf_config or {}).get("shared_intermediate_size"):
+            specs["shared_gate"] = P(None, None, AXIS_TP)
+            specs["shared_up"] = P(None, None, AXIS_TP)
+            specs["shared_down"] = P(None, AXIS_TP, None)
+        return specs
+
+    def _mlp_forward(self, w, normed, proj=None):
+        from sglang_tpu.layers.activation import act_and_mul
+        from sglang_tpu.parallel.mesh import AXIS_TP
+
+        out = super()._mlp_forward(w, normed, proj)
+        if "shared_gate" in w:
+            shared = act_and_mul(
+                self.config.hidden_act,
+                normed @ w["shared_gate"],
+                normed @ w["shared_up"],
+            )
+            shared = self._shard(shared, None, None, AXIS_TP)
+            out = out + shared @ w["shared_down"]
+        return out
+
+    def hf_weight_mapping(self):
+        base = super().hf_weight_mapping()
+
+        def mapping(name: str):
+            parts = name.split(".")
+            if "layers" in parts:
+                li = int(parts[parts.index("layers") + 1])
+                tail = ".".join(parts[parts.index("layers") + 2:])
+                if tail == "shared_mlp.input_linear.weight":
+                    def split(t):
+                        w = np.asarray(t, np.float32)  # [2S, H]
+                        S = w.shape[0] // 2
+                        return {
+                            "shared_gate": w[:S].T,
+                            "shared_up": w[S:].T,
+                        }
+
+                    return ("layers", li, split)
+                if tail == "shared_mlp.output_linear.weight":
+                    return ("layers.shared_down", li, "t")
+            return base(name)
+
+        return mapping
+
+
+EntryClass = [
+    GraniteForCausalLM,
+    GraniteMoeForCausalLM,
+    GraniteMoeSharedForCausalLM,
+]

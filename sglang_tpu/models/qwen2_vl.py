@@ -107,10 +107,59 @@ class Qwen3VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
         )
 
 
+class Qwen3VLMoeForConditionalGeneration(
+    Qwen3VLForConditionalGeneration
+):
+    """Qwen3-VL-MoE (reference ``srt/models/qwen3_vl_moe.py``): the
+    Qwen3-VL trunk (deepstack + interleaved M-RoPE) with the Mixtral
+    MoE MLP.  HF stores experts as FUSED STACKED tensors —
+    ``mlp.experts.gate_up_proj`` [E, H, 2·MI] (gate then up halves,
+    already [in, out]) and ``down_proj`` [E, MI, H] — and always
+    renormalizes the top-k softmax weights."""
+
+    def __new__(cls, config, mesh_ctx=None):
+        from sglang_tpu.models.mixtral import MixtralForCausalLM
+
+        class _Trunk(Qwen3VLForConditionalGeneration, MixtralForCausalLM):
+            def hf_weight_mapping(self):
+                base = super().hf_weight_mapping()
+                MI = self.moe_inter
+
+                def mapping(name: str):
+                    n = name.replace(
+                        "model.language_model.", "model."
+                    ).replace("language_model.", "")
+                    parts = n.split(".")
+                    if "layers" in parts:
+                        li = int(parts[parts.index("layers") + 1])
+                        tail = ".".join(
+                            parts[parts.index("layers") + 2:]
+                        )
+                        if tail == "mlp.experts.gate_up_proj":
+                            def split(t, MI=MI):
+                                w = np.asarray(t, np.float32)
+                                return {
+                                    "moe_w1": w[..., :MI],
+                                    "moe_w3": w[..., MI:],
+                                }
+
+                            return ("layers", li, split)
+                        if tail == "mlp.experts.down_proj":
+                            return ("layers.moe_w2", li, None)
+                        if tail == "mlp.gate.weight":
+                            return ("layers.moe_gate", li, "t")
+                    return base(name)
+
+                return mapping
+
+        return _Trunk(config, mesh_ctx=mesh_ctx)
+
+
 EntryClass = [
     Qwen2VLForConditionalGeneration,
     Qwen2_5_VLForConditionalGeneration,
     Qwen3VLForConditionalGeneration,
+    Qwen3VLMoeForConditionalGeneration,
 ]
 
 

@@ -575,3 +575,31 @@ def test_ernie45_dense_greedy_matches_hf(tmp_path):
         kw, architectures=["Ernie4_5ForCausalLM"], model_type="ernie4_5",
     )
     _check_greedy(tmp_path, m, cfg, [(47 * i) % 500 + 1 for i in range(12)])
+
+
+def test_granitemoe_shared_greedy_matches_hf(tmp_path):
+    """GraniteMoeShared: GraniteMoE plus an always-on shared MLP stored
+    fused (input_linear gate;up rows, output_linear)."""
+    from transformers import (
+        GraniteMoeSharedConfig,
+        GraniteMoeSharedForCausalLM,
+    )
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, shared_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=512, max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=3.0, attention_multiplier=0.2,
+        residual_multiplier=0.4, logits_scaling=2.0,
+    )
+    torch.manual_seed(17)
+    m = GraniteMoeSharedForCausalLM(
+        GraniteMoeSharedConfig(**kw)
+    ).float().eval()
+    cfg = dict(
+        kw, architectures=["GraniteMoeSharedForCausalLM"],
+        model_type="granitemoeshared",
+    )
+    _check_greedy(tmp_path, m, cfg, [(53 * i) % 500 + 1 for i in range(12)])

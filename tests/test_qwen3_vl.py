@@ -157,3 +157,79 @@ def test_qwen3_vl_image_generation_matches_hf(tmp_path):
         assert out["output_ids"] == ref, (out["output_ids"], ref)
     finally:
         eng.shutdown()
+
+
+def test_qwen3_vl_moe_image_generation_matches_hf(tmp_path):
+    """Qwen3-VL-MoE: the deepstack/interleaved-M-RoPE trunk with the
+    Mixtral MoE MLP loaded from FUSED STACKED expert tensors
+    (gate_up_proj [E, H, 2MI] split into halves, down_proj as-is)."""
+    torch = pytest.importorskip("torch")
+    import safetensors.torch as st
+    from transformers import (
+        Qwen3VLMoeConfig,
+        Qwen3VLMoeForConditionalGeneration,
+    )
+
+    from sglang_tpu.multimodal.qwen_vl import qwen_patchify
+
+    text = dict(
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=512, max_position_embeddings=1024, rope_theta=10000.0,
+        rms_norm_eps=1e-5, head_dim=16, num_experts=4,
+        num_experts_per_tok=2, norm_topk_prob=True,
+        rope_scaling={
+            "rope_type": "default", "mrope_section": [2, 3, 3],
+            "mrope_interleaved": True,
+        },
+    )
+    vis = dict(VIS_TINY)
+    cfg = Qwen3VLMoeConfig(
+        text_config=dict(text), vision_config=vis,
+        image_token_id=500, video_token_id=501,
+        vision_start_token_id=502, vision_end_token_id=503,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf = Qwen3VLMoeForConditionalGeneration(cfg).float().eval()
+    sd = {k: v.contiguous() for k, v in hf.state_dict().items()}
+    st.save_file(sd, f"{tmp_path}/model.safetensors")
+    hf_json = {
+        "architectures": ["Qwen3VLMoeForConditionalGeneration"],
+        "model_type": "qwen3_vl_moe",
+        "text_config": dict(
+            text, model_type="qwen3_vl_moe_text", eos_token_id=257,
+            tie_word_embeddings=False,
+        ),
+        "vision_config": dict(vis, model_type="qwen3_vl_moe"),
+        "image_token_id": 500, "video_token_id": 501,
+        "vision_start_token_id": 502,
+        "eos_token_id": 257, "tie_word_embeddings": False,
+    }
+    with open(f"{tmp_path}/config.json", "w") as f:
+        json.dump(hf_json, f)
+
+    img = _image(5)
+    patches, grid = qwen_patchify(img, 14, 2, 2)
+    gt, gh, gw = grid
+    count = gt * (gh // 2) * (gw // 2)
+    eng = _engine(tmp_path)
+    try:
+        prompt = [3, 88, 502, 500, 41, 7]
+        out = eng.generate(
+            input_ids=list(prompt),
+            images=[img],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 10,
+                             "ignore_eos": True},
+        )
+        hf_ids = [3, 88, 502] + [500] * count + [41, 7]
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(patches),
+                image_grid_thw=torch.tensor([list(grid)]),
+                max_new_tokens=10, do_sample=False,
+            )[0, len(hf_ids):].tolist()
+        assert out["output_ids"] == ref, (out["output_ids"], ref)
+    finally:
+        eng.shutdown()
