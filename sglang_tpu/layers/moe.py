@@ -35,6 +35,7 @@ def moe_topk(
     scoring: str = "softmax",  # softmax (Mixtral/Qwen/DSv2) | sigmoid (DSv3)
     n_group: int = 1,  # DeepSeek group-limited routing (config n_group)
     topk_group: int = 1,  # groups a token may route into (config topk_group)
+    jitter_eps: float = 0.01,  # sparsemixer threshold (PhiMoE)
 ):
     """Gating → (weights [T, k] f32, expert ids [T, k] i32).
 
@@ -48,6 +49,34 @@ def moe_topk(
     masked to -inf before the final per-token top-k.
     """
     gl = gate_logits.astype(jnp.float32)
+    if scoring == "sparsemixer":
+        # PhiMoE sparsemixer (arXiv:2409.12136) at INFERENCE: two greedy
+        # argmax rounds; each weight is the softmax of the round's
+        # logits MASKED to the near-max set ((max − s)/max(|s|, max) ≤
+        # 2·jitter_eps) — no renormalization across the pair.
+        assert top_k == 2, "sparsemixer is defined for top-2 routing"
+        E = gl.shape[-1]
+
+        def pick(scores, masked_src):
+            idx = jnp.argmax(masked_src, axis=-1, keepdims=True)
+            m = jnp.take_along_axis(masked_src, idx, axis=-1)
+            factor = jnp.maximum(jnp.abs(gl), m)
+            drop = (m - gl) / factor > 2 * jitter_eps
+            gates = jnp.where(drop, -jnp.inf, masked_src)
+            w = jnp.take_along_axis(
+                jax.nn.softmax(gates, axis=-1), idx, axis=-1
+            )
+            return w, idx
+
+        w1, e1 = pick(gl, gl)
+        masked = jnp.where(
+            jax.nn.one_hot(e1[:, 0], E, dtype=bool), -jnp.inf, gl
+        )
+        w2, e2 = pick(gl, masked)
+        return (
+            jnp.concatenate([w1, w2], axis=-1),
+            jnp.concatenate([e1, e2], axis=-1).astype(jnp.int32),
+        )
     if scoring == "sigmoid":
         probs = jax.nn.sigmoid(gl)
     elif scoring == "llama4":
@@ -135,6 +164,7 @@ def moe_block(
     a2a: bool = False,
     weight_on_input: bool = False,  # Llama4: score scales the expert INPUT
     scales=None,  # (w1_s, w3_s, w2_s) per-out-channel f32 — int8 experts
+    jitter_eps: float = 0.01,  # sparsemixer threshold (PhiMoE)
 ) -> jnp.ndarray:
     """Token-choice sparse MoE forward (Mixtral/Qwen/DeepSeek families).
 
@@ -163,6 +193,7 @@ def moe_block(
             scoring=scoring, routed_scaling_factor=routed_scaling_factor,
             n_group=n_group, topk_group=topk_group,
             return_counts=return_counts, scales=scales,
+            jitter_eps=jitter_eps,
         )
         if return_counts:
             out, counts = out
@@ -174,7 +205,7 @@ def moe_block(
     )
     weights, expert_idx = moe_topk(
         gate_logits, top_k, norm_topk_prob, gate_bias, scoring,
-        n_group=n_group, topk_group=topk_group,
+        n_group=n_group, topk_group=topk_group, jitter_eps=jitter_eps,
     )
     if routed_scaling_factor != 1.0:
         weights = weights * routed_scaling_factor
@@ -359,6 +390,7 @@ def ep_dispatch_mlp(
     return_counts: bool = False,
     a2a_impl: str = "auto",
     scales=None,  # (s1, s3, s2) [E, 1, D] f32, sharded on E like w
+    jitter_eps: float = 0.01,
 ):
     """Expert-parallel MoE with REAL token dispatch — the TPU-native
     analogue of the reference's DeepEP dispatch/combine
@@ -413,7 +445,7 @@ def ep_dispatch_mlp(
         )
         weights, eidx = moe_topk(
             gl, top_k, norm_topk_prob, gb, scoring,
-            n_group=n_group, topk_group=topk_group,
+            n_group=n_group, topk_group=topk_group, jitter_eps=jitter_eps,
         )
         if routed_scaling_factor != 1.0:
             weights = weights * routed_scaling_factor

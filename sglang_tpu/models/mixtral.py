@@ -144,6 +144,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
             top_k=self.top_k,
             norm_topk_prob=self.config.norm_topk_prob,
             hidden_act=self.config.hidden_act,
+            scoring=getattr(self, "moe_scoring", "softmax"),
+            jitter_eps=getattr(self, "moe_jitter_eps", 0.01),
             # elastic-EP recovery injects a selection bias that masks the
             # failed rank's (duplicate) expert slots out of routing
             gate_bias=w.get("gate_bias"),

@@ -603,3 +603,23 @@ def test_granitemoe_shared_greedy_matches_hf(tmp_path):
         model_type="granitemoeshared",
     )
     _check_greedy(tmp_path, m, cfg, [(53 * i) % 500 + 1 for i in range(12)])
+
+
+def test_phimoe_greedy_matches_hf(tmp_path):
+    """Phi-3.5-MoE: SPARSEMIXER top-2 routing (two greedy rounds over
+    near-max-masked softmaxes, no renormalization) + LayerNorm-with-bias
+    + lm_head bias, on the Mixtral expert layout."""
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=512,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        num_local_experts=8, num_experts_per_tok=2,
+        router_jitter_noise=0.05, attention_bias=True, lm_head_bias=True,
+    )
+    torch.manual_seed(18)
+    m = PhimoeForCausalLM(PhimoeConfig(**kw)).float().eval()
+    cfg = dict(kw, architectures=["PhimoeForCausalLM"], model_type="phimoe")
+    _check_greedy(tmp_path, m, cfg, [(59 * i) % 500 + 1 for i in range(12)])
