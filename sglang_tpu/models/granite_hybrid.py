@@ -1,0 +1,461 @@
+"""IBM Granite 4.0 hybrid (GraniteMoeHybrid) causal LM.
+
+Equivalent role to the reference's ``srt/models/granitemoehybrid.py`` —
+``layer_types`` interleaves Bamba-style Mamba2 mixer layers (carried
+conv state + chunked SSD + gated RMSNorm) with GQA attention layers
+(NoPE unless ``position_embedding_type == "rope"``;
+``attention_multiplier`` replaces the 1/sqrt(d) scale).  EVERY layer
+ends with the GraniteMoe MoE (fused stacked expert tensors, top-k-then-
+softmax gating) PLUS an always-on fused shared MLP, both scaled by
+``residual_multiplier``; ``embedding_multiplier`` and
+``logits_scaling`` bracket the stack.  Conv+SSM states ride the
+Mamba-style state pool ({"kv", "conv", "ssm"} hybrid cache)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_tpu.layers.activation import act_and_mul
+from sglang_tpu.layers.attention import paged_attention
+from sglang_tpu.layers.moe import moe_block
+from sglang_tpu.layers.norm import rms_norm
+from sglang_tpu.layers.rotary import compute_inv_freq
+from sglang_tpu.models.mamba import _chunked_ssd
+from sglang_tpu.parallel.mesh import AXIS_TP
+
+
+class GraniteMoeHybridForCausalLM:
+    is_stateful = True
+    hybrid_state = True
+    requires_disable_radix = True
+    supports_cp = False
+    supports_dcp = False
+
+    def __init__(self, config, mesh_ctx=None):
+        self.config = config
+        self.mesh_ctx = mesh_ctx
+        hf = config.hf_config or {}
+        H = config.hidden_size
+        self.hq = config.num_attention_heads
+        self.hkv = config.num_key_value_heads
+        self.hd = config.head_dim
+        self.sm_scale = float(
+            hf.get("attention_multiplier")
+            or 1.0 / np.sqrt(self.hd)
+        )
+        self.eps = config.rms_norm_eps
+        self.embed_mult = float(hf.get("embedding_multiplier", 1.0))
+        self.res_mult = float(hf.get("residual_multiplier", 1.0))
+        self.logits_div = float(hf.get("logits_scaling", 1.0))
+        self.use_rope = hf.get("position_embedding_type") == "rope"
+        self.num_experts = int(hf.get("num_local_experts", 0) or 0)
+        self.top_k = int(hf.get("num_experts_per_tok", 0) or 0)
+        self.moe_inter = config.moe_intermediate_size or config.intermediate_size
+        self.shared_I = int(hf.get("shared_intermediate_size", 0) or 0)
+        # mamba mixer geometry (same as Bamba)
+        self.d_inner = int(hf.get("mamba_expand", 2)) * H
+        self.n_heads = int(hf.get("mamba_n_heads", 128))
+        self.headdim = int(
+            hf.get("mamba_d_head", self.d_inner // self.n_heads)
+        )
+        self.d_state = int(hf.get("mamba_d_state", 256))
+        self.n_groups = int(hf.get("mamba_n_groups", 1))
+        self.conv_k = int(hf.get("mamba_d_conv", 4))
+        self.conv_dim = self.d_inner + 2 * self.n_groups * self.d_state
+        self.d_in_proj = (
+            2 * self.d_inner + 2 * self.n_groups * self.d_state
+            + self.n_heads
+        )
+        L = config.num_hidden_layers
+        lt = hf.get("layer_types") or ["mamba"] * L
+        self.layer_types = list(lt)
+        self.n_mamba = sum(1 for t in self.layer_types if t == "mamba")
+        self.num_kv_layers = L - self.n_mamba
+        self.inv_freq = compute_inv_freq(
+            self.hd, config.rope_theta, config.rope_scaling,
+            config.partial_rotary_factor,
+        )
+        self.rot_half = int(self.inv_freq.shape[0])
+
+    # ------------------------------------------------------------ schema
+    def _mlp_shapes(self, n: int) -> Dict[str, Any]:
+        H, I, E, S = (
+            self.config.hidden_size, self.moe_inter, self.num_experts,
+            self.shared_I,
+        )
+        shapes = {"post_ln": (n, H)}
+        if E:
+            shapes.update(
+                moe_gate=(n, H, E),
+                moe_w1=(n, E, H, I),
+                moe_w3=(n, E, H, I),
+                moe_w2=(n, E, I, H),
+            )
+        if S:
+            shapes.update(
+                shared_gate=(n, H, S),
+                shared_up=(n, H, S),
+                shared_down=(n, S, H),
+            )
+        return shapes
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        H = c.hidden_size
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        Lm, Lf = self.n_mamba, self.num_kv_layers
+        shapes = {"embed": (c.vocab_size, H), "final_ln": (H,)}
+        if Lm:
+            shapes["mamba_layers"] = {
+                "input_ln": (Lm, H),
+                "in_proj": (Lm, H, self.d_in_proj),
+                "conv_w": (Lm, self.conv_dim, self.conv_k),
+                "conv_b": (Lm, self.conv_dim),
+                "dt_bias": (Lm, self.n_heads),
+                "A_log": (Lm, self.n_heads),
+                "D": (Lm, self.n_heads),
+                "gnorm": (Lm, self.d_inner),
+                "out_proj": (Lm, self.d_inner, H),
+                **self._mlp_shapes(Lm),
+            }
+        if Lf:
+            shapes["attn_layers"] = {
+                "input_ln": (Lf, H),
+                "q_proj": (Lf, H, hq * d),
+                "k_proj": (Lf, H, hkv * d),
+                "v_proj": (Lf, H, hkv * d),
+                "o_proj": (Lf, hq * d, H),
+                **self._mlp_shapes(Lf),
+            }
+        if not c.tie_word_embeddings:
+            shapes["lm_head"] = (c.vocab_size, H)
+        return shapes
+
+    def param_specs(self) -> Dict[str, Any]:
+        def spec_like(tree):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    out[k] = spec_like(v)
+                    continue
+                nd = len(v)
+                if k in ("in_proj", "q_proj", "k_proj", "v_proj",
+                         "shared_gate", "shared_up"):
+                    out[k] = P(*([None] * (nd - 1) + [AXIS_TP]))
+                elif k in ("o_proj", "out_proj", "shared_down"):
+                    out[k] = P(*([None] * (nd - 2) + [AXIS_TP, None]))
+                elif k in ("moe_w1", "moe_w3"):
+                    out[k] = P(None, None, None, AXIS_TP)
+                elif k == "moe_w2":
+                    out[k] = P(None, None, AXIS_TP, None)
+                elif k in ("embed", "lm_head"):
+                    out[k] = P(AXIS_TP, None)
+                else:
+                    out[k] = P(*([None] * nd))
+            return out
+
+        return spec_like(self.param_shapes())
+
+    def hf_weight_mapping(self):
+        m_idx, a_idx = {}, {}
+        for i, t in enumerate(self.layer_types):
+            if t == "mamba":
+                m_idx[i] = len(m_idx)
+            else:
+                a_idx[i] = len(a_idx)
+        I = self.moe_inter
+
+        def split_experts(t, I=I):
+            w = np.asarray(t, np.float32)  # [E, 2I, H]
+            return {
+                "moe_w1": w[:, :I, :].transpose(0, 2, 1),
+                "moe_w3": w[:, I:, :].transpose(0, 2, 1),
+            }
+
+        def split_shared(t):
+            w = np.asarray(t, np.float32)  # [2S, H]
+            S = w.shape[0] // 2
+            return {"shared_gate": w[:S].T, "shared_up": w[S:].T}
+
+        mamba_table = {
+            "mamba.in_proj.weight": ("in_proj", "t"),
+            "mamba.conv1d.weight": (
+                "conv_w", lambda t: np.asarray(t)[:, 0, :]
+            ),
+            "mamba.conv1d.bias": ("conv_b", None),
+            "mamba.dt_bias": ("dt_bias", None),
+            "mamba.A_log": ("A_log", None),
+            "mamba.D": ("D", None),
+            "mamba.norm.weight": ("gnorm", None),
+            "mamba.out_proj.weight": ("out_proj", "t"),
+        }
+        attn_table = {
+            "self_attn.q_proj.weight": ("q_proj", "t"),
+            "self_attn.k_proj.weight": ("k_proj", "t"),
+            "self_attn.v_proj.weight": ("v_proj", "t"),
+            "self_attn.o_proj.weight": ("o_proj", "t"),
+        }
+        both = {
+            "input_layernorm.weight": ("input_ln", None),
+            "post_attention_layernorm.weight": ("post_ln", None),
+            "block_sparse_moe.input_linear.weight": (None, split_experts),
+            "block_sparse_moe.output_linear.weight": (
+                "moe_w2", lambda t: np.asarray(t).transpose(0, 2, 1)
+            ),
+            "block_sparse_moe.router.layer.weight": ("moe_gate", "t"),
+            "shared_mlp.input_linear.weight": (None, split_shared),
+            "shared_mlp.output_linear.weight": ("shared_down", "t"),
+        }
+
+        def mapping(name: str):
+            if name in ("model.embed_tokens.weight", "embed_tokens.weight"):
+                return ("embed", None, None)
+            if name in ("model.norm.weight", "norm.weight"):
+                return ("final_ln", None, None)
+            if name == "lm_head.weight":
+                if self.config.tie_word_embeddings:
+                    return None
+                return ("lm_head", None, None)
+            parts = name.split(".")
+            if "layers" not in parts:
+                return None
+            li = int(parts[parts.index("layers") + 1])
+            tail = ".".join(parts[parts.index("layers") + 2 :])
+            is_m = self.layer_types[li] == "mamba"
+            stack = "mamba_layers" if is_m else "attn_layers"
+            idx = m_idx[li] if is_m else a_idx[li]
+            for table in (mamba_table if is_m else attn_table, both):
+                if tail in table:
+                    leaf, tf = table[tail]
+                    path = stack if leaf is None else f"{stack}.{leaf}"
+                    return (path, idx, tf)
+            return None
+
+        return mapping
+
+    # --------------------------------------------------------- state pool
+    def init_state_pool(self, num_pages: int, dtype=jnp.float32):
+        return {
+            "conv": jnp.zeros(
+                (self.n_mamba, num_pages, self.conv_k - 1, self.conv_dim),
+                self.config.dtype,
+            ),
+            "ssm": jnp.zeros(
+                (
+                    self.n_mamba, num_pages, self.n_heads, self.headdim,
+                    self.d_state,
+                ),
+                jnp.float32,
+            ),
+        }
+
+    def state_pool_bytes_per_slot(self) -> int:
+        return (
+            2 * self.n_mamba * (self.conv_k - 1) * self.conv_dim
+            + 4 * self.n_mamba * self.n_heads * self.headdim * self.d_state
+        )
+
+    # ---------------------------------------------------------- sublayers
+    def _mamba_mixer(self, w, normed, conv_pool, ssm_pool, li, slot,
+                     tmask, n_new):
+        """Bamba's Mamba2 mixer (gated RMSNorm before out_proj)."""
+        B, Lq, H = normed.shape
+        nh, hd, ns, ng = (
+            self.n_heads, self.headdim, self.d_state, self.n_groups,
+        )
+        di, k = self.d_inner, self.conv_k
+        zxbcdt = normed @ w["in_proj"]
+        z = zxbcdt[..., :di]
+        xBC = zxbcdt[..., di: di + self.conv_dim]
+        dt_raw = zxbcdt[..., di + self.conv_dim:]
+
+        xBC = jnp.where(tmask[..., None], xBC, 0.0)
+        cstate = conv_pool[li][slot]
+        ext = jnp.concatenate([cstate.astype(xBC.dtype), xBC], axis=1)
+        conv = sum(
+            ext[:, i: i + Lq] * w["conv_w"][:, i] for i in range(k)
+        ) + w["conv_b"]
+        xBC = jax.nn.silu(conv)
+        gidx = (
+            n_new[:, None] + jnp.arange(k - 1, dtype=jnp.int32)[None]
+        )
+        new_cstate = jnp.take_along_axis(ext, gidx[..., None], axis=1)
+        conv_pool = conv_pool.at[li, slot].set(
+            new_cstate.astype(conv_pool.dtype)
+        )
+
+        x = xBC[..., :di].reshape(B, Lq, nh, hd)
+        Bmat = xBC[..., di: di + ng * ns].reshape(B, Lq, ng, ns)
+        Cmat = xBC[..., di + ng * ns:].reshape(B, Lq, ng, ns)
+        rep = nh // ng
+        Bh = jnp.repeat(Bmat, rep, axis=2)
+        Ch = jnp.repeat(Cmat, rep, axis=2)
+        dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + w["dt_bias"])
+        dt = jnp.where(tmask[..., None], dt, 0.0)
+        A = -jnp.exp(w["A_log"].astype(jnp.float32))
+        sstate = ssm_pool[li][slot].astype(jnp.float32)
+
+        if Lq == 1:
+            dA = jnp.exp(dt[:, 0] * A)
+            upd = (
+                dt[:, 0, :, None, None]
+                * x[:, 0, :, :, None].astype(jnp.float32)
+                * Bh[:, 0, :, None, :].astype(jnp.float32)
+            )
+            sstate = sstate * dA[:, :, None, None] + upd
+            y = jnp.einsum(
+                "bhpn,bhn->bhp", sstate, Ch[:, 0].astype(jnp.float32)
+            )[:, None]
+        else:
+            y, sstate = _chunked_ssd(
+                x.astype(jnp.float32), dt, A,
+                Bh.astype(jnp.float32), Ch.astype(jnp.float32), sstate,
+            )
+        ssm_pool = ssm_pool.at[li, slot].set(sstate.astype(ssm_pool.dtype))
+        y = y + w["D"][:, None] * x.astype(jnp.float32)
+        y = y.reshape(B, Lq, di)
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+        y = rms_norm(y, w["gnorm"], self.eps)
+        return (y.astype(normed.dtype) @ w["out_proj"]), conv_pool, ssm_pool
+
+    def _attn(self, w, normed, kv, batch, li, *, num_slots, page_size,
+              attn_backend):
+        B, Lq, H = normed.shape
+        hq, hkv, d = self.hq, self.hkv, self.hd
+        q = (normed @ w["q_proj"]).reshape(B, Lq, hq, d)
+        k = (normed @ w["k_proj"]).reshape(B, Lq, hkv, d)
+        v = (normed @ w["v_proj"]).reshape(B, Lq, hkv, d)
+        if self.use_rope:
+            half = self.rot_half
+            angles = (
+                batch.positions[..., None].astype(jnp.float32)
+                * self.inv_freq
+            )
+            cos = jnp.cos(angles)[..., None, :]
+            sin = jnp.sin(angles)[..., None, :]
+
+            def rope(x):
+                xf = x.astype(jnp.float32)
+                rot = 2 * half
+                x1, x2 = xf[..., :half], xf[..., half:rot]
+                o = jnp.concatenate(
+                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                )
+                if rot < d:
+                    o = jnp.concatenate([o, xf[..., rot:]], axis=-1)
+                return o.astype(x.dtype)
+
+            q, k = rope(q), rope(k)
+        attn_out, kv = paged_attention(
+            q, k, v, kv, batch, jnp.int32(li),
+            num_slots=num_slots, page_size=page_size,
+            sm_scale=self.sm_scale, backend=attn_backend,
+        )
+        return attn_out.reshape(B, Lq, hq * d) @ w["o_proj"], kv
+
+    # ------------------------------------------------------------ forward
+    def forward(
+        self,
+        params,
+        kv_cache,  # {"kv", "conv", "ssm"}
+        batch,
+        *,
+        num_slots,
+        page_size,
+        attn_backend="xla",
+        return_all_hidden=False,
+        capture_features=False,
+        lora=None,
+        context_parallel=False,
+        capture_expert_counts=False,
+        quant_stacks=None,
+    ):
+        del lora, context_parallel, capture_expert_counts, quant_stacks
+        c = self.config
+        B, Lq = batch.input_ids.shape
+        slot = batch.page_table[:, 0]
+        n_new = jnp.maximum(batch.seq_lens - batch.positions[:, 0], 0)
+        tmask = (
+            jnp.arange(Lq, dtype=jnp.int32)[None, :] < n_new[:, None]
+        )
+
+        hidden = params["embed"][batch.input_ids] * self.embed_mult
+        kv = kv_cache["kv"]
+        conv_pool, ssm_pool = kv_cache["conv"], kv_cache["ssm"]
+        li_m = li_a = 0
+        for i, t in enumerate(self.layer_types):
+            if t == "mamba":
+                w = jax.tree_util.tree_map(
+                    lambda a, j=li_m: a[j], params["mamba_layers"]
+                )
+                normed = rms_norm(hidden, w["input_ln"], self.eps)
+                out, conv_pool, ssm_pool = self._mamba_mixer(
+                    w, normed, conv_pool, ssm_pool, li_m, slot, tmask,
+                    n_new,
+                )
+                li_m += 1
+            else:
+                w = jax.tree_util.tree_map(
+                    lambda a, j=li_a: a[j], params["attn_layers"]
+                )
+                normed = rms_norm(hidden, w["input_ln"], self.eps)
+                out, kv = self._attn(
+                    w, normed, kv, batch, li_a,
+                    num_slots=num_slots, page_size=page_size,
+                    attn_backend=attn_backend,
+                )
+                li_a += 1
+            hidden = hidden + out * self.res_mult
+            normed = rms_norm(hidden, w["post_ln"], self.eps)
+            mlp = jnp.zeros_like(normed)
+            if self.num_experts:
+                mlp = mlp + moe_block(
+                    normed,
+                    w["moe_gate"],
+                    w["moe_w1"],
+                    w["moe_w3"],
+                    w["moe_w2"],
+                    top_k=self.top_k,
+                    norm_topk_prob=True,  # top-k-then-softmax gating
+                    hidden_act=c.hidden_act,
+                )
+            if self.shared_I:
+                shared = act_and_mul(
+                    c.hidden_act,
+                    normed @ w["shared_gate"],
+                    normed @ w["shared_up"],
+                )
+                mlp = mlp + shared @ w["shared_down"]
+            hidden = hidden + mlp * self.res_mult
+
+        kv_cache = {"kv": kv, "conv": conv_pool, "ssm": ssm_pool}
+        features = hidden
+        hidden = rms_norm(hidden, params["final_ln"], self.eps)
+        flat = hidden.reshape(B * Lq, -1)
+        extras = []
+        if capture_features:
+            extras.append(features)
+        if return_all_hidden:
+            return (flat, kv_cache, *extras)
+        return (flat[batch.logits_idx], kv_cache, *extras)
+
+    def compute_logits(self, params, hidden: jnp.ndarray) -> jnp.ndarray:
+        w = (
+            params["embed"]
+            if self.config.tie_word_embeddings
+            else params["lm_head"]
+        )
+        return jnp.einsum(
+            "bh,vh->bv", hidden, w, preferred_element_type=jnp.float32
+        ) / self.logits_div
+
+    def per_layer_window(self) -> np.ndarray:
+        return np.zeros((self.config.num_hidden_layers,), np.int32)
+
+
+EntryClass = [GraniteMoeHybridForCausalLM]

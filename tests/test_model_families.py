@@ -623,3 +623,38 @@ def test_phimoe_greedy_matches_hf(tmp_path):
     m = PhimoeForCausalLM(PhimoeConfig(**kw)).float().eval()
     cfg = dict(kw, architectures=["PhimoeForCausalLM"], model_type="phimoe")
     _check_greedy(tmp_path, m, cfg, [(59 * i) % 500 + 1 for i in range(12)])
+
+
+def test_granitemoe_hybrid_greedy_matches_hf(tmp_path):
+    """Granite 4.0 hybrid: Mamba2 + NoPE attention layers, GraniteMoE
+    fused experts + always-on shared MLP per layer, granite multipliers
+    — token-exact through the hybrid {kv, conv, ssm} cache."""
+    from transformers import (
+        GraniteMoeHybridConfig,
+        GraniteMoeHybridForCausalLM,
+    )
+
+    kw = dict(
+        hidden_size=64, intermediate_size=96, shared_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=512, max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False, eos_token_id=257,
+        pad_token_id=0, num_local_experts=4, num_experts_per_tok=2,
+        layer_types=["mamba", "attention"],
+        mamba_n_heads=4, mamba_d_head=32, mamba_d_state=16,
+        mamba_n_groups=1, mamba_expand=2, mamba_d_conv=4,
+        mamba_chunk_size=16,
+        embedding_multiplier=4.0, attention_multiplier=0.2,
+        residual_multiplier=0.4, logits_scaling=3.0,
+    )
+    torch.manual_seed(19)
+    m = GraniteMoeHybridForCausalLM(
+        GraniteMoeHybridConfig(**kw)
+    ).float().eval()
+    cfg = dict(
+        kw, architectures=["GraniteMoeHybridForCausalLM"],
+        model_type="granitemoehybrid",
+    )
+    _check_greedy(
+        tmp_path, m, cfg, [(61 * i) % 500 + 1 for i in range(20)],
+    )
