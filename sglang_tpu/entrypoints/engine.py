@@ -183,6 +183,15 @@ class Engine:
                 self.mm_processor.n_patches,
             )
         elif any(
+            "Mistral3" in a for a in cfg.architectures
+        ) and server_args.load_format in ("auto", "safetensors"):
+            from sglang_tpu.multimodal.pixtral import Mistral3Processor
+
+            self.mm_processor = Mistral3Processor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info("Mistral3/Pixtral processor ready")
+        elif any(
             "InternVL" in a for a in cfg.architectures
         ) and server_args.load_format in ("auto", "safetensors"):
             from sglang_tpu.multimodal.internvl import InternVLProcessor
