@@ -192,6 +192,18 @@ class Engine:
             )
             logger.info("Mistral3/Pixtral processor ready")
         elif any(
+            "Idefics3" in a or "SmolVLM" in a for a in cfg.architectures
+        ) and server_args.load_format in ("auto", "safetensors"):
+            from sglang_tpu.multimodal.idefics3 import Idefics3Processor
+
+            self.mm_processor = Idefics3Processor(
+                cfg.hf_config, server_args.model_path
+            )
+            logger.info(
+                "Idefics3/SmolVLM processor ready (%d tokens per image)",
+                self.mm_processor.n_patches,
+            )
+        elif any(
             "InternVL" in a for a in cfg.architectures
         ) and server_args.load_format in ("auto", "safetensors"):
             from sglang_tpu.multimodal.internvl import InternVLProcessor
