@@ -25,6 +25,9 @@
 
 #include <algorithm>
 #include <atomic>
+#include <climits>
+#include <sstream>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <map>
@@ -94,6 +97,11 @@ class PrefixTree {
 struct Worker {
   std::string host;
   int port;
+  // discovery-file attributes (reference worker_manager worker config):
+  // weight scales the load comparison (in_flight/weight); only the
+  // highest-priority healthy tier receives traffic.
+  std::atomic<int> weight{1};
+  std::atomic<int> priority{0};
   std::atomic<int64_t> in_flight{0};
   std::atomic<int64_t> total{0};
   std::atomic<int64_t> failures{0};   // connect/relay errors (passive)
@@ -161,18 +169,40 @@ struct Gateway {
                               }),
                pool.end());
     if (pool.empty()) return nullptr;
+    // priority tiers: only the highest-priority eligible workers route
+    // (lower tiers are warm standbys that engage when the tier above
+    // is unhealthy or excluded by failover)
+    int max_pri = INT_MIN;
+    for (auto& w : pool) max_pri = std::max(max_pri, w->priority.load());
+    pool.erase(std::remove_if(pool.begin(), pool.end(),
+                              [&](const WorkerPtr& w) {
+                                return w->priority.load() != max_pri;
+                              }),
+               pool.end());
     if (policy == "round_robin" || text.empty()) {
-      return pool[rr++ % pool.size()];
+      // weighted round robin: walk the cumulative weights
+      long long W = 0;
+      for (auto& w : pool) W += std::max(1, w->weight.load());
+      long long t = (long long)(rr++ % (uint64_t)std::max<long long>(W, 1));
+      for (auto& w : pool) {
+        t -= std::max(1, w->weight.load());
+        if (t < 0) return w;
+      }
+      return pool.back();
     }
-    // shortest queue; ties break on fewest total routed so idle
-    // workers still spread (reference worker_manager load tracking)
+    // weighted shortest queue (compare in_flight/weight by cross-
+    // multiplying); ties break on weighted total so idle workers still
+    // spread proportionally (reference worker_manager load tracking)
+    auto lighter = [](const WorkerPtr& a, const WorkerPtr& b) {
+      long long wa = std::max(1, a->weight.load());
+      long long wb = std::max(1, b->weight.load());
+      long long l = a->in_flight.load() * wb, r = b->in_flight.load() * wa;
+      if (l != r) return l < r;
+      return a->total.load() * wb < b->total.load() * wa;
+    };
     WorkerPtr shortest = pool[0];
-    for (auto& w : pool) {
-      if (w->in_flight < shortest->in_flight ||
-          (w->in_flight == shortest->in_flight &&
-           w->total < shortest->total))
-        shortest = w;
-    }
+    for (auto& w : pool)
+      if (lighter(w, shortest)) shortest = w;
     if (policy == "shortest_queue") return shortest;
 
     // cache_aware
@@ -563,15 +593,34 @@ void reconcile_discovery() {
         want_dec.insert({host, port});
         g_pd.add(false, host, port, bootstrap);
       }
-    } else if (split_hostport(line, host, port)) {
-      want.insert({host, port});
-      bool have = false;
-      for (auto& w : g_gateway.snapshot(false))
-        if (w->host == host && w->port == port) have = true;
-      if (!have) {
-        g_gateway.add_worker(host, port);
-        fprintf(stderr, "gateway: discovered worker %s:%d\n",
-                host.c_str(), port);
+    } else {
+      // regular worker line: "host:port [weight=N] [priority=N]"
+      std::string ep = line;
+      int wgt = 1, pri = 0;
+      size_t sp = line.find(' ');
+      if (sp != std::string::npos) {
+        ep = line.substr(0, sp);
+        std::istringstream attrs(line.substr(sp + 1));
+        std::string tok;
+        while (attrs >> tok) {
+          if (tok.rfind("weight=", 0) == 0)
+            wgt = std::max(1, atoi(tok.c_str() + 7));
+          else if (tok.rfind("priority=", 0) == 0)
+            pri = atoi(tok.c_str() + 9);
+        }
+      }
+      if (split_hostport(ep, host, port)) {
+        want.insert({host, port});
+        WorkerPtr have;
+        for (auto& w : g_gateway.snapshot(false))
+          if (w->host == host && w->port == port) have = w;
+        if (!have) {
+          have = g_gateway.add_worker(host, port);
+          fprintf(stderr, "gateway: discovered worker %s:%d\n",
+                  host.c_str(), port);
+        }
+        have->weight = wgt;      // live-updated on every reconcile
+        have->priority = pri;
       }
     }
   }
@@ -670,7 +719,9 @@ void serve_client(int cfd) {
            std::to_string(w->port) + ",\"in_flight\":" +
            std::to_string(w->in_flight.load()) + ",\"total\":" +
            std::to_string(w->total.load()) + ",\"failures\":" +
-           std::to_string(w->failures.load()) + ",\"healthy\":" +
+           std::to_string(w->failures.load()) + ",\"weight\":" +
+           std::to_string(w->weight.load()) + ",\"priority\":" +
+           std::to_string(w->priority.load()) + ",\"healthy\":" +
            (w->healthy ? "true" : "false") + "}";
     }
     j += "],\"requests\":" + std::to_string(g_requests.load()) +

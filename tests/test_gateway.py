@@ -361,3 +361,48 @@ def test_gateway_pd_prefill_cache_aware():
         p1.stop()
         p2.stop()
         dec.stop()
+
+
+def test_gateway_discovery_weights_and_priority(tmp_path):
+    """Discovery-file worker attributes: 'host:port weight=N priority=N'.
+    Only the highest-priority tier routes; within a tier, weighted
+    shortest-queue spreads totals proportionally to weight."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    s1, s2, s3 = _StubWorker(), _StubWorker(), _StubWorker()
+    disc = tmp_path / "endpoints.txt"
+    # s1 weight 3, s2 weight 1 (priority 0); s3 is a LOWER-priority
+    # standby that must receive nothing while s1/s2 are healthy
+    disc.write_text(
+        f"{s1.addr} weight=3\n{s2.addr}\n{s3.addr} priority=-1\n"
+    )
+    gw = GatewayProcess(0, [], policy="shortest_queue",
+                        discovery_file=str(disc),
+                        discovery_interval_ms=100)
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+
+        def workers():
+            ws = httpx.get(base + "/gateway/workers", timeout=5).json()
+            return {w["port"]: w for w in ws["workers"]}
+
+        assert _poll(
+            lambda: sorted(workers()) == sorted([s1.port, s2.port, s3.port])
+        )
+        w = workers()
+        assert w[s1.port]["weight"] == 3 and w[s2.port]["weight"] == 1
+        assert w[s3.port]["priority"] == -1
+        for i in range(16):
+            r = httpx.post(base + "/generate",
+                           json={"input_ids": [i]}, timeout=10)
+            assert r.status_code == 200
+        # weighted spread: s1 gets ~3x s2's traffic; standby gets none
+        assert len(s3.bodies) == 0
+        assert len(s1.bodies) == 12 and len(s2.bodies) == 4, (
+            len(s1.bodies), len(s2.bodies),
+        )
+    finally:
+        gw.stop()
+        s1.stop()
+        s2.stop()
+        s3.stop()
