@@ -43,7 +43,7 @@ def _prefill_kernel(
     # inputs (auto-pipelined blocks)
     q_ref,  # [1, 1, 1, TQ*G, D] VMEM
     kv_ref,  # [1, 1, TC, 2, D] VMEM
-    sinks_ref,  # [1, TQ*G] f32 VMEM — per-row sink logits (zeros if unused)
+    sinks_ref,  # [1, 1, TQ*G] f32 VMEM — per-row sink logits (zeros if unused)
     # outputs
     o_ref,  # [1, 1, 1, TQ*G, D] VMEM
     # scratch (persist across the kv grid dim)
@@ -145,7 +145,7 @@ def _prefill_kernel(
             # numerator only rescales.  Dead (padded) rows have m at
             # -1e20 and l 0 → l becomes exp(0)=1, acc stays 0.
             m = m_scr[:, :1]
-            s = sinks_ref[0][:, None].astype(jnp.float32)  # [R, 1]
+            s = sinks_ref[0, 0][:, None].astype(jnp.float32)  # [R, 1]
             m_f = jnp.maximum(m, s)
             l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
             acc = acc * jnp.exp(m - m_f)
@@ -203,9 +203,9 @@ def flash_prefill_attention(
         # global query head h*G + r%G.
         sinks_in = jnp.tile(
             jnp.asarray(sinks, jnp.float32).reshape(Hkv, 1, G), (1, tq, 1)
-        ).reshape(Hkv, tq * G)
+        ).reshape(Hkv, 1, tq * G)
     else:
-        sinks_in = jnp.zeros((Hkv, tq * G), jnp.float32)
+        sinks_in = jnp.zeros((Hkv, 1, tq * G), jnp.float32)
 
     kernel = functools.partial(
         _prefill_kernel, tq=tq, tc=tc, g=G, logit_cap=logit_cap,
@@ -226,8 +226,8 @@ def flash_prefill_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tq * G),
-                lambda b, h, qi, ci, *_: (h, 0),
+                (1, 1, tq * G),
+                lambda b, h, qi, ci, *_: (h, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
