@@ -8,6 +8,10 @@ the gap between the measured step time and the weights-bandwidth floor
 Timing rules (memory: tpu-tunnel-quirks): vary one input per iteration,
 dispatch the whole list, block at the end; warm twice; per-call times
 below ~1 ms are amortized over iterations.
+
+All weights are passed as jit ARGUMENTS — closed-over device arrays
+would be inlined as HLO constants and shipped through the remote
+compiler (minutes per GB).
 """
 
 from __future__ import annotations
@@ -46,14 +50,15 @@ def report(name, ms, gbytes):
     floor = gbytes / HBM_GBPS * 1e3
     print(
         f"{name:<28} {ms:8.3f} ms   traffic {gbytes*1e3:7.1f} MB   "
-        f"{bw:6.0f} GB/s   floor {floor:6.3f} ms   waste {ms-floor:6.3f} ms"
+        f"{bw:6.0f} GB/s   floor {floor:6.3f} ms   waste {ms-floor:6.3f} ms",
+        flush=True,
     )
 
 
 def main():
     key = jax.random.PRNGKey(0)
     dev = jax.devices()[0]
-    print(f"device: {dev} ({dev.platform})")
+    print(f"device: {dev} ({dev.platform})", flush=True)
 
     xs = [
         jax.device_put(jax.random.normal(jax.random.fold_in(key, i), (B, H), DT))
@@ -66,7 +71,7 @@ def main():
     wd = jax.device_put(jax.random.normal(key, (L, I, H), DT) * 0.02)
 
     @jax.jit
-    def mlp_scan(x):
+    def mlp_scan(x, wg, wu, wd):
         def body(h, w):
             g, u, d = w
             inter = jax.nn.silu(h @ g) * (h @ u)
@@ -75,16 +80,16 @@ def main():
         h, _ = jax.lax.scan(body, x, (wg, wu, wd))
         return h
 
-    ms = timeit(mlp_scan, xs)
+    ms = timeit(lambda x: mlp_scan(x, wg, wu, wd), xs)
     report("mlp_scan (XLA)", ms, L * (2 * H * I + I * H) * 2 / 1e9)
 
     # ---- MLP single layer (no scan) ----
     @jax.jit
-    def mlp_one(x):
-        inter = jax.nn.silu(x @ wg[0]) * (x @ wu[0])
-        return x + inter @ wd[0]
+    def mlp_one(x, g, u, d):
+        inter = jax.nn.silu(x @ g) * (x @ u)
+        return x + inter @ d
 
-    ms = timeit(mlp_one, xs)
+    ms = timeit(lambda x: mlp_one(x, wg[0], wu[0], wd[0]), xs)
     report("mlp_one_layer (XLA)", ms, (2 * H * I + I * H) * 2 / 1e9)
 
     # ---- down_proj alone ----
@@ -94,18 +99,18 @@ def main():
     ]
 
     @jax.jit
-    def down_only(xi):
-        return xi @ wd[0]
+    def down_only(xi, d):
+        return xi @ d
 
-    ms = timeit(down_only, xis)
+    ms = timeit(lambda xi: down_only(xi, wd[0]), xis)
     report("down_proj alone", ms, I * H * 2 / 1e9)
 
     # ---- gate+up+act alone ----
     @jax.jit
-    def gateup_only(x):
-        return jax.nn.silu(x @ wg[0]) * (x @ wu[0])
+    def gateup_only(x, g, u):
+        return jax.nn.silu(x @ g) * (x @ u)
 
-    ms = timeit(gateup_only, xs)
+    ms = timeit(lambda x: gateup_only(x, wg[0], wu[0]), xs)
     report("gate+up+act alone", ms, 2 * H * I * 2 / 1e9)
 
     # ---- QKVO scan ----
@@ -115,7 +120,7 @@ def main():
     wo = jax.device_put(jax.random.normal(key, (L, HQ * D, H), DT) * 0.02)
 
     @jax.jit
-    def qkvo_scan(x):
+    def qkvo_scan(x, wq, wk, wv, wo):
         def body(h, w):
             q_, k_, v_, o_ = w
             q = h @ q_
@@ -128,7 +133,7 @@ def main():
         h, _ = jax.lax.scan(body, x, (wq, wk, wv, wo))
         return h
 
-    ms = timeit(qkvo_scan, xs)
+    ms = timeit(lambda x: qkvo_scan(x, wq, wk, wv, wo), xs)
     report("qkvo_scan (no attn)", ms,
            L * (H * HQ * D + 2 * H * HKV * D + HQ * D * H) * 2 / 1e9)
 
@@ -158,7 +163,7 @@ def main():
     knew = jax.device_put(jax.random.normal(key, (B, 1, HKV, D), DT))
 
     @jax.jit
-    def attn16(q, kv):
+    def attn16(q, kv, knew, page_table, out_slots, seq_lens):
         def body(kv, li):
             out, kv = fused_paged_decode_attention(
                 q, knew, knew, kv, page_table, out_slots, seq_lens,
@@ -172,7 +177,10 @@ def main():
         )
         return outs
 
-    msa = timeit(lambda q: attn16(q, kv_cache), qs, iters=16)
+    msa = timeit(
+        lambda q: attn16(q, kv_cache, knew, page_table, out_slots, seq_lens),
+        qs, iters=16,
+    )
     kv_bytes = L * B * CTX * 2 * HKV * D * 2
     report("attn16 (pallas paged)", msa, kv_bytes / 1e9)
 
@@ -180,14 +188,14 @@ def main():
     emb = jax.device_put(jax.random.normal(key, (V, H), DT) * 0.02)
 
     @jax.jit
-    def lm_head(x):
+    def lm_head(x, emb):
         logits = jnp.einsum("bh,vh->bv", x, emb,
                             preferred_element_type=jnp.float32)
         lse = jax.nn.logsumexp(logits, axis=-1)
         tok = jnp.argmax(logits, axis=-1)
         return tok, lse
 
-    ms = timeit(lm_head, xs)
+    ms = timeit(lambda x: lm_head(x, emb), xs)
     report("lm_head+argmax+lse", ms, V * H * 2 / 1e9)
 
     # ---- embed gather ----
@@ -199,10 +207,10 @@ def main():
     ]
 
     @jax.jit
-    def embed(t):
+    def embed(t, emb):
         return emb[t]
 
-    ms = timeit(embed, toks)
+    ms = timeit(lambda t: embed(t, emb), toks)
     report("embed gather", ms, B * H * 2 / 1e9)
 
     # ---- full-step theory ----
@@ -211,9 +219,9 @@ def main():
         + V * H
     ) * 2
     print(f"\nweights+lm_head bytes: {wbytes/1e9:.3f} GB "
-          f"-> floor {wbytes/HBM_GBPS*1e6/1e3:.3f} ms")
+          f"-> floor {wbytes/HBM_GBPS*1e6/1e3:.3f} ms", flush=True)
     print(f"KV bytes at ctx={CTX}: {kv_bytes/1e9:.3f} GB "
-          f"-> floor {kv_bytes/HBM_GBPS*1e6/1e3:.3f} ms")
+          f"-> floor {kv_bytes/HBM_GBPS*1e6/1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -61,6 +61,7 @@ def _decode_kernel(
     # scratch
     kv_buf,  # [2, RB, PB, ps, 2, Hkv*D] VMEM
     sems,  # DMA sems [2, RB, PB]
+    run_sems,  # DMA sems [2, RB] — contiguous-run (ranged) group DMAs
     w_sems,  # write sems [RB]
     w_buf,  # [RB, ps, 2, Hkv*D] VMEM — RMW page staging (rmw_write only)
     *,
@@ -74,6 +75,10 @@ def _decode_kernel(
     fused_write: bool,
     rmw_write: bool,
     use_sinks: bool,
+    contig_mode: Optional[bool] = None,
+    dot_mode: int = 1,  # 1=f32 dots (measured fastest on v5e Mosaic); 0/2/3
+    # keep bf16-operand variants and 4 the combined-2D form for A/B runs —
+    # bf16 Mosaic dots measured 2x SLOWER than f32 at decode shapes.
 ):
     blk = pl.program_id(0)
     RB, PB, ps = rows_per_block, pages_per_block, page_size
@@ -157,30 +162,89 @@ def _decode_kernel(
         first_group = jnp.minimum(first_group, fg)
     first_group = jnp.where(window > 0, first_group, 0)
 
+    def group_contig(b, g):
+        """(first_page, is_contiguous) for row b's page group g.
+
+        Pages a request appends are allocated in ascending runs
+        (core/page_allocator), so a group's PB table entries are usually
+        consecutive — then ONE ranged DMA of PB pages replaces PB
+        single-page DMAs.  DMA *issue* is serial scalar-core work
+        (~0.4 us each) while a 64 KiB page is only ~80 ns of HBM time,
+        so at short context the issue rate, not bandwidth, bounds the
+        kernel — this is the fix for the r02 profiled sink."""
+        p0 = page_table_ref[b, g * PB]
+        if contig_mode is not None:
+            return p0, None
+        contig = None
+        for i in range(1, PB):
+            eq = page_table_ref[b, g * PB + i] == p0 + i
+            contig = eq if contig is None else jnp.logical_and(contig, eq)
+        if contig is None:  # PB == 1
+            contig = p0 >= 0  # always true; keeps a traced bool
+        return p0, contig
+
     def start_group(g, slot_idx):
         for r in range(RB):
             b = blk * RB + r
 
             @pl.when(g < n_valids[r])
-            def _():
-                for i in range(PB):  # static unroll → RB*PB DMAs in flight
-                    page = page_table_ref[b, g * PB + i] + layer_page0
+            def _(r=r, b=b):
+                p0, contig = group_contig(b, g)
+
+                def start_ranged():
                     pltpu.make_async_copy(
-                        kv_out_ref.at[page],
-                        kv_buf.at[slot_idx, r, i],
-                        sems.at[slot_idx, r, i],
+                        kv_out_ref.at[pl.ds(p0 + layer_page0, PB)],
+                        kv_buf.at[slot_idx, r],
+                        run_sems.at[slot_idx, r],
                     ).start()
+
+                def start_pages():
+                    for i in range(PB):  # RB*PB DMAs in flight
+                        page = page_table_ref[b, g * PB + i] + layer_page0
+                        pltpu.make_async_copy(
+                            kv_out_ref.at[page],
+                            kv_buf.at[slot_idx, r, i],
+                            sems.at[slot_idx, r, i],
+                        ).start()
+
+                if contig_mode is True:
+                    start_ranged()
+                elif contig_mode is False:
+                    start_pages()
+                else:
+                    pl.when(contig)(start_ranged)
+                    pl.when(jnp.logical_not(contig))(start_pages)
 
     def wait_group(g, slot_idx):
         for r in range(RB):
+            b = blk * RB + r
+
             @pl.when(g < n_valids[r])
-            def _():
-                for i in range(PB):
+            def _(r=r, b=b):
+                _, contig = group_contig(b, g)  # same data → same branch
+
+                def wait_ranged():
                     pltpu.make_async_copy(
-                        kv_out_ref.at[0],
-                        kv_buf.at[slot_idx, r, i],
-                        sems.at[slot_idx, r, i],
+                        kv_out_ref.at[pl.ds(0, PB)],
+                        kv_buf.at[slot_idx, r],
+                        run_sems.at[slot_idx, r],
                     ).wait()
+
+                def wait_pages():
+                    for i in range(PB):
+                        pltpu.make_async_copy(
+                            kv_out_ref.at[0],
+                            kv_buf.at[slot_idx, r, i],
+                            sems.at[slot_idx, r, i],
+                        ).wait()
+
+                if contig_mode is True:
+                    wait_ranged()
+                elif contig_mode is False:
+                    wait_pages()
+                else:
+                    pl.when(contig)(wait_ranged)
+                    pl.when(jnp.logical_not(contig))(wait_pages)
 
     @pl.when(first_group < n_valid)
     def _():
@@ -189,10 +253,115 @@ def _decode_kernel(
     # [RB, Hq, HD]; heads stay block-diagonal over lane segments, but rows
     # are a BATCH dim of the dot — MXU FLOPs no longer scale with RB
     # (the old combined [RB*Hq, RB*T] matmul wasted RB× on cross-row
-    # blocks, which dominated at large batch).
-    qb = qb_ref[...].astype(jnp.float32)
+    # blocks, which dominated at large batch).  Dots run with NATIVE
+    # (bf16) operands and f32 accumulation: the MXU accumulates bf16
+    # inputs in f32 anyway, and converting the whole KV block to f32
+    # first was a VPU pass over every context byte.
+    qb = qb_ref[...]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    if dot_mode == 4:
+        # ---- combined 2D path: ONE [RB*Hq, HD] x [HD, RB*T] matmul per
+        # group.  Mosaic unrolls BATCHED dot_generals into per-row mini
+        # matmuls (RB x 2 MXU issues per group, each too small to fill
+        # the pipeline) — the combined dot wastes RBx FLOPs on cross-row
+        # blocks (masked below) but runs as a single dense MXU op with
+        # native bf16 operands, which measures ~2.5x faster end-to-end
+        # on v5e at decode shapes.
+        HqT, KT = RB * hq, RB * T
+        q2 = qb.reshape(HqT, HD)
+        # static block-diagonal: query row i may only see kv columns of
+        # its own request (i // hq == j // T)
+        blockdiag = (
+            jax.lax.broadcasted_iota(jnp.int32, (HqT, KT), 0) // hq
+            == jax.lax.broadcasted_iota(jnp.int32, (HqT, KT), 1) // T
+        )
+        kseg = jax.lax.broadcasted_iota(jnp.int32, (1, KT), 1) // T
+        colk = jax.lax.broadcasted_iota(jnp.int32, (1, KT), 1) % T
+        slens_k = jnp.zeros((1, KT), jnp.int32)
+        for r in range(RB):
+            slens_k = jnp.where(kseg == r, seq_lens[r], slens_k)
+
+        def body2(g, carry):
+            m_prev, l_prev, acc = carry
+            slot_idx = g % 2
+
+            @pl.when(g + 1 < n_valid)
+            def _():
+                start_group(g + 1, (g + 1) % 2)
+
+            wait_group(g, slot_idx)
+            kv = kv_buf[slot_idx]  # [RB, PB, ps, 2, HD]
+            k2 = kv[:, :, :, 0].reshape(KT, HD)
+            v2 = kv[:, :, :, 1].reshape(KT, HD)
+            if (
+                jnp.issubdtype(k2.dtype, jnp.floating)
+                and jnp.finfo(k2.dtype).bits == 8
+            ):
+                k2 = k2.astype(jnp.bfloat16)
+                v2 = v2.astype(jnp.bfloat16)
+            scores = jax.lax.dot_general(  # [HqT, KT]
+                q2.astype(k2.dtype),
+                k2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if logit_cap is not None and logit_cap > 0:
+                scores = logit_cap * jnp.tanh(scores / logit_cap)
+            pos = g * T + colk  # [1, KT] absolute context position
+            okc = pos < slens_k
+            in_win = jnp.logical_or(
+                window <= 0, pos > slens_k - 1 - window
+            )
+            mask = jnp.logical_and(
+                blockdiag, jnp.logical_and(okc, in_win)
+            )
+            scores = jnp.where(mask, scores, NEG_INF)
+            m_cur = jnp.max(scores, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)
+            p = jnp.where(mask, p, 0.0)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(  # [HqT, HD]
+                p.astype(v2.dtype),
+                v2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        init2 = (
+            jnp.full((HqT, 1), NEG_INF, jnp.float32),
+            jnp.zeros((HqT, 1), jnp.float32),
+            jnp.zeros((HqT, HD), jnp.float32),
+        )
+        m, l, acc = jax.lax.fori_loop(first_group, n_valid, body2, init2)
+        if use_sinks:
+            s = jnp.broadcast_to(
+                sinks_ref[...].astype(jnp.float32), (RB, hq)
+            ).reshape(HqT, 1)
+            m_f = jnp.maximum(m, s)
+            l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
+            acc = acc * jnp.exp(m - m_f)
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_all = acc / l  # [RB*hq, HD]
+        if hkv == 1:
+            o_ref[...] = out_all.reshape(RB, hq, HD).astype(o_ref.dtype)
+            return
+        row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
+        out = jnp.zeros((RB * hq, LANE), jnp.float32)
+        for h in range(hkv):
+            rolled = pltpu.roll(
+                out_all, shift=(HD - h * d) % HD, axis=1
+            )[:, :LANE]
+            if HD < LANE:
+                pad = jnp.zeros((RB * hq, LANE - HD), jnp.float32)
+                rolled = jnp.concatenate([rolled, pad], axis=1)
+            out = jnp.where(((row % hq) // G) == h, rolled, out)
+        o_ref[...] = out.reshape(RB, hq, LANE).astype(o_ref.dtype)
+        return
 
     def body(g, carry):
         m_prev, l_prev, acc = carry
@@ -214,9 +383,13 @@ def _decode_kernel(
             v3 = v3.astype(jnp.bfloat16)
 
         # [RB, Hq, T] batched over rows
+        if dot_mode in (1, 2):
+            qs, ks = qb.astype(jnp.float32), k3.astype(jnp.float32)
+        else:
+            qs, ks = qb.astype(k3.dtype), k3
         scores = jax.lax.dot_general(
-            qb,
-            k3.astype(jnp.float32),
+            qs,
+            ks,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -242,9 +415,17 @@ def _decode_kernel(
         p = jnp.where(mask, p, 0.0)  # fully-masked group → p 0, l 0
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
+        if dot_mode in (1, 3):
+            ps_, vs_ = p, v3.astype(jnp.float32)
+        else:
+            # p rounds to the KV dtype (bf16 in serving) — converting the
+            # small [RB, Hq, T] probabilities beats converting the big
+            # [RB, T, HD] value block, and bf16 PV is the standard flash
+            # contract; f32 caches (tests) stay exact.
+            ps_, vs_ = p.astype(v3.dtype), v3
         pv = jax.lax.dot_general(  # [RB, Hq, HD] batched over rows
-            p,
-            v3.astype(jnp.float32),
+            ps_,
+            vs_,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -297,6 +478,8 @@ def _decode_kernel(
         "interpret",
         "fused_write",
         "rmw_write",
+        "contig_mode",
+        "dot_mode",
     ),
 )
 def fused_paged_decode_attention(
@@ -320,6 +503,8 @@ def fused_paged_decode_attention(
     interpret: bool = False,
     fused_write: bool = True,
     rmw_write: bool = False,
+    contig_mode: Optional[bool] = None,  # None=runtime check, True/False=force
+    dot_mode: int = 1,
 ):
     """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
     B, Lq, Hq, D = q.shape
@@ -333,8 +518,11 @@ def fused_paged_decode_attention(
     ), kv_cache.shape
 
     if pages_per_block is None:
-        # target ~64 context positions per DMA group per row (swept on v5e)
-        pages_per_block = max(1, min(P, max(1, 64 // page_size)))
+        # ~32-64 context positions per group measured best on v5e: the
+        # per-group dot cost scales with T while tail over-read grows
+        # with PB, and the contiguous-run ranged DMA keeps the issue
+        # count low even at PB=1.
+        pages_per_block = max(1, min(P, max(1, 32 // page_size)))
     PB = min(pages_per_block, P)
     while P % PB != 0:  # P is a power-of-2 bucket; PB must divide it
         PB -= 1
@@ -381,6 +569,8 @@ def fused_paged_decode_attention(
         fused_write=fused_write,
         rmw_write=rmw_write,
         use_sinks=use_sinks,
+        contig_mode=contig_mode,
+        dot_mode=dot_mode,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -412,10 +602,18 @@ def fused_paged_decode_attention(
         scratch_shapes=[
             pltpu.VMEM((2, RB, PB, page_size, 2, Hkv * D), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, RB, PB)),
+            pltpu.SemaphoreType.DMA((2, RB)),
             pltpu.SemaphoreType.DMA((RB,)),
             pltpu.VMEM((RB, page_size, 2, Hkv * D), kv_cache.dtype),
         ],
     )
+    # Scoped-VMEM headroom for the double-buffered page scratch (the
+    # default 16 MiB limit caps PB*RB; v5e has 128 MiB of VMEM).
+    scratch_bytes = (
+        (2 * RB * PB + RB) * page_size * 2 * Hkv * D
+        * jnp.dtype(kv_cache.dtype).itemsize
+    )
+    vmem_limit = min(100 * 1024 * 1024, max(32 * 1024 * 1024, 2 * scratch_bytes))
     out, kv_out = pl.pallas_call(
         kernel,
         out_shape=(
@@ -425,7 +623,9 @@ def fused_paged_decode_attention(
         grid_spec=grid_spec,
         # operand 6 (kv_cache; scalar-prefetch args count) aliases output 1.
         input_output_aliases={6: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=int(vmem_limit)
+        ),
         interpret=interpret,
     )(
         page_table.astype(jnp.int32),
