@@ -44,6 +44,37 @@ NEG_INF = -1e30
 LANE = 128
 
 
+def _decode_epilogue(m, l, acc, o_ref, sinks_ref, use_sinks, RB, hq, hkv, d,
+                     HD, G):
+    """Shared decode epilogue: sinks fold, normalize, head-segment select."""
+    if use_sinks:
+        # Attention sinks (GPT-OSS): a learned per-head logit joins the
+        # softmax as a phantom slot with no value row — fold it into the
+        # running (m, l) stats; the numerator only rescales.
+        s = sinks_ref[...].astype(jnp.float32).reshape(1, hq, 1)
+        m_f = jnp.maximum(m, s)
+        l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
+        acc = acc * jnp.exp(m - m_f)
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows
+    out_all = (acc / l).reshape(RB * hq, HD)
+    if hkv == 1:
+        # MQA / absorbed-MLA: every query head attends the full lane span
+        # (latent width can exceed one 128-lane tile) — no segment select.
+        o_ref[...] = out_all.reshape(RB, hq, HD).astype(o_ref.dtype)
+        return
+    # Select each query head's own kv segment: roll segment (h//G)*D down
+    # to lane 0, pick rows belonging to that kv head.
+    row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
+    out = jnp.zeros((RB * hq, LANE), jnp.float32)
+    for h in range(hkv):
+        rolled = pltpu.roll(out_all, shift=(HD - h * d) % HD, axis=1)[:, :LANE]
+        if HD < LANE:
+            pad = jnp.zeros((RB * hq, LANE - HD), jnp.float32)
+            rolled = jnp.concatenate([rolled, pad], axis=1)
+        out = jnp.where(((row % hq) // G) == h, rolled, out)
+    o_ref[...] = out.reshape(RB, hq, LANE).astype(o_ref.dtype)
+
+
 def _decode_kernel(
     # scalar prefetch
     page_table_ref,  # [B, P] int32
@@ -79,6 +110,10 @@ def _decode_kernel(
     dot_mode: int = 1,  # 1=f32 dots (measured fastest on v5e Mosaic); 0/2/3
     # keep bf16-operand variants and 4 the combined-2D form for A/B runs —
     # bf16 Mosaic dots measured 2x SLOWER than f32 at decode shapes.
+    # (A single-group whole-context variant with cross-block DMA
+    # pipelining + one combined dense dot was built and measured 3-4x
+    # SLOWER on v5e than this pipelined group loop — r04 sweep — and
+    # removed; the group loop with T=64 positions/group is the winner.)
 ):
     blk = pl.program_id(0)
     RB, PB, ps = rows_per_block, pages_per_block, page_size
@@ -437,33 +472,9 @@ def _decode_kernel(
         jnp.zeros((RB, hq, HD), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
-
-    if use_sinks:
-        # Attention sinks (GPT-OSS): a learned per-head logit joins the
-        # softmax as a phantom slot with no value row — fold it into the
-        # running (m, l) stats; the numerator only rescales.
-        s = sinks_ref[...].astype(jnp.float32).reshape(1, hq, 1)
-        m_f = jnp.maximum(m, s)
-        l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
-        acc = acc * jnp.exp(m - m_f)
-    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows
-    out_all = (acc / l).reshape(RB * hq, HD)
-    if hkv == 1:
-        # MQA / absorbed-MLA: every query head attends the full lane span
-        # (latent width can exceed one 128-lane tile) — no segment select.
-        o_ref[...] = out_all.reshape(RB, hq, HD).astype(o_ref.dtype)
-        return
-    # Select each query head's own kv segment: roll segment (h//G)*D down
-    # to lane 0, pick rows belonging to that kv head.
-    row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
-    out = jnp.zeros((RB * hq, LANE), jnp.float32)
-    for h in range(hkv):
-        rolled = pltpu.roll(out_all, shift=(HD - h * d) % HD, axis=1)[:, :LANE]
-        if HD < LANE:
-            pad = jnp.zeros((RB * hq, LANE - HD), jnp.float32)
-            rolled = jnp.concatenate([rolled, pad], axis=1)
-        out = jnp.where(((row % hq) // G) == h, rolled, out)
-    o_ref[...] = out.reshape(RB, hq, LANE).astype(o_ref.dtype)
+    _decode_epilogue(
+        m, l, acc, o_ref, sinks_ref, use_sinks, RB, hq, hkv, d, HD, G
+    )
 
 
 @functools.partial(
@@ -517,20 +528,20 @@ def fused_paged_decode_attention(
         kv_cache.shape[0], page_size, 2, Hkv * D,
     ), kv_cache.shape
 
-    if pages_per_block is None:
-        # ~32-64 context positions per group measured best on v5e: the
-        # per-group dot cost scales with T while tail over-read grows
-        # with PB, and the contiguous-run ranged DMA keeps the issue
-        # count low even at PB=1.
-        pages_per_block = max(1, min(P, max(1, 32 // page_size)))
-    PB = min(pages_per_block, P)
-    while P % PB != 0:  # P is a power-of-2 bucket; PB must divide it
-        PB -= 1
     if rows_per_block is None:
         rows_per_block = 8
     RB = min(rows_per_block, B)
     while B % RB != 0:  # B is a power-of-2 bucket
         RB -= 1
+    if pages_per_block is None:
+        # 64 context positions per group measured best on v5e (r04 sweep:
+        # T=64 beat T=32/128/256 at ctx 192 and 320): the per-group dot
+        # cost scales with T while the DMA-issue count scales with 1/PB,
+        # and the contiguous-run ranged DMA keeps issues cheap.
+        pages_per_block = max(1, min(P, max(1, 64 // page_size)))
+    PB = min(pages_per_block, P)
+    while P % PB != 0:  # P is a power-of-2 bucket; PB must divide it
+        PB -= 1
 
     window = jnp.asarray(
         0 if sliding_window is None else sliding_window, jnp.int32
