@@ -112,7 +112,8 @@ def bench_qkvo(key):
 
 
 def bench_attn(key, label="", dot_mode=1,
-               pages_per_block=None, rows_per_block=None, ctx=CTX):
+               pages_per_block=None, rows_per_block=None, ctx=CTX,
+               **attn_kwargs):
     from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
 
     pages_per_req = (ctx + PAGE) // PAGE + 1
@@ -143,6 +144,7 @@ def bench_attn(key, label="", dot_mode=1,
                 dot_mode=dot_mode,
                 pages_per_block=pages_per_block,
                 rows_per_block=rows_per_block,
+                **attn_kwargs,
             )
             return kv, out
 
@@ -165,9 +167,10 @@ def bench_attn(key, label="", dot_mode=1,
     np.asarray(jax.device_get(q))
     ms = (time.perf_counter() - t0) / iters * 1e3
     kv_bytes = L * B * ctx * 2 * HKV * D * 2
+    kw = " ".join(f"{k}={v}" for k, v in attn_kwargs.items())
     report(
         f"attn16 dm={dot_mode} pb={pages_per_block}"
-        f" rb={rows_per_block} ctx={ctx}{label}",
+        f" rb={rows_per_block} ctx={ctx} {kw}{label}",
         ms, kv_bytes / 1e9,
     )
 
@@ -207,6 +210,18 @@ def main():
             bench_attn(key, dot_mode=1, pages_per_block=pb)
         for pb in (2, 4):
             bench_attn(key, dot_mode=1, pages_per_block=pb, ctx=320)
+    if which == "sweep2":
+        # isolate the issue/latency terms (r04 roofline attack)
+        bench_attn(key)  # baseline: rb=8 pb=2 dm=1
+        bench_attn(key, fused_write=False)  # KV-write issue cost
+        bench_attn(key, contig_mode=True)  # contig scalar-check cost
+        bench_attn(key, rows_per_block=16)
+        bench_attn(key, rows_per_block=16, contig_mode=True)
+        bench_attn(key, rows_per_block=32)
+        bench_attn(key, rows_per_block=16, pages_per_block=4,
+                   contig_mode=True)
+        bench_attn(key, rows_per_block=16, fused_write=False,
+                   contig_mode=True)
     if which in ("lm", "all"):
         bench_lm_head(key)
     wbytes = (

@@ -107,6 +107,10 @@ def _decode_kernel(
     rmw_write: bool,
     use_sinks: bool,
     contig_mode: Optional[bool] = None,
+    ablate: Optional[str] = None,  # perf attribution only (WRONG outputs):
+    # 'no_attn' skips the whole paged loop, 'no_dma' skips page DMAs,
+    # 'no_dots' replaces the MXU dots with cheap VPU reductions,
+    # 'no_vpu' skips softmax/mask VPU work between the dots.
     dot_mode: int = 1,  # 1=f32 dots (measured fastest on v5e Mosaic); 0/2/3
     # keep bf16-operand variants and 4 the combined-2D form for A/B runs —
     # bf16 Mosaic dots measured 2x SLOWER than f32 at decode shapes.
@@ -186,6 +190,9 @@ def _decode_kernel(
             ).wait()
 
     # ---- 2. paged attention over [first_group, n_valid) page groups ----
+    if ablate == "no_attn":
+        o_ref[...] = jnp.zeros_like(o_ref)
+        return
     seq_lens = [seq_lens_ref[blk * RB + r] for r in range(RB)]
     n_valids = [pl.cdiv(s, T) for s in seq_lens]
     n_valid = n_valids[0]
@@ -219,6 +226,8 @@ def _decode_kernel(
         return p0, contig
 
     def start_group(g, slot_idx):
+        if ablate == "no_dma":
+            return
         for r in range(RB):
             b = blk * RB + r
 
@@ -251,6 +260,8 @@ def _decode_kernel(
                     pl.when(jnp.logical_not(contig))(start_pages)
 
     def wait_group(g, slot_idx):
+        if ablate == "no_dma":
+            return
         for r in range(RB):
             b = blk * RB + r
 
@@ -417,6 +428,26 @@ def _decode_kernel(
             k3 = k3.astype(jnp.bfloat16)
             v3 = v3.astype(jnp.bfloat16)
 
+        if ablate == "no_dots":
+            # touch the buffers without MXU work (attribution only)
+            touched = (
+                k3[:, :hq, :].astype(jnp.float32)
+                + v3[:, :hq, :].astype(jnp.float32)
+            )  # [RB, hq, HD]
+            return m_prev, l_prev, acc + touched
+        if ablate == "no_vpu":
+            qs, ks = qb.astype(jnp.float32), k3.astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                qs, ks,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            pv = jax.lax.dot_general(
+                scores, v3.astype(jnp.float32),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return m_prev, l_prev, acc + pv
         # [RB, Hq, T] batched over rows
         if dot_mode in (1, 2):
             qs, ks = qb.astype(jnp.float32), k3.astype(jnp.float32)
@@ -491,6 +522,7 @@ def _decode_kernel(
         "rmw_write",
         "contig_mode",
         "dot_mode",
+        "ablate",
     ),
 )
 def fused_paged_decode_attention(
@@ -516,6 +548,7 @@ def fused_paged_decode_attention(
     rmw_write: bool = False,
     contig_mode: Optional[bool] = None,  # None=runtime check, True/False=force
     dot_mode: int = 1,
+    ablate: Optional[str] = None,
 ):
     """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
     B, Lq, Hq, D = q.shape
@@ -582,6 +615,7 @@ def fused_paged_decode_attention(
         use_sinks=use_sinks,
         contig_mode=contig_mode,
         dot_mode=dot_mode,
+        ablate=ablate,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(
