@@ -111,7 +111,7 @@ def bench_qkvo(key):
     )
 
 
-def bench_attn(key, label="", dot_mode=1,
+def bench_attn(key, label="",
                pages_per_block=None, rows_per_block=None, ctx=CTX,
                **attn_kwargs):
     from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
@@ -141,7 +141,6 @@ def bench_attn(key, label="", dot_mode=1,
             out, kv = fused_paged_decode_attention(
                 q, knew, knew, kv, page_table, out_slots, seq_lens,
                 li, num_slots=num_slots, page_size=PAGE, sm_scale=0.125,
-                dot_mode=dot_mode,
                 pages_per_block=pages_per_block,
                 rows_per_block=rows_per_block,
                 **attn_kwargs,
@@ -169,7 +168,7 @@ def bench_attn(key, label="", dot_mode=1,
     kv_bytes = L * B * ctx * 2 * HKV * D * 2
     kw = " ".join(f"{k}={v}" for k, v in attn_kwargs.items())
     report(
-        f"attn16 dm={dot_mode} pb={pages_per_block}"
+        f"attn16 pb={pages_per_block}"
         f" rb={rows_per_block} ctx={ctx} {kw}{label}",
         ms, kv_bytes / 1e9,
     )
@@ -207,9 +206,9 @@ def main():
         bench_attn(key, pages_per_block=2)
     if which == "sweep":
         for pb in (1, 2, 4):
-            bench_attn(key, dot_mode=1, pages_per_block=pb)
+            bench_attn(key, pages_per_block=pb)
         for pb in (2, 4):
-            bench_attn(key, dot_mode=1, pages_per_block=pb, ctx=320)
+            bench_attn(key, pages_per_block=pb, ctx=320)
     if which == "sweep2":
         # isolate the issue/latency terms (r04 roofline attack)
         bench_attn(key)  # baseline: rb=8 pb=2 dm=1

@@ -87,6 +87,9 @@ class Envs:
     SGLANG_TPU_COMPILE_LOG = EnvBool(False)
     SGLANG_TPU_FORCE_XLA_ATTENTION = EnvBool(False)  # disable Pallas kernels
     SGLANG_TPU_INTERPRET_PALLAS = EnvBool(False)  # pallas interpreter mode
+    # keep the HF per-projection weight stacks at execution time instead
+    # of fusing q/k/v into one [L, H, (hq+2hkv)*d] dot (debug escape hatch)
+    SGLANG_TPU_NO_FUSED_EXEC = EnvBool(False)
 
     # --- testing ---
     SGLANG_TPU_TEST_NUM_CPU_DEVICES = EnvInt(8)

@@ -1461,19 +1461,38 @@ class ModelRunner:
         from sglang_tpu.model_loader.loader import _tree_get, _tree_set
 
         mapping = self.model.hf_weight_mapping()
+        # fused execution layout (models/llama.py _exec_fusions): writes
+        # keyed by the loader path land in their out-column range
+        fused_map = getattr(self.model, "exec_fused_map", lambda: {})()
 
         def apply_leaf(path, layer_idx, tensor):
+            col = fused_map.get(path)
+            if col is not None:
+                path, off, width = col
             old = _tree_get(self.params, path)
             arr = jnp.asarray(tensor, dtype=old.dtype)
             if layer_idx is None:
-                if arr.shape != old.shape:
+                if col is None and arr.shape != old.shape:
                     raise ValueError(
                         f"shape mismatch for {path}: {arr.shape} vs {old.shape}"
                     )
-                new = jax.device_put(arr, old.sharding)
+                if col is None:
+                    new = jax.device_put(arr, old.sharding)
+                else:
+                    new = jax.device_put(
+                        old.at[..., off : off + width].set(arr), old.sharding
+                    )
             else:
                 idx = layer_idx if isinstance(layer_idx, tuple) else (layer_idx,)
-                new = jax.device_put(old.at[idx].set(arr), old.sharding)
+                if col is None:
+                    new = jax.device_put(old.at[idx].set(arr), old.sharding)
+                else:
+                    new = jax.device_put(
+                        old.at[idx + (Ellipsis, slice(off, off + width))].set(
+                            arr
+                        ),
+                        old.sharding,
+                    )
             _tree_set(self.params, path, new)
 
         for name, tensor in named.items():

@@ -106,6 +106,14 @@ def _iter_paths(tree: Dict[str, Any], prefix=""):
             yield p, v
 
 
+def _exec_api(model, exec_name: str, plain_name: str):
+    """Models expose an optional execution-layout view of their param
+    tree (fused projection stacks — models/llama.py `_exec_fusions`);
+    families without one load and execute the same layout."""
+    fn = getattr(model, exec_name, None)
+    return fn if fn is not None else getattr(model, plain_name)
+
+
 def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
     """Random weights generated ON DEVICE, sharded at creation.
 
@@ -117,8 +125,8 @@ def load_dummy_weights(model, mesh_ctx=None, seed: int = 0):
     import math
     import zlib
 
-    shapes = model.param_shapes()
-    specs = model.param_specs()
+    shapes = _exec_api(model, "exec_param_shapes", "param_shapes")()
+    specs = _exec_api(model, "exec_param_specs", "param_specs")()
     dtype = model.config.dtype
 
     def is_norm(path: str) -> bool:
@@ -426,8 +434,11 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
 
 
 def _place_params(model, host_params, mesh_ctx):
-    specs = model.param_specs()
-    shapes = model.param_shapes()
+    fuse = getattr(model, "exec_fuse_host", None)
+    if fuse is not None:
+        host_params = fuse(host_params)
+    specs = _exec_api(model, "exec_param_specs", "param_specs")()
+    shapes = _exec_api(model, "exec_param_shapes", "param_shapes")()
 
     def place(path_tree, spec_tree, shape_tree):
         out = {}
@@ -469,8 +480,9 @@ def load_sharded_state_weights(model, config: ModelConfig, mesh_ctx=None):
     reshards transparently if the mesh differs from save time."""
     import orbax.checkpoint as ocp
 
-    shapes = model.param_shapes()
-    specs = model.param_specs()
+    # sharded-state checkpoints persist the LIVE tree = execution layout
+    shapes = _exec_api(model, "exec_param_shapes", "param_shapes")()
+    specs = _exec_api(model, "exec_param_specs", "param_specs")()
     dtype = model.config.dtype
 
     def build(shape_tree, spec_tree):

@@ -406,6 +406,95 @@ class LlamaForCausalLM:
             specs["lm_head"] = P(AXIS_TP, None)
         return specs
 
+    # ------------------------------------------------ execution layout
+    # Projection stacks fuse AFTER load: q/k/v concatenate on the out
+    # axis into one [L, H, (hq+2hkv)*d] leaf so the decode scan issues a
+    # single MXU dot per layer.  Measured on v5e
+    # (scripts/perf_qkvo_variants.py): the separate-dots formulation
+    # pays a per-layer weight transpose-copy (~12 us/layer,
+    # constant_dynamic-slice_fusion in the r02 profile) that the fused
+    # dot avoids — 2.2x on the 16-layer QKVO scan (3.27 → 1.47 ms at
+    # B=64).  Loaders, HF weight mappings, and checkpoints keep the
+    # per-projection layout; only the placed device tree fuses.
+    fuse_qkv_exec = True  # class-level opt-out for exotic subclasses
+
+    def _exec_fusions(self) -> Dict[str, list]:
+        """fused leaf name → ordered list of loader-layout part names.
+        Empty when fusion does not apply (quantized stacks ride the
+        scalar-prefetch quant kernels; subclasses with their own forward
+        never see the fused leaf)."""
+        from sglang_tpu.environ import envs
+
+        if envs.SGLANG_TPU_NO_FUSED_EXEC.value or not self.fuse_qkv_exec:
+            return {}
+        if type(self).forward is not LlamaForCausalLM.forward:
+            return {}
+        layers = self.param_shapes().get("layers", {})
+        parts = ("q_proj", "k_proj", "v_proj")
+        if not all(isinstance(layers.get(p), tuple) for p in parts):
+            return {}  # quantized (dict leaves) or missing
+        return {"qkv_proj": list(parts)}
+
+    def exec_param_shapes(self) -> Dict[str, Any]:
+        shapes = self.param_shapes()
+        fus = self._exec_fusions()
+        if not fus:
+            return shapes
+        layers = dict(shapes["layers"])
+        for newname, parts in fus.items():
+            dims = [layers.pop(p) for p in parts]
+            layers[newname] = (
+                dims[0][0], dims[0][1], sum(d[2] for d in dims),
+            )
+        return {**shapes, "layers": layers}
+
+    def exec_param_specs(self) -> Dict[str, Any]:
+        specs = self.param_specs()
+        fus = self._exec_fusions()
+        if not fus:
+            return specs
+        layers = dict(specs["layers"])
+        for newname, parts in fus.items():
+            first = layers[parts[0]]
+            for p in parts:
+                layers.pop(p)
+            # parts share one spec (all col-parallel attn projections);
+            # under TP the fused out axis shards in contiguous chunks
+            # that mix q/k/v columns — GSPMD reshards at the split slices
+            layers[newname] = first
+        return {**specs, "layers": layers}
+
+    def exec_fuse_host(self, host: Dict[str, Any]) -> Dict[str, Any]:
+        """Rewrite a loader-layout host tree into the execution layout
+        (concat on the out axis; numerics of each output column are
+        unchanged).  Called by the loader just before device placement."""
+        fus = self._exec_fusions()
+        if not fus or "layers" not in host:
+            return host
+        layers = dict(host["layers"])
+        for newname, parts in fus.items():
+            if not all(
+                isinstance(layers.get(p), np.ndarray) for p in parts
+            ):
+                continue
+            arrs = [layers.pop(p) for p in parts]
+            layers[newname] = np.concatenate(arrs, axis=-1)
+        return {**host, "layers": layers}
+
+    def exec_fused_map(self) -> Dict[str, tuple]:
+        """loader path → (fused path, out-col offset, width); lets
+        weight-sync updates keyed by HF names land in their column range
+        of the fused leaf."""
+        out: Dict[str, tuple] = {}
+        shapes = self.param_shapes().get("layers", {})
+        for newname, parts in self._exec_fusions().items():
+            off = 0
+            for p in parts:
+                w = shapes[p][2]
+                out[f"layers.{p}"] = (f"layers.{newname}", off, w)
+                off += w
+        return out
+
     # ------------------------------------------------------- weight loading
     def _quant_weight_table(self) -> Dict[str, tuple]:
         """HF-tensor-suffix → (param path, transform) for quantized projs
@@ -909,9 +998,31 @@ class LlamaForCausalLM:
                     else h
                 )
                 attn_in = normed  # parallel_block: mlp shares this
-                q = proj(normed, "q_proj")
-                k = proj(normed, "k_proj")
-                v = proj(normed, "v_proj")
+                if "qkv_proj" in w:
+                    # fused execution layout (see _exec_fusions): one
+                    # MXU dot, split after; LoRA deltas still key by
+                    # the per-projection names
+                    QO, KO = hq * d, hkv * d
+                    qkv = normed @ w["qkv_proj"]
+                    q = qkv[..., :QO]
+                    k = qkv[..., QO : QO + KO]
+                    v = qkv[..., QO + KO :]
+                    if la:
+                        def _ld(y, nm):
+                            if nm not in la:
+                                return y
+                            return y + lora_delta(
+                                normed, la[nm], lb[nm], adapter_idx,
+                                lora_scaling,
+                            ).astype(y.dtype)
+
+                        q = _ld(q, "q_proj")
+                        k = _ld(k, "k_proj")
+                        v = _ld(v, "v_proj")
+                else:
+                    q = proj(normed, "q_proj")
+                    k = proj(normed, "k_proj")
+                    v = proj(normed, "v_proj")
                 if self.has_qkv_bias:
                     q = q + w["q_bias"]
                     k = k + w["k_bias"]

@@ -107,13 +107,14 @@ def _decode_kernel(
     rmw_write: bool,
     use_sinks: bool,
     contig_mode: Optional[bool] = None,
-    ablate: Optional[str] = None,  # perf attribution only (WRONG outputs):
-    # 'no_attn' skips the whole paged loop, 'no_dma' skips page DMAs,
-    # 'no_dots' replaces the MXU dots with cheap VPU reductions,
-    # 'no_vpu' skips softmax/mask VPU work between the dots.
-    dot_mode: int = 1,  # 1=f32 dots (measured fastest on v5e Mosaic); 0/2/3
-    # keep bf16-operand variants and 4 the combined-2D form for A/B runs —
-    # bf16 Mosaic dots measured 2x SLOWER than f32 at decode shapes.
+    # Dot formulation is PINNED: f32 operands for both the QK^T and PV
+    # dots, batched over rows.  r05 on-chip sweep at bench geometry
+    # (scripts/pin_dot_mode.py, B=64 ctx=192 ps=32): f32 batched dots
+    # 100 us/layer vs 204 us (bf16 operands) vs 303 us (bf16 QK only)
+    # vs 334 us (combined [RB*Hq, RB*T] 2D dot) — the losing variants
+    # and the perf-attribution ablations were removed after the sweep
+    # (round-4 VERDICT: no deliberately-wrong paths reachable by an
+    # argument in the production kernel).
     # (A single-group whole-context variant with cross-block DMA
     # pipelining + one combined dense dot was built and measured 3-4x
     # SLOWER on v5e than this pipelined group loop — r04 sweep — and
@@ -190,9 +191,6 @@ def _decode_kernel(
             ).wait()
 
     # ---- 2. paged attention over [first_group, n_valid) page groups ----
-    if ablate == "no_attn":
-        o_ref[...] = jnp.zeros_like(o_ref)
-        return
     seq_lens = [seq_lens_ref[blk * RB + r] for r in range(RB)]
     n_valids = [pl.cdiv(s, T) for s in seq_lens]
     n_valid = n_valids[0]
@@ -226,8 +224,6 @@ def _decode_kernel(
         return p0, contig
 
     def start_group(g, slot_idx):
-        if ablate == "no_dma":
-            return
         for r in range(RB):
             b = blk * RB + r
 
@@ -260,8 +256,6 @@ def _decode_kernel(
                     pl.when(jnp.logical_not(contig))(start_pages)
 
     def wait_group(g, slot_idx):
-        if ablate == "no_dma":
-            return
         for r in range(RB):
             b = blk * RB + r
 
@@ -307,108 +301,6 @@ def _decode_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
 
-    if dot_mode == 4:
-        # ---- combined 2D path: ONE [RB*Hq, HD] x [HD, RB*T] matmul per
-        # group.  Mosaic unrolls BATCHED dot_generals into per-row mini
-        # matmuls (RB x 2 MXU issues per group, each too small to fill
-        # the pipeline) — the combined dot wastes RBx FLOPs on cross-row
-        # blocks (masked below) but runs as a single dense MXU op with
-        # native bf16 operands, which measures ~2.5x faster end-to-end
-        # on v5e at decode shapes.
-        HqT, KT = RB * hq, RB * T
-        q2 = qb.reshape(HqT, HD)
-        # static block-diagonal: query row i may only see kv columns of
-        # its own request (i // hq == j // T)
-        blockdiag = (
-            jax.lax.broadcasted_iota(jnp.int32, (HqT, KT), 0) // hq
-            == jax.lax.broadcasted_iota(jnp.int32, (HqT, KT), 1) // T
-        )
-        kseg = jax.lax.broadcasted_iota(jnp.int32, (1, KT), 1) // T
-        colk = jax.lax.broadcasted_iota(jnp.int32, (1, KT), 1) % T
-        slens_k = jnp.zeros((1, KT), jnp.int32)
-        for r in range(RB):
-            slens_k = jnp.where(kseg == r, seq_lens[r], slens_k)
-
-        def body2(g, carry):
-            m_prev, l_prev, acc = carry
-            slot_idx = g % 2
-
-            @pl.when(g + 1 < n_valid)
-            def _():
-                start_group(g + 1, (g + 1) % 2)
-
-            wait_group(g, slot_idx)
-            kv = kv_buf[slot_idx]  # [RB, PB, ps, 2, HD]
-            k2 = kv[:, :, :, 0].reshape(KT, HD)
-            v2 = kv[:, :, :, 1].reshape(KT, HD)
-            if (
-                jnp.issubdtype(k2.dtype, jnp.floating)
-                and jnp.finfo(k2.dtype).bits == 8
-            ):
-                k2 = k2.astype(jnp.bfloat16)
-                v2 = v2.astype(jnp.bfloat16)
-            scores = jax.lax.dot_general(  # [HqT, KT]
-                q2.astype(k2.dtype),
-                k2,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if logit_cap is not None and logit_cap > 0:
-                scores = logit_cap * jnp.tanh(scores / logit_cap)
-            pos = g * T + colk  # [1, KT] absolute context position
-            okc = pos < slens_k
-            in_win = jnp.logical_or(
-                window <= 0, pos > slens_k - 1 - window
-            )
-            mask = jnp.logical_and(
-                blockdiag, jnp.logical_and(okc, in_win)
-            )
-            scores = jnp.where(mask, scores, NEG_INF)
-            m_cur = jnp.max(scores, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(scores - m_new)
-            p = jnp.where(mask, p, 0.0)
-            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(  # [HqT, HD]
-                p.astype(v2.dtype),
-                v2,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc * alpha + pv
-
-        init2 = (
-            jnp.full((HqT, 1), NEG_INF, jnp.float32),
-            jnp.zeros((HqT, 1), jnp.float32),
-            jnp.zeros((HqT, HD), jnp.float32),
-        )
-        m, l, acc = jax.lax.fori_loop(first_group, n_valid, body2, init2)
-        if use_sinks:
-            s = jnp.broadcast_to(
-                sinks_ref[...].astype(jnp.float32), (RB, hq)
-            ).reshape(HqT, 1)
-            m_f = jnp.maximum(m, s)
-            l = l * jnp.exp(m - m_f) + jnp.exp(s - m_f)
-            acc = acc * jnp.exp(m - m_f)
-        l = jnp.where(l == 0.0, 1.0, l)
-        out_all = acc / l  # [RB*hq, HD]
-        if hkv == 1:
-            o_ref[...] = out_all.reshape(RB, hq, HD).astype(o_ref.dtype)
-            return
-        row = jax.lax.broadcasted_iota(jnp.int32, (RB * hq, LANE), 0)
-        out = jnp.zeros((RB * hq, LANE), jnp.float32)
-        for h in range(hkv):
-            rolled = pltpu.roll(
-                out_all, shift=(HD - h * d) % HD, axis=1
-            )[:, :LANE]
-            if HD < LANE:
-                pad = jnp.zeros((RB * hq, LANE - HD), jnp.float32)
-                rolled = jnp.concatenate([rolled, pad], axis=1)
-            out = jnp.where(((row % hq) // G) == h, rolled, out)
-        o_ref[...] = out.reshape(RB, hq, LANE).astype(o_ref.dtype)
-        return
-
     def body(g, carry):
         m_prev, l_prev, acc = carry
         slot_idx = g % 2
@@ -428,31 +320,10 @@ def _decode_kernel(
             k3 = k3.astype(jnp.bfloat16)
             v3 = v3.astype(jnp.bfloat16)
 
-        if ablate == "no_dots":
-            # touch the buffers without MXU work (attribution only)
-            touched = (
-                k3[:, :hq, :].astype(jnp.float32)
-                + v3[:, :hq, :].astype(jnp.float32)
-            )  # [RB, hq, HD]
-            return m_prev, l_prev, acc + touched
-        if ablate == "no_vpu":
-            qs, ks = qb.astype(jnp.float32), k3.astype(jnp.float32)
-            scores = jax.lax.dot_general(
-                qs, ks,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            pv = jax.lax.dot_general(
-                scores, v3.astype(jnp.float32),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            return m_prev, l_prev, acc + pv
-        # [RB, Hq, T] batched over rows
-        if dot_mode in (1, 2):
-            qs, ks = qb.astype(jnp.float32), k3.astype(jnp.float32)
-        else:
-            qs, ks = qb.astype(k3.dtype), k3
+        # [RB, Hq, T] batched over rows; f32 operands (pinned — see the
+        # kernel-signature note: 2x+ faster than bf16 operands on v5e
+        # Mosaic at decode shapes)
+        qs, ks = qb.astype(jnp.float32), k3.astype(jnp.float32)
         scores = jax.lax.dot_general(
             qs,
             ks,
@@ -481,17 +352,9 @@ def _decode_kernel(
         p = jnp.where(mask, p, 0.0)  # fully-masked group → p 0, l 0
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        if dot_mode in (1, 3):
-            ps_, vs_ = p, v3.astype(jnp.float32)
-        else:
-            # p rounds to the KV dtype (bf16 in serving) — converting the
-            # small [RB, Hq, T] probabilities beats converting the big
-            # [RB, T, HD] value block, and bf16 PV is the standard flash
-            # contract; f32 caches (tests) stay exact.
-            ps_, vs_ = p.astype(v3.dtype), v3
         pv = jax.lax.dot_general(  # [RB, Hq, HD] batched over rows
-            ps_,
-            vs_,
+            p,
+            v3.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -521,8 +384,6 @@ def _decode_kernel(
         "fused_write",
         "rmw_write",
         "contig_mode",
-        "dot_mode",
-        "ablate",
     ),
 )
 def fused_paged_decode_attention(
@@ -547,8 +408,6 @@ def fused_paged_decode_attention(
     fused_write: bool = True,
     rmw_write: bool = False,
     contig_mode: Optional[bool] = None,  # None=runtime check, True/False=force
-    dot_mode: int = 1,
-    ablate: Optional[str] = None,
 ):
     """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
     B, Lq, Hq, D = q.shape
@@ -614,8 +473,6 @@ def fused_paged_decode_attention(
         rmw_write=rmw_write,
         use_sinks=use_sinks,
         contig_mode=contig_mode,
-        dot_mode=dot_mode,
-        ablate=ablate,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -92,6 +92,116 @@ def test_decode_rows_per_block(rows_per_block):
     )
 
 
+def _setup_contig(B, P, ps, Hq, Hkv, D, L=2, seed=0, dtype=jnp.float32):
+    """Page tables as ASCENDING per-request runs (the allocator's common
+    case) so multi-page groups take the ranged single-DMA branch."""
+    s = _setup(B, P, ps, Hq, Hkv, D, L, seed=seed, dtype=dtype)
+    pt = (
+        np.arange(B * P, dtype=np.int32).reshape(B, P) + 1
+    )  # page 0 = garbage
+    s["page_table"] = jnp.asarray(pt)
+    seq_lens = np.asarray(s["seq_lens"])
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = seq_lens[b] - 1
+        out_slots[b, 0] = pt[b, pos // ps] * ps + pos % ps
+    s["out_slots"] = jnp.asarray(out_slots)
+    return s
+
+
+# The shipped production config: pages_per_block > 1 (multi-page groups,
+# double-buffered DMAs) with the runtime contiguity check.  These pin
+# BOTH `pl.when(contig)` branches explicitly AND the runtime dispatch,
+# over ≥2 page groups per row so a dropped first-group DMA start (the
+# 55e... r04 regression: group 0 read an un-DMA'd zero buffer) fails
+# every one of these with grossly wrong outputs.
+@pytest.mark.parametrize("contig_mode", [None, True, False])
+def test_decode_contiguous_pages_multigroup(contig_mode):
+    B, P, ps, Hq, Hkv, D, L = 4, 16, 8, 8, 2, 64, 2
+    s = _setup_contig(B, P, ps, Hq, Hkv, D, L, seed=7)
+    # long contexts: 128 positions = 4 groups of PB=2 pages
+    s["seq_lens"] = jnp.full((B,), P * ps, jnp.int32)
+    pt = np.asarray(s["page_table"])
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = P * ps - 1
+        out_slots[b, 0] = pt[b, pos // ps] * ps + pos % ps
+    s["out_slots"] = jnp.asarray(out_slots)
+    layer_idx = jnp.int32(1)
+    sm_scale = D ** -0.5
+    out, kv_out = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        pages_per_block=2, contig_mode=contig_mode, interpret=True,
+    )
+    ref, kv_ref = _reference(s, ps, layer_idx, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_out), np.asarray(kv_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("contig_mode", [None, False])
+def test_decode_shuffled_pages_multigroup(contig_mode):
+    """Shuffled (non-contiguous) page tables through the per-page DMA
+    branch — with the runtime check (None) and forced off (False).
+    Forcing contig_mode=True here would be WRONG by design (ranged DMA
+    over non-adjacent pages); the runtime check must reject it."""
+    B, P, ps, Hq, Hkv, D, L = 4, 16, 8, 8, 2, 64, 2
+    s = _setup(B, P, ps, Hq, Hkv, D, L, seed=11)
+    s["seq_lens"] = jnp.full((B,), P * ps, jnp.int32)
+    pt = np.asarray(s["page_table"])
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = P * ps - 1
+        out_slots[b, 0] = pt[b, pos // ps] * ps + pos % ps
+    s["out_slots"] = jnp.asarray(out_slots)
+    layer_idx = jnp.int32(0)
+    sm_scale = D ** -0.5
+    out, _ = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        pages_per_block=2, contig_mode=contig_mode, interpret=True,
+    )
+    ref, _ = _reference(s, ps, layer_idx, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_decode_mixed_contig_and_shuffled_rows():
+    """Rows 0..1 contiguous runs, rows 2..3 shuffled — the runtime
+    `pl.when(contig)` check must pick the right branch PER ROW."""
+    B, P, ps, Hq, Hkv, D, L = 4, 8, 8, 8, 2, 64, 2
+    s = _setup(B, P, ps, Hq, Hkv, D, L, seed=13)
+    pt = np.asarray(s["page_table"]).copy()
+    pt[0] = np.arange(P, dtype=np.int32) + 1
+    pt[1] = np.arange(P, dtype=np.int32) + P + 1
+    s["page_table"] = jnp.asarray(pt)
+    s["seq_lens"] = jnp.full((B,), P * ps, jnp.int32)
+    out_slots = np.zeros((B, 1), np.int32)
+    for b in range(B):
+        pos = P * ps - 1
+        out_slots[b, 0] = pt[b, pos // ps] * ps + pos % ps
+    s["out_slots"] = jnp.asarray(out_slots)
+    layer_idx = jnp.int32(1)
+    sm_scale = D ** -0.5
+    out, _ = fused_paged_decode_attention(
+        s["q"], s["k_new"], s["v_new"], s["kv_cache"], s["page_table"],
+        s["out_slots"], s["seq_lens"], layer_idx,
+        num_slots=s["num_slots"], page_size=ps, sm_scale=sm_scale,
+        pages_per_block=2, interpret=True,
+    )
+    ref, _ = _reference(s, ps, layer_idx, sm_scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_decode_sliding_window():
     B, P, ps, Hq, Hkv, D, L = 4, 16, 8, 8, 4, 64, 2
     s = _setup(B, P, ps, Hq, Hkv, D, L)

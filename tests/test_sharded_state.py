@@ -43,8 +43,13 @@ def test_sharded_state_roundtrip_and_reshard(tmp_path):
         tp_size=2, model_path=ckpt, load_format="sharded_state"
     )
     try:
-        assert dst_runner.params["layers"]["q_proj"].sharding.spec == (
-            src_runner.params["layers"]["q_proj"].sharding.spec
+        qleaf = (
+            "qkv_proj"
+            if "qkv_proj" in dst_runner.params["layers"]
+            else "q_proj"
+        )
+        assert dst_runner.params["layers"][qleaf].sharding.spec == (
+            src_runner.params["layers"][qleaf].sharding.spec
         )
         out = dst.generate(input_ids=list(prompt), sampling_params=dict(sp))
         assert out["output_ids"] == base["output_ids"]

@@ -112,12 +112,19 @@ def test_update_weights_from_tensor_partial():
         )
         rng = np.random.RandomState(0)
         new_q = rng.randn(hq, H).astype(np.float32)
-        before = np.asarray(runner.params["layers"]["q_proj"][1])
+
+        def q_stack():
+            lay = runner.params["layers"]
+            if "qkv_proj" in lay:  # fused execution layout
+                return np.asarray(lay["qkv_proj"][..., :hq])
+            return np.asarray(lay["q_proj"])
+
+        before = q_stack()[1]
         eng.update_weights_from_tensor(
             {"model.layers.0.self_attn.q_proj.weight": new_q}
         )
-        after0 = np.asarray(runner.params["layers"]["q_proj"][0])
-        after1 = np.asarray(runner.params["layers"]["q_proj"][1])
+        after0 = q_stack()[0]
+        after1 = q_stack()[1]
         np.testing.assert_allclose(after0, new_q.T, rtol=1e-6)
         np.testing.assert_array_equal(after1, before)  # other layer intact
         o2 = eng.generate(input_ids=prompt, sampling_params=sp)
