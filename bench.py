@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--gen-len", type=int, default=128)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--page-size", type=int, default=32)
+    ap.add_argument("--decode-window", type=int, default=None,
+                    help="fused decode window K (default: ServerArgs)")
+    ap.add_argument("--chain-depth", type=int, default=None,
+                    help="chained decode windows in flight")
     args = ap.parse_args()
 
     from sglang_tpu.configs.model_config import ModelConfig
@@ -90,6 +94,10 @@ def main():
         max_running_requests=args.batch,
         disable_radix_cache=True,  # unique prompts; measure raw decode
     )
+    if args.decode_window:
+        server_args.decode_window_size = args.decode_window
+    if args.chain_depth:
+        server_args.decode_chain_depth = args.chain_depth
     runner = ModelRunner(
         server_args, model_config=ModelConfig.from_hf_dict(hf, dtype="bfloat16")
     )

@@ -174,6 +174,16 @@ def bench_attn(key, label="",
     )
 
 
+def _sweep3(key):
+    # r05: group size vs per-group overhead at bench geometry
+    bench_attn(key)  # baseline rb=8 pb=2 (T=64)
+    bench_attn(key, pages_per_block=4)   # T=128
+    bench_attn(key, pages_per_block=8)   # T=256: single group
+    bench_attn(key, pages_per_block=4, rows_per_block=4)
+    bench_attn(key, pages_per_block=2, rows_per_block=4)
+    bench_attn(key, pages_per_block=1)   # T=32
+
+
 def bench_lm_head(key):
     emb = jax.device_put(jax.random.normal(key, (V, H), DT) * 0.02)
 
@@ -221,6 +231,8 @@ def main():
                    contig_mode=True)
         bench_attn(key, rows_per_block=16, fused_write=False,
                    contig_mode=True)
+    if which == "sweep3":
+        _sweep3(key)
     if which in ("lm", "all"):
         bench_lm_head(key)
     wbytes = (

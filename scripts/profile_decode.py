@@ -33,7 +33,17 @@ def main():
     toks, lps, _ = runner.decode_window(packed, st_packed, B, P, K)
     toks, lps, _ = runner.decode_window(packed, st_packed, B, P, K)
 
+    # untraced timing first (the profiler adds per-op overhead)
     iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        toks, lps, _ = runner.decode_window(packed, st_packed, B, P, K)
+    wall = (time.perf_counter() - t0) / iters
+    print(
+        f"UNTRACED window wall {wall*1e3:.2f} ms = {wall/K*1e3:.3f} ms/step"
+        f" -> {B*K/wall:.0f} tok/s",
+        flush=True,
+    )
     tdir = "/tmp/decprof"
     os.system(f"rm -rf {tdir}")
     jax.profiler.start_trace(tdir)

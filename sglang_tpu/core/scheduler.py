@@ -112,7 +112,7 @@ class Scheduler:
         # depth 2 keeps the device saturated: window N+1 absorbs the
         # host fetch round-trip of window N, window N+2 absorbs the
         # host-side bookkeeping + dispatch gap
-        self._chain_depth = 2
+        self._chain_depth = server_args.decode_chain_depth
 
         self.eos_token_ids = set(self.runner.model_config.eos_token_ids)
         self.max_context_len = self.runner.max_context_len

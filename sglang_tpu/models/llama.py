@@ -620,6 +620,9 @@ class LlamaForCausalLM:
     # True while tracing inside the manual-pp wavefront (sharding
     # constraints referencing the full mesh are invalid there)
     _skip_shard_constraints = False
+    # Inside the pp wavefront: this stage's LOCAL quantized weight
+    # shards (proj dispatches on it; None outside the wavefront)
+    _quant_stack_override = None
 
     def _shard(self, x, *spec):
         if self._skip_shard_constraints:
@@ -693,7 +696,7 @@ class LlamaForCausalLM:
         return None
 
     def _pp_wavefront(self, hidden, kv_cache, batch, xs_all, pp, M,
-                      make_layer_fn):
+                      make_layer_fn, quant_stacks=None):
         """GPipe-style micro-batch pipeline inside one jitted program.
 
         shard_map manual over the pp axis: each rank holds its stage's
@@ -713,10 +716,14 @@ class LlamaForCausalLM:
         scan_layers, inv_freq, window, kvs, _la, _lb = xs_all
         T = M + pp - 1
 
-        def fn(hidden, kv_local, layers_l, if_l, win_l, kvs_l,
+        def fn(hidden, kv_local, layers_l, if_l, win_l, kvs_l, qs_l,
                input_ids, positions, seq_lens, page_table, out_slots,
                logits_idx):
             s = jax.lax.axis_index(AXIS_PP)
+            # quantized [L/pp, ...] stage shards: the layer body's proj
+            # dispatches on this override (fused per-rank quant kernels,
+            # local layer indices — see make_proj)
+            self._quant_stack_override = qs_l if qs_l else None
 
             def tick(carry, t):
                 buf, kv_local, outs = carry
@@ -761,12 +768,15 @@ class LlamaForCausalLM:
                 outs = jnp.where(write, upd, outs)
                 return (nxt, kv_local, outs), None
 
-            (buf, kv_local, outs), _ = jax.lax.scan(
-                tick,
-                (jnp.zeros((Bm, Lq, H), hidden.dtype), kv_local,
-                 jnp.zeros_like(hidden)),
-                jnp.arange(T, dtype=jnp.int32),
-            )
+            try:
+                (buf, kv_local, outs), _ = jax.lax.scan(
+                    tick,
+                    (jnp.zeros((Bm, Lq, H), hidden.dtype), kv_local,
+                     jnp.zeros_like(hidden)),
+                    jnp.arange(T, dtype=jnp.int32),
+                )
+            finally:
+                self._quant_stack_override = None
             # replicate the last stage's result to every pp rank (f32:
             # XLA:CPU's AllReducePromotion crashes on bf16 collectives)
             outs = jax.lax.psum(
@@ -777,10 +787,12 @@ class LlamaForCausalLM:
             ).astype(hidden.dtype)
             return outs, kv_local
 
+        qs = quant_stacks or {}
         in_specs = (
             P(), P(AXIS_PP),
             jax.tree_util.tree_map(lambda _: P(AXIS_PP), scan_layers),
             P(AXIS_PP), P(AXIS_PP), P(AXIS_PP),
+            jax.tree_util.tree_map(lambda _: P(AXIS_PP), qs),
             P(), P(), P(), P(), P(), P(),
         )
         # sharding-constraint hints inside the layer body reference the
@@ -796,7 +808,7 @@ class LlamaForCausalLM:
             )(
                 hidden, kv_cache, scan_layers,
                 jnp.asarray(inv_freq), jnp.asarray(window),
-                jnp.asarray(kvs),
+                jnp.asarray(kvs), qs,
                 batch.input_ids, batch.positions, batch.seq_lens,
                 batch.page_table, batch.out_slots, batch.logits_idx,
             )
@@ -928,15 +940,26 @@ class LlamaForCausalLM:
                 if name in quant_stacks:
                     # quantized base weight (LoRA deltas still apply in
                     # bf16 on top — S-LoRA over a quantized base)
+                    qs_over = self._quant_stack_override
                     si = quant_shard_infos[name]
                     be = c.quant_backend
-                    if multi_dev and si is None:
-                        be = "xla"  # no shard recipe → GSPMD dequant path
+                    if qs_over is not None:
+                        # inside the manual-pp wavefront: the leaves are
+                        # this stage's LOCAL [L/pp, ...] shards and the
+                        # mesh machinery is off — the fused kernel runs
+                        # per-rank directly, no QuantShardInfo needed
+                        stacks, si = qs_over, None
+                    else:
+                        stacks = quant_stacks
+                        if multi_dev and si is None:
+                            be = "xla"  # no shard recipe → GSPMD dequant
                     y = quant_linear(
-                        x, quant_stacks[name], qc.method, be,
+                        x, stacks[name], qc.method, be,
                         out_features=proj_out.get(name),
                         layer_idx=li,
-                        shard_info=si if multi_dev else None,
+                        shard_info=(
+                            si if multi_dev and qs_over is None else None
+                        ),
                         pack_block=quant_pack_blocks[name],
                     )
                 else:
@@ -1395,12 +1418,15 @@ class LlamaForCausalLM:
                 and lora is None
                 and not context_parallel
                 and not capture_expert_counts
-                and not quant_stacks
                 and self.supports_pp_wavefront
             )
             if wavefront_ok:
+                # Quantized stacks ride the wavefront too (r05): each
+                # stage gets its LOCAL [L/pp, ...] quant shards and runs
+                # the fused per-rank kernels with local layer indices.
                 hidden, kv_cache = self._pp_wavefront(
-                    hidden, kv_cache, batch, xs_all, pp, M, make_layer_fn
+                    hidden, kv_cache, batch, xs_all, pp, M, make_layer_fn,
+                    quant_stacks=quant_stacks,
                 )
             else:
                 stage_counts = []

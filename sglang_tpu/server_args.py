@@ -54,6 +54,9 @@ class ServerArgs:
     # (tokens chain on device). Trades up to K-1 overshoot tokens per
     # finishing request for a Kx cut in host<->device round trips.
     decode_window_size: int = 16
+    # chained decode windows kept in flight on the device (window N+1
+    # absorbs window N's host fetch round-trip; raise over slow links)
+    decode_chain_depth: int = 2
     # decode batch-size buckets for XLA compile cache (like CUDA-graph bs list)
     decode_bs_buckets: Optional[List[int]] = None
     prefill_len_buckets: Optional[List[int]] = None
