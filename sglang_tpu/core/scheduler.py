@@ -80,6 +80,7 @@ class Scheduler:
         # background sender streams page slabs while the loop keeps
         # prefilling (radix lock held via the scheduler thread).
         self._pd_incoming: List[dict] = []
+        self._pending_promos: List[dict] = []  # hicache load_back waves
         self._dllm_reqs: List[Req] = []
         self._dllm_algo = None
         self._prefetch_pool = None  # hicache storage prefetch workers
@@ -113,6 +114,22 @@ class Scheduler:
         # host fetch round-trip of window N, window N+2 absorbs the
         # host-side bookkeeping + dispatch gap
         self._chain_depth = server_args.decode_chain_depth
+
+        # Adaptive draft depth (reference adaptive_spec_params.py):
+        # EAGLE chain only — per-BS-tier depth from accept-length EMA.
+        self._adaptive_spec = None
+        if (
+            server_args.enable_adaptive_spec
+            and (server_args.speculative_algorithm or "").lower()
+            in ("eagle", "eagle3")
+            and server_args.speculative_eagle_topk <= 1
+        ):
+            from sglang_tpu.speculative.adaptive import AdaptiveSpecParams
+
+            self._adaptive_spec = AdaptiveSpecParams(
+                k_max=server_args.speculative_num_draft_tokens
+            )
+            logger.info("Adaptive speculative depth enabled")
 
         self.eos_token_ids = set(self.runner.model_config.eos_token_ids)
         self.max_context_len = self.runner.max_context_len
@@ -571,6 +588,103 @@ class Scheduler:
     # inject happens back on the scheduler thread — the host→device
     # transfer itself overlaps forward compute via XLA async dispatch
     # (our analogue of the reference's layer-by-layer LayerDoneCounter).
+    # ------------------------------ hicache layer-pipelined load_back
+    # Host-tier promotion as staged WAVES (reference
+    # cache_controller.py:74-89 LayerDoneCounter + tp_worker.py:447):
+    # the slab copy out of the host pool runs off-thread at ARRIVAL,
+    # then the device scatter dispatches as per-layer-chunk programs —
+    # one chunk per scheduler step — so in-flight decode windows
+    # interleave between the transfer waves instead of stalling behind
+    # one whole-pool scatter at admit.  The requesting request waits in
+    # the queue (same deadline gate as the storage prefetch).
+    def _maybe_start_host_promotion(self, req: Req) -> None:
+        radix = self.radix
+        if (
+            not hasattr(radix, "match_host_extension")
+            or radix.disable
+            or req.lora_slot
+            or req.input_embeds is not None
+            or req.is_diffusion
+        ):
+            return
+        key = req.fill_ids[: len(req.fill_ids) - 1]
+        m = radix.match_prefix(key)
+        extra, host_pages = radix.match_host_extension(
+            key, m.matched_tokens
+        )
+        if extra <= 0 or not host_pages:
+            return
+        for pr in self._pending_promos:
+            if pr["host_pages"][: 1] == list(host_pages)[:1]:
+                # an in-flight promotion already covers this prefix
+                req._prefetch_deadline = time.monotonic() + 2.0
+                pr["reqs"].append(req)
+                return
+        new_pages = self._alloc_pages(len(host_pages))
+        if new_pages is None:
+            return  # pool pressure: the inline admit-time promote covers it
+        if self._prefetch_pool is None:
+            import concurrent.futures as _f
+
+            self._prefetch_pool = _f.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="hicache-prefetch"
+            )
+        host_pool = radix.host_pool
+        hp = list(host_pages)
+        fut = self._prefetch_pool.submit(
+            lambda: np.stack([host_pool.buf[p] for p in hp])
+        )
+        radix.inc_lock_ref(m.node)  # prefix pages must survive the waves
+        req._prefetch_deadline = time.monotonic() + 2.0
+        self._pending_promos.append(dict(
+            key=list(key), matched=m.matched_tokens, node=m.node,
+            prefix_pages=list(m.pages), new_pages=list(new_pages),
+            host_pages=hp, fut=fut, layer_lo=0, reqs=[req],
+        ))
+
+    def _poll_host_promotions(self) -> None:
+        if not self._pending_promos:
+            return
+        L = self.runner.kv_pool.geometry.num_layers
+        chunk = max(1, -(-L // 4))  # 4 waves per promotion
+        finished = []
+        for pr in self._pending_promos:
+            if not pr["fut"].done():
+                continue
+            try:
+                slab = pr["fut"].result()  # [n, L, ps, 2, HD]
+            except Exception:
+                logger.exception("host promotion staging failed")
+                finished.append((pr, False))
+                continue
+            lo = pr["layer_lo"]
+            hi = min(lo + chunk, L)
+            self.runner.inject_pages(
+                pr["new_pages"], slab[:, lo:hi], layer_lo=lo
+            )
+            pr["layer_lo"] = hi
+            self.num_promo_chunks = getattr(self, "num_promo_chunks", 0) + 1
+            if hi >= L:
+                finished.append((pr, True))
+        for pr, ok in finished:
+            self._pending_promos.remove(pr)
+            self.radix.dec_lock_ref(pr["node"])
+            m = self.radix.match_prefix(pr["key"])
+            if not ok or m.matched_tokens > pr["matched"]:
+                # failed, or someone promoted meanwhile — drop our pages
+                self.allocator.free(pr["new_pages"])
+            else:
+                total = (
+                    len(pr["prefix_pages"]) + len(pr["new_pages"])
+                ) * self.page_size
+                self.radix.insert(
+                    pr["key"][:total],
+                    pr["prefix_pages"] + pr["new_pages"],
+                )
+                self.radix.num_promotions += len(pr["new_pages"])
+            for r in pr["reqs"]:
+                r._prefetch_deadline = 0.0
+
     def _maybe_start_prefetch(self, req: Req) -> None:
         radix = self.radix
         if (
@@ -648,6 +762,7 @@ class Scheduler:
             return
         self.reqs_by_rid[req.rid] = req
         self.waiting.append(req)
+        self._maybe_start_host_promotion(req)
         self._maybe_start_prefetch(req)
 
     def _apply_aborts(self):
@@ -1046,8 +1161,10 @@ class Scheduler:
             self._flush_pending_emits()
         self._process_inputs(
             block=block and not self._inflight and not self._pd_incoming
+            and not self._pending_promos
         )
         self._poll_pd_queues()
+        self._poll_host_promotions()
         if self._swa_window:
             self._swa_sweep()
         if self._inflight and (
@@ -1769,6 +1886,13 @@ class Scheduler:
         if not batch.reqs:
             return False
         k = self.server_args.speculative_num_draft_tokens
+        if self._adaptive_spec is not None:
+            k = self._adaptive_spec.k_for(len(batch.reqs))
+            if k <= 0:
+                # tier disabled drafting: plain decode; the slot keeps
+                # counting rounds and re-probes a positive depth later
+                self._adaptive_spec.observe(len(batch.reqs), [0])
+                return False
         for r in batch.reqs:
             sp = r.sampling_params
             if (
@@ -1834,7 +1958,7 @@ class Scheduler:
         ).astype(np.int32)
 
         drafts, q_logits = self.runner.eagle_draft_window(
-            dpacked, st_packed, B, A, P
+            dpacked, st_packed, B, A, P, K=k
         )
 
         # verify: target extend over [last_token, d_1..d_k]
@@ -1868,6 +1992,14 @@ class Scheduler:
         return True
 
     def _eagle_apply_results(self, batch, tokens, accept_len, lp, bootstrap, k):
+        if self._adaptive_spec is not None:
+            accepts = [
+                int(accept_len[i])
+                for i in range(len(batch.reqs))
+                if not bootstrap[i]
+            ]
+            if accepts:
+                self._adaptive_spec.observe(len(batch.reqs), accepts)
         updates = []
         tok_rows = np.asarray(tokens).astype(np.int64).tolist()
         lp_rows = np.asarray(lp).tolist()

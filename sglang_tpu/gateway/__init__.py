@@ -61,12 +61,27 @@ class GatewayProcess:
                  pd_decode=None,  # str or list of "host:port[=bootstrap]"
                  pd_bootstrap: Optional[str] = None,
                  discovery_file: Optional[str] = None,
-                 discovery_interval_ms: int = 1000):
+                 discovery_interval_ms: int = 1000,
+                 rate: Optional[str] = None,  # "R[:BURST]" per worker
+                 cb_failures: Optional[int] = None,
+                 cb_cooldown_ms: Optional[int] = None,
+                 max_conn_threads: Optional[int] = None,
+                 conn_queue: Optional[int] = None):
         binary = build_gateway()
         args = [binary, "--port", str(port), "--policy", policy,
                 "--cache-threshold", str(cache_threshold),
                 "--max-retries", str(max_retries),
                 "--health-interval-ms", str(health_interval_ms)]
+        if rate is not None:
+            args += ["--rate", str(rate)]
+        if cb_failures is not None:
+            args += ["--cb-failures", str(cb_failures)]
+        if cb_cooldown_ms is not None:
+            args += ["--cb-cooldown-ms", str(cb_cooldown_ms)]
+        if max_conn_threads is not None:
+            args += ["--max-conn-threads", str(max_conn_threads)]
+        if conn_queue is not None:
+            args += ["--conn-queue", str(conn_queue)]
         for w in workers:
             args += ["--worker", w]
         if isinstance(pd_prefill, str):

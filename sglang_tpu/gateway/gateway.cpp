@@ -36,6 +36,8 @@
 #include <set>
 #include <string>
 #include <chrono>
+#include <condition_variable>
+#include <deque>
 #include <thread>
 #include <utility>
 #include <vector>
@@ -107,9 +109,34 @@ struct Worker {
   std::atomic<int64_t> failures{0};   // connect/relay errors (passive)
   std::atomic<int> probe_fails{0};    // consecutive active-probe failures
   std::atomic<bool> healthy{true};
+  // --- circuit breaker (reference sgl-model-gateway
+  // core/circuit_breaker.rs): consecutive PASSIVE relay failures trip
+  // the breaker OPEN for cb_cooldown_ms; after the cooldown exactly one
+  // half-open trial request goes through — success closes the breaker,
+  // failure re-opens it.  Active /health probes still handle hard-down
+  // workers; the breaker reacts to flapping/overloaded ones within a
+  // request, not a probe cycle.
+  std::atomic<int> cb_fails{0};
+  std::atomic<long long> cb_open_until_ms{0};
+  std::atomic<bool> cb_half{false};
+  // --- token-bucket rate limit (reference core/token_bucket.rs):
+  // tb_rate tokens/s refill up to tb_burst; a request takes one token
+  // or the worker is skipped this attempt (429 when every worker is
+  // out of tokens).
+  double tb_rate = 0;  // 0 = unlimited
+  double tb_burst = 0;
+  double tb_tokens = 0;
+  long long tb_last_ms = 0;
+  std::mutex tb_mu;
   PrefixTree tree;
   std::mutex tree_mu;
 };
+
+long long now_ms() {
+  return std::chrono::duration_cast<std::chrono::milliseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 using WorkerPtr = std::shared_ptr<Worker>;
 
@@ -123,6 +150,10 @@ struct Gateway {
   double cache_threshold = 0.5;
   int max_retries = 2;          // failover attempts across workers
   int unhealthy_after = 3;      // consecutive probe failures → ejected
+  int cb_failures = 5;          // passive failures → breaker OPEN
+  int cb_cooldown_ms = 2000;    // OPEN duration before a half-open trial
+  double default_rate = 0;      // per-worker token refill (req/s); 0=off
+  double default_burst = 0;
   std::atomic<uint64_t> rr{0};
 
   std::vector<WorkerPtr> snapshot(bool healthy_only = true) {
@@ -316,6 +347,55 @@ int connect_to(const std::string& host, int port) {
 Gateway g_gateway;
 std::atomic<int64_t> g_requests{0};
 std::atomic<int64_t> g_retries{0};
+std::atomic<int64_t> g_rate_limited{0};
+std::atomic<int64_t> g_breaker_skips{0};
+std::atomic<int64_t> g_queue_rejects{0};
+
+// Per-attempt admission: 0 = admit, 1 = breaker open, 2 = out of tokens.
+int admit_worker(const WorkerPtr& w) {
+  long long now = now_ms();
+  long long open_until = w->cb_open_until_ms.load();
+  if (open_until > 0) {
+    if (now < open_until) {
+      ++g_breaker_skips;
+      return 1;
+    }
+    bool expected = false;
+    if (!w->cb_half.compare_exchange_strong(expected, true)) {
+      ++g_breaker_skips;
+      return 1;  // another request is already the half-open trial
+    }
+  }
+  if (w->tb_rate > 0) {
+    std::lock_guard<std::mutex> g(w->tb_mu);
+    double dt = (now - w->tb_last_ms) / 1000.0;
+    w->tb_last_ms = now;
+    w->tb_tokens = std::min(w->tb_burst, w->tb_tokens + dt * w->tb_rate);
+    if (w->tb_tokens < 1.0) {
+      ++g_rate_limited;
+      if (open_until > 0) w->cb_half = false;  // trial slot returns
+      return 2;
+    }
+    w->tb_tokens -= 1.0;
+  }
+  return 0;
+}
+
+// Relay outcome feeds the breaker: success closes it, failure counts
+// toward cb_failures (a failed half-open trial re-opens immediately).
+void report_worker_result(const WorkerPtr& w, bool ok) {
+  if (ok) {
+    w->cb_fails = 0;
+    w->cb_open_until_ms = 0;
+    w->cb_half = false;
+    return;
+  }
+  bool was_open = w->cb_open_until_ms.load() > 0;
+  w->cb_half = false;
+  int f = ++w->cb_fails;
+  if (f >= g_gateway.cb_failures || was_open)
+    w->cb_open_until_ms = now_ms() + g_gateway.cb_cooldown_ms;
+}
 
 // ------------------------------------------------------- PD routing
 // (reference PD router: each /generate duplicates to a prefill worker
@@ -594,9 +674,12 @@ void reconcile_discovery() {
         g_pd.add(false, host, port, bootstrap);
       }
     } else {
-      // regular worker line: "host:port [weight=N] [priority=N]"
+      // regular worker line:
+      //   "host:port [weight=N] [priority=N] [rate=R[:BURST]]"
       std::string ep = line;
       int wgt = 1, pri = 0;
+      double rate = g_gateway.default_rate;
+      double burst = g_gateway.default_burst;
       size_t sp = line.find(' ');
       if (sp != std::string::npos) {
         ep = line.substr(0, sp);
@@ -607,6 +690,13 @@ void reconcile_discovery() {
             wgt = std::max(1, atoi(tok.c_str() + 7));
           else if (tok.rfind("priority=", 0) == 0)
             pri = atoi(tok.c_str() + 9);
+          else if (tok.rfind("rate=", 0) == 0) {
+            std::string spec = tok.substr(5);
+            size_t c = spec.find(':');
+            rate = atof(spec.c_str());
+            burst = c == std::string::npos ? std::max(1.0, rate)
+                                           : atof(spec.c_str() + c + 1);
+          }
         }
       }
       if (split_hostport(ep, host, port)) {
@@ -618,6 +708,16 @@ void reconcile_discovery() {
           have = g_gateway.add_worker(host, port);
           fprintf(stderr, "gateway: discovered worker %s:%d\n",
                   host.c_str(), port);
+          std::lock_guard<std::mutex> g(have->tb_mu);
+          have->tb_rate = rate;
+          have->tb_burst = burst;
+          have->tb_tokens = burst;
+          have->tb_last_ms = now_ms();
+        } else if (have->tb_rate != rate || have->tb_burst != burst) {
+          std::lock_guard<std::mutex> g(have->tb_mu);
+          have->tb_rate = rate;
+          have->tb_burst = burst;
+          have->tb_tokens = std::min(have->tb_tokens, burst);
         }
         have->weight = wgt;      // live-updated on every reconcile
         have->priority = pri;
@@ -722,10 +822,15 @@ void serve_client(int cfd) {
            std::to_string(w->failures.load()) + ",\"weight\":" +
            std::to_string(w->weight.load()) + ",\"priority\":" +
            std::to_string(w->priority.load()) + ",\"healthy\":" +
-           (w->healthy ? "true" : "false") + "}";
+           (w->healthy ? "true" : "false") + ",\"breaker_open\":" +
+           (w->cb_open_until_ms.load() > now_ms() ? "true" : "false") +
+           ",\"rate\":" + std::to_string(w->tb_rate) + "}";
     }
     j += "],\"requests\":" + std::to_string(g_requests.load()) +
-         ",\"retries\":" + std::to_string(g_retries.load());
+         ",\"retries\":" + std::to_string(g_retries.load()) +
+         ",\"rate_limited\":" + std::to_string(g_rate_limited.load()) +
+         ",\"breaker_skips\":" + std::to_string(g_breaker_skips.load()) +
+         ",\"queue_rejects\":" + std::to_string(g_queue_rejects.load());
     {
       std::lock_guard<std::mutex> g(g_pd.mu);
       auto dump = [](const std::vector<PDWorkerPtr>& pool) {
@@ -806,14 +911,24 @@ void serve_client(int cfd) {
   std::string key = cache_key(body);
   std::vector<Worker*> tried;
   bool responded = false;
-  for (int attempt = 0; attempt <= g_gateway.max_retries; ++attempt) {
+  bool saw_rate_limit = false;
+  // retries also cover breaker-open / rate-limited skips: a skipped
+  // worker joins `tried` and the loop moves to the next candidate
+  int budget = g_gateway.max_retries + 4;
+  for (int attempt = 0; attempt <= budget; ++attempt) {
     WorkerPtr w = g_gateway.pick(key, tried);
     if (!w) break;
     tried.push_back(w.get());
+    int adm = admit_worker(w);
+    if (adm != 0) {
+      if (adm == 2) saw_rate_limit = true;
+      continue;
+    }
     if (attempt > 0) ++g_retries;
     int ufd = connect_to(w->host, w->port);
     if (ufd < 0) {
       ++w->failures;
+      report_worker_result(w, false);
       if (++w->probe_fails >= g_gateway.unhealthy_after)
         w->healthy = false;  // passive ejection; probe loop re-admits
       continue;
@@ -836,17 +951,46 @@ void serve_client(int cfd) {
     --w->in_flight;
     w->probe_fails = 0;
     if (sent && any_bytes) {
+      report_worker_result(w, true);
       responded = true;
       break;
     }
     ++w->failures;  // upstream died before responding: fail over
+    report_worker_result(w, false);
   }
   if (!responded) {
-    std::string resp = "HTTP/1.1 502 Bad Gateway\r\nContent-Length: 0\r\n"
-                       "Connection: close\r\n\r\n";
+    std::string resp =
+        saw_rate_limit
+            ? "HTTP/1.1 429 Too Many Requests\r\nContent-Length: 0\r\n"
+              "Connection: close\r\n\r\n"
+            : "HTTP/1.1 502 Bad Gateway\r\nContent-Length: 0\r\n"
+              "Connection: close\r\n\r\n";
     send_all(cfd, resp.data(), resp.size());
   }
   close(cfd);
+}
+
+// ------------------------------------------------ bounded connection pool
+// Thread-per-connection replaced by a FIXED worker pool + bounded
+// accept queue (reference gateway's bounded tokio runtime +
+// concurrency limits): a slow client can hold at most one pool thread,
+// and overload sheds with 503 instead of unbounded thread growth.
+std::deque<int> g_connq;
+std::mutex g_connq_mu;
+std::condition_variable g_connq_cv;
+size_t g_max_conn_queue = 256;
+
+void conn_worker() {
+  while (true) {
+    int cfd;
+    {
+      std::unique_lock<std::mutex> l(g_connq_mu);
+      g_connq_cv.wait(l, [] { return !g_connq.empty(); });
+      cfd = g_connq.front();
+      g_connq.pop_front();
+    }
+    serve_client(cfd);
+  }
 }
 
 }  // namespace
@@ -855,6 +999,7 @@ int main(int argc, char** argv) {
   signal(SIGPIPE, SIG_IGN);
   int port = 8080;
   int health_interval_ms = 2000;
+  int max_conn_threads = 64;
   int discovery_interval_ms = 1000;
   std::string pd_default_bootstrap;
   for (int i = 1; i < argc; ++i) {
@@ -867,6 +1012,23 @@ int main(int argc, char** argv) {
       g_gateway.max_retries = atoi(argv[++i]);
     else if (a == "--health-interval-ms" && i + 1 < argc)
       health_interval_ms = atoi(argv[++i]);
+    else if (a == "--cb-failures" && i + 1 < argc)
+      g_gateway.cb_failures = atoi(argv[++i]);
+    else if (a == "--cb-cooldown-ms" && i + 1 < argc)
+      g_gateway.cb_cooldown_ms = atoi(argv[++i]);
+    else if (a == "--rate" && i + 1 < argc) {
+      // per-worker token bucket: "rate[:burst]" req/s (applied to every
+      // worker after parsing; discovery lines may override per worker)
+      std::string spec = argv[++i];
+      size_t c = spec.find(':');
+      g_gateway.default_rate = atof(spec.c_str());
+      g_gateway.default_burst =
+          c == std::string::npos ? std::max(1.0, g_gateway.default_rate)
+                                 : atof(spec.c_str() + c + 1);
+    } else if (a == "--max-conn-threads" && i + 1 < argc)
+      max_conn_threads = std::max(1, atoi(argv[++i]));
+    else if (a == "--conn-queue" && i + 1 < argc)
+      g_max_conn_queue = (size_t)std::max(1, atoi(argv[++i]));
     else if (a == "--pd-prefill" && i + 1 < argc) {  // repeatable
       std::string host;
       int p = 0;
@@ -911,10 +1073,20 @@ int main(int argc, char** argv) {
     fprintf(stderr, "gateway: no --worker given\n");
     return 1;
   }
+  if (g_gateway.default_rate > 0) {
+    for (auto& w : g_gateway.snapshot(false)) {
+      w->tb_rate = g_gateway.default_rate;
+      w->tb_burst = g_gateway.default_burst;
+      w->tb_tokens = g_gateway.default_burst;  // start full
+      w->tb_last_ms = now_ms();
+    }
+  }
   if (health_interval_ms > 0)
     std::thread(health_loop, health_interval_ms).detach();
   if (!g_discovery_file.empty())
     std::thread(discovery_loop, discovery_interval_ms).detach();
+  for (int i = 0; i < max_conn_threads; ++i)
+    std::thread(conn_worker).detach();
   int sfd = socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
   setsockopt(sfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
@@ -935,6 +1107,20 @@ int main(int argc, char** argv) {
   while (true) {
     int cfd = accept(sfd, nullptr, nullptr);
     if (cfd < 0) continue;
-    std::thread(serve_client, cfd).detach();
+    {
+      std::lock_guard<std::mutex> g(g_connq_mu);
+      if (g_connq.size() >= g_max_conn_queue) {
+        // overload: shed with 503 instead of queueing without bound
+        ++g_queue_rejects;
+        static const char resp[] =
+            "HTTP/1.1 503 Service Unavailable\r\nContent-Length: 0\r\n"
+            "Connection: close\r\n\r\n";
+        send(cfd, resp, sizeof(resp) - 1, MSG_NOSIGNAL);
+        close(cfd);
+        continue;
+      }
+      g_connq.push_back(cfd);
+    }
+    g_connq_cv.notify_one();
   }
 }

@@ -337,6 +337,7 @@ class ModelRunner:
             jax.random.PRNGKey(server_args.random_seed), rng_dst
         )
         self._step_counter = 0
+        self._dummy_args_cache: Dict[tuple, Any] = {}
         self._extend_fns: Dict[Tuple, Callable] = {}
         self.last_expert_counts: Optional[np.ndarray] = None
         self._decode_fns: Dict[Tuple, Callable] = {}
@@ -1077,17 +1078,33 @@ class ModelRunner:
             self.kv_cache,
             packed,
             st_packed,
-            pen if pen is not None else np.zeros((B, 1, 2), np.int32),
-            vmask if vmask is not None else np.zeros((B, 1), np.uint32),
+            pen if pen is not None else self._dummy_arg("pen", (B, 1, 2), np.int32),
+            vmask if vmask is not None else self._dummy_arg("vmask", (B, 1), np.uint32),
             self._lora_tree() if adapter_idx is not None else {},
-            adapter_idx if adapter_idx is not None else np.zeros((B,), np.int32),
+            adapter_idx if adapter_idx is not None else self._dummy_arg("aidx", (B,), np.int32),
             chain_tokens,
             fsm_parts,
-            fsm_state,
+            fsm_state if use_fsm else self._dummy_arg("fsm0", (B,), np.int32),
             self._base_rng,
             np.int32(self._step_counter),
         )
         return (out, tl_k, last_tokens)
+
+    def _dummy_arg(self, kind: str, shape: tuple, dtype):
+        """Device-resident zero placeholder, cached per (kind, shape).
+
+        Unused jit args (penalties off, no grammar mask, no LoRA) were
+        fresh host zeros on EVERY window dispatch — each one an h2d
+        upload over the tunnel whose latency lands between windows.
+        One cached device buffer removes the transfer entirely."""
+        key = (kind, shape)
+        buf = self._dummy_args_cache.get(key)
+        if buf is None:
+            buf = jax.device_put(
+                np.zeros(shape, dtype), self._replicated_sharding
+            )
+            self._dummy_args_cache[key] = buf
+        return buf
 
     @staticmethod
     def decode_window_fetch(handle):
@@ -1302,21 +1319,27 @@ class ModelRunner:
         return min(p, next_power_of_2(self.max_pages_per_req))
 
     # ------------------------------------------------------------- hicache
-    def _page_rows(self, pages, pad_to: int) -> np.ndarray:
+    def _page_rows(
+        self, pages, pad_to: int, layer_lo: int = 0,
+        n_layers: Optional[int] = None,
+    ) -> np.ndarray:
         # Padding rows use a POSITIVE one-past-the-end sentinel: JAX
         # normalizes negative indices before the OOB check, so a -1
         # sentinel under .at[].set(mode="drop") would silently write the
         # last row of the pool instead of being dropped.
         g = self.kv_pool.geometry
+        if n_layers is None:
+            n_layers = g.num_layers
         oob = g.num_layers * g.num_pages
         arr = np.full((pad_to,), -1, np.int64)
         arr[: len(pages)] = pages
+        layers = np.arange(layer_lo, layer_lo + n_layers)
         rows = np.where(
             arr[None, :] >= 0,
-            np.arange(g.num_layers)[:, None] * g.num_pages + arr[None, :],
+            layers[:, None] * g.num_pages + arr[None, :],
             oob,
         )
-        return rows.ravel()  # [L * pad_to], oob = padding
+        return rows.ravel()  # [n_layers * pad_to], oob = padding
 
     def extract_pages(self, pages) -> np.ndarray:
         """Fetch whole pages (all layers) to host: [n, L, ps, 2, HD]."""
@@ -1338,21 +1361,30 @@ class ModelRunner:
         data = data.reshape(g.num_layers, pad, *self.kv_cache.shape[1:])
         return data.transpose(1, 0, 2, 3, 4)[:n]
 
-    def inject_pages(self, pages, data: np.ndarray) -> None:
-        """Write host page slabs [n, L, ps, 2, HD] into the device pool."""
+    def inject_pages(self, pages, data: np.ndarray, layer_lo: int = 0) -> None:
+        """Write host page slabs into the device pool.
+
+        ``data`` is ``[n, L, ps, 2, HD]`` for a whole-pool write, or a
+        LAYER SLICE ``[n, l, ps, 2, HD]`` starting at ``layer_lo`` — the
+        hicache layer-pipelined load_back (reference
+        cache_controller.py:74 LayerDoneCounter) dispatches promotions
+        as layer-chunk waves between decode windows, so each transfer is
+        small and forward steps interleave instead of stalling behind
+        one whole-pool scatter."""
         from sglang_tpu.utils import next_power_of_2
 
         n = len(pages)
         pad = next_power_of_2(n)
         g = self.kv_pool.geometry
+        n_layers = data.shape[1]
         if pad != n:
             padding = np.zeros((pad - n,) + data.shape[1:], data.dtype)
             data = np.concatenate([data, padding], axis=0)
-        rows = self._page_rows(pages, pad)
+        rows = self._page_rows(pages, pad, layer_lo, n_layers)
         vals = data.transpose(1, 0, 2, 3, 4).reshape(
-            g.num_layers * pad, *self.kv_cache.shape[1:]
+            n_layers * pad, *self.kv_cache.shape[1:]
         )
-        key = ("inject", pad)
+        key = ("inject", pad, n_layers)
         fn = self._extend_fns.get(key)
         if fn is None:
             fn = jax.jit(
@@ -1742,14 +1774,21 @@ class ModelRunner:
         # [K, B] → [B, K];  q_logits [K, B, V] → [B, K, V] stays on device
         return drafts.T, jnp.swapaxes(q_logits, 0, 1), draft_kv
 
-    def eagle_draft_window(self, dpacked, st_packed, B, A, P):
-        key = (B, A, P)
+    def eagle_draft_window(self, dpacked, st_packed, B, A, P, K=None):
+        # K (chain depth) defaults to the configured depth; adaptive
+        # spec (speculative/adaptive.py) passes smaller depths — each is
+        # its own jitted bucket (the feature/KV pools are sized for the
+        # configured maximum).
+        K = self.eagle_k if K is None else K
+        key = (B, A, P, K)
         fn = self._eagle_draft_fns.get(key)
         if fn is None:
-            logger.info("compiling eagle draft: B=%d A=%d P=%d", B, A, P)
+            logger.info(
+                "compiling eagle draft: B=%d A=%d P=%d K=%d", B, A, P, K
+            )
             fn = jax.jit(
                 functools.partial(
-                    self._eagle_draft_impl, B=B, A=A, P=P, K=self.eagle_k
+                    self._eagle_draft_impl, B=B, A=A, P=P, K=K
                 ),
                 donate_argnums=(2,),
             )
@@ -1789,6 +1828,14 @@ class ModelRunner:
         )
         S = feats_pool.shape[0]
         safe_slot = jnp.where(slot_idx >= 0, slot_idx, S)
+        if feats.shape[1] < feats_pool.shape[1]:
+            # adaptive depth < configured max: pool rows are sized for
+            # the max; the tail rows are never read (next round's
+            # draft-extend covers at most accept+1 <= L positions)
+            feats = jnp.pad(
+                feats,
+                ((0, 0), (0, feats_pool.shape[1] - feats.shape[1]), (0, 0)),
+            )
         feats_pool = feats_pool.at[safe_slot].set(
             feats.astype(feats_pool.dtype), mode="drop"
         )

@@ -96,6 +96,11 @@ class ServerArgs:
     speculative_algorithm: Optional[str] = None  # NGRAM | EAGLE | EAGLE3
     speculative_num_draft_tokens: int = 4
     speculative_eagle_topk: int = 1  # >1 = top-b root-branch tree verify
+    # Adaptive draft depth (reference adaptive_spec_params.py): tune the
+    # EAGLE chain depth per decode-batch-size tier from accept-length
+    # EMA; candidates are capped at speculative_num_draft_tokens.
+    # EAGLE chain (topk=1) only.
+    enable_adaptive_spec: bool = False
     speculative_ngram_n: int = 3
     speculative_draft_model_path: Optional[str] = None  # EAGLE draft ckpt
 

@@ -1,5 +1,7 @@
 """FP8 KV cache, sessions, update_weights_from_disk."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -209,5 +211,53 @@ def test_hierarchical_cache_promotes_evicted_prefix():
         assert eng.scheduler.radix.num_promotions > 0
         assert out_a2["meta_info"]["cached_tokens"] > 0
         assert out_a2["output_ids"] == out_a1["output_ids"]
+    finally:
+        eng.shutdown()
+
+
+def test_hicache_layer_pipelined_load_back():
+    """r05 (r04 VERDICT next #6): host-tier promotion runs as staged
+    layer-chunk WAVES between scheduler steps (LayerDoneCounter
+    analogue) — an in-flight decode keeps producing tokens while the
+    promotion transfers, and the promoted request's output is exact."""
+    import threading
+
+    from sglang_tpu.core.hicache import HiRadixCache
+
+    eng = _engine(max_total_tokens=512, enable_hierarchical_cache=True,
+                  chunked_prefill_size=256)
+    try:
+        sched = eng.scheduler
+        assert isinstance(sched.radix, HiRadixCache)
+        sp = {"temperature": 0.0, "max_new_tokens": 4, "ignore_eos": True}
+        a = [(7 * i + 1) % 256 for i in range(300)]
+        b = [(11 * i + 5) % 256 for i in range(300)]
+        out_a1 = eng.generate(input_ids=list(a), sampling_params=dict(sp))
+        eng.generate(input_ids=list(b), sampling_params=dict(sp))
+        assert sched.radix.num_backups > 0
+
+        # long decode C holds the engine busy while A2's promotion waves
+        # interleave with its windows
+        res = {}
+
+        def run_c():
+            res["c"] = eng.generate(
+                input_ids=[3, 1, 4, 1, 5, 9, 2, 6],
+                sampling_params={"temperature": 0.0, "max_new_tokens": 96,
+                                 "ignore_eos": True},
+            )
+
+        t = threading.Thread(target=run_c)
+        t.start()
+        time.sleep(0.05)  # let C enter decode
+        out_a2 = eng.generate(input_ids=list(a), sampling_params=dict(sp))
+        t.join()
+        assert out_a2["output_ids"] == out_a1["output_ids"]
+        assert sched.radix.num_promotions > 0
+        # the load_back ran as multiple layer-chunk waves
+        assert getattr(sched, "num_promo_chunks", 0) >= 2, (
+            sched.__dict__.get("num_promo_chunks")
+        )
+        assert len(res["c"]["output_ids"]) == 96
     finally:
         eng.shutdown()

@@ -41,13 +41,22 @@ def _self_consistent_draft(runner):
     lay = p["layers"]
     fc = np.zeros((2 * H, H), np.float32)
     fc[:H] = np.eye(H)  # pick the embedding half; ignore the feature half
+    if "qkv_proj" in lay:  # fused execution layout (models/llama.py)
+        m = runner.model
+        QO, KO = m.hq * m.hd, m.hkv * m.hd
+        qkv0 = lay["qkv_proj"][0]
+        q0 = qkv0[:, :QO]
+        k0 = qkv0[:, QO : QO + KO]
+        v0 = qkv0[:, QO + KO :]
+    else:
+        q0, k0, v0 = lay["q_proj"][0], lay["k_proj"][0], lay["v_proj"][0]
     d = {
         "fc": jnp.asarray(fc),
         "fc_bias": jnp.zeros((H,), jnp.float32),
         "input_ln": lay["input_ln"][0],
-        "q_proj": lay["q_proj"][0],
-        "k_proj": lay["k_proj"][0],
-        "v_proj": lay["v_proj"][0],
+        "q_proj": q0,
+        "k_proj": k0,
+        "v_proj": v0,
         "o_proj": lay["o_proj"][0],
         "post_ln": lay["post_ln"][0],
         "gate_proj": lay["gate_proj"][0],

@@ -406,3 +406,180 @@ def test_gateway_discovery_weights_and_priority(tmp_path):
         s1.stop()
         s2.stop()
         s3.stop()
+
+
+# ------------------------- r05 hardening: breaker / token bucket / queue
+class _FakeWorker:
+    """Minimal HTTP worker whose behavior flips at runtime: 'ok' answers
+    200, 'flap' closes the connection before responding (passive relay
+    failure — connect still succeeds, so only the circuit breaker can
+    eject it), 'slow' sleeps before answering."""
+
+    def __init__(self, mode="ok", delay=0.0):
+        self.mode = mode
+        self.delay = delay
+        self.hits = 0
+        self.sock = socket.socket()
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.port = self.sock.getsockname()[1]
+        self.sock.listen(64)
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                c, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(c,), daemon=True
+            ).start()
+
+    def _handle(self, c):
+        try:
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                d = c.recv(4096)
+                if not d:
+                    break
+                buf += d
+            self.hits += 1
+            if self.mode == "flap":
+                c.close()
+                return
+            if self.mode == "slow":
+                time.sleep(self.delay)
+            body = b'{"ok": true}'
+            c.sendall(
+                b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\nConnection: close\r\n\r\n" + body
+            )
+            c.close()
+        except OSError:
+            pass
+
+    def stop(self):
+        self._stop = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def test_gateway_token_bucket_rate_limit():
+    """r05 (r04 VERDICT next #10): per-worker token bucket — burst
+    drains, excess answers 429, tokens refill over time."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    w = _FakeWorker("ok")
+    gw = GatewayProcess(
+        port=0, workers=[f"127.0.0.1:{w.port}"], policy="round_robin",
+        health_interval_ms=0, rate="2:2", max_retries=0,
+    )
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        codes = [
+            httpx.post(f"{base}/generate", json={"text": "x"},
+                       timeout=5).status_code
+            for _ in range(6)
+        ]
+        assert codes.count(200) == 2, codes  # burst of 2
+        assert codes.count(429) == 4, codes
+        time.sleep(1.1)  # ~2 tokens refill
+        assert httpx.post(f"{base}/generate", json={"text": "x"},
+                          timeout=5).status_code == 200
+        stats = httpx.get(f"{base}/gateway/workers", timeout=5).json()
+        assert stats["rate_limited"] >= 4
+    finally:
+        gw.stop()
+        w.stop()
+
+
+def test_gateway_circuit_breaker_flapping_worker():
+    """A flapping worker (accepts, then drops the connection) trips its
+    breaker after cb_failures passive errors; traffic keeps flowing via
+    the healthy worker; after the cooldown a half-open trial re-admits
+    the recovered worker."""
+    from sglang_tpu.gateway import GatewayProcess
+
+    good, flaky = _FakeWorker("ok"), _FakeWorker("flap")
+    gw = GatewayProcess(
+        port=0,
+        workers=[f"127.0.0.1:{good.port}", f"127.0.0.1:{flaky.port}"],
+        policy="round_robin", health_interval_ms=0,
+        cb_failures=2, cb_cooldown_ms=400, max_retries=2,
+    )
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+        # every request must succeed (failover), and after 2 flaky hits
+        # the breaker opens so the flapper stops being tried
+        for _ in range(10):
+            r = httpx.post(f"{base}/generate", json={"text": "y"},
+                           timeout=5)
+            assert r.status_code == 200
+        stats = httpx.get(f"{base}/gateway/workers", timeout=5).json()
+        flap_row = next(
+            x for x in stats["workers"] if x["port"] == flaky.port
+        )
+        assert flap_row["breaker_open"] is True, stats
+        assert stats["breaker_skips"] > 0
+        hits_while_open = flaky.hits
+        # while OPEN, no traffic reaches the flapper
+        for _ in range(4):
+            assert httpx.post(f"{base}/generate", json={"text": "y"},
+                              timeout=5).status_code == 200
+        assert flaky.hits == hits_while_open
+        # recover + cooldown: the half-open trial re-closes the breaker
+        flaky.mode = "ok"
+        time.sleep(0.5)
+        for _ in range(6):
+            assert httpx.post(f"{base}/generate", json={"text": "y"},
+                              timeout=5).status_code == 200
+        assert flaky.hits > hits_while_open  # trial + traffic returned
+        stats = httpx.get(f"{base}/gateway/workers", timeout=5).json()
+        flap_row = next(
+            x for x in stats["workers"] if x["port"] == flaky.port
+        )
+        assert flap_row["breaker_open"] is False, stats
+    finally:
+        gw.stop()
+        good.stop()
+        flaky.stop()
+
+
+def test_gateway_bounded_queue_sheds_overload():
+    """Fixed connection pool + bounded accept queue: overload answers
+    503 instead of spawning unbounded threads; a slow client cannot
+    take down the gateway."""
+    import concurrent.futures as cf
+
+    from sglang_tpu.gateway import GatewayProcess
+
+    w = _FakeWorker("slow", delay=1.0)
+    gw = GatewayProcess(
+        port=0, workers=[f"127.0.0.1:{w.port}"], policy="round_robin",
+        health_interval_ms=0, max_conn_threads=1, conn_queue=1,
+    )
+    try:
+        base = f"http://127.0.0.1:{gw.port}"
+
+        def one():
+            try:
+                return httpx.post(f"{base}/generate", json={"text": "z"},
+                                  timeout=10).status_code
+            except Exception:
+                return -1
+
+        with cf.ThreadPoolExecutor(max_workers=6) as ex:
+            codes = list(ex.map(lambda _: one(), range(6)))
+        assert 200 in codes, codes   # service continued
+        assert 503 in codes, codes   # overload shed
+        stats = httpx.get(f"{base}/gateway/workers", timeout=5).json()
+        assert stats["queue_rejects"] >= 1
+    finally:
+        gw.stop()
+        w.stop()

@@ -89,3 +89,68 @@ def test_spec_falls_back_for_sampling():
         assert eng.scheduler.stats()["num_spec_drafted"] == 0
     finally:
         eng.shutdown()
+
+
+def test_adaptive_spec_depth_dynamics():
+    """r05 (r04 VERDICT next #9): a sustained low-accept streak steps the
+    draft depth down through the tier's candidates; a high-accept streak
+    probes back up.  Pure-host state machine — mirrors the reference
+    adaptive_spec_params.py contract."""
+    from sglang_tpu.speculative.adaptive import AdaptiveSpecParams
+
+    ad = AdaptiveSpecParams(
+        k_max=7, tiers={1: [1, 3, 7], 32: [0, 1]},
+        warmup=2, update_interval=2,
+    )
+    assert ad.k_for(1) == 7
+    # low accepts at bs=1: EMA decays -> depth drops 7 -> 3 -> 1
+    seen = [ad.k_for(1)]
+    for _ in range(60):
+        ad.observe(1, [0, 0])
+        if ad.k_for(1) != seen[-1]:
+            seen.append(ad.k_for(1))
+    assert seen[-1] == 1 and 3 in seen, seen
+    # high accepts: climbs back to 7
+    for _ in range(60):
+        ad.observe(1, [7, 7])
+    assert ad.k_for(1) == 7
+    # large-batch tier is independent and can disable drafting
+    assert ad.k_for(48) == 1
+    for _ in range(40):
+        ad.observe(48, [0])
+    assert ad.k_for(48) == 0
+    # ...and a disabled tier re-probes a positive depth
+    changed = False
+    for _ in range(10):
+        changed |= ad.observe(48, [0])
+    assert ad.k_for(48) == 1 or changed
+
+
+def test_adaptive_spec_engine_depth_drop():
+    """Engine-level: EAGLE with a garbage draft + adaptive enabled must
+    step the depth down after the warmup, and outputs stay correct
+    (rejection sampling is exact regardless of draft quality)."""
+    from tests.test_eagle import ONE_LAYER_HF, _make_engine
+
+    eng = _make_engine(
+        "EAGLE", seed_cfg=ONE_LAYER_HF, enable_adaptive_spec=True,
+    )
+    plain = _make_engine(None, seed_cfg=ONE_LAYER_HF)
+    try:
+        sched = eng.scheduler
+        ad = sched._adaptive_spec
+        assert ad is not None
+        # tighten the cadence so the drop happens within one generation
+        for slot in ad._slots.values():
+            slot.warmup, slot.update_interval = 1, 1
+        k0 = ad.k_for(1)
+        prompt = [5, 99, 203, 17, 42, 7, 310, 8]
+        sp = {"max_new_tokens": 48, "temperature": 0.0, "ignore_eos": True}
+        # default random draft params are garbage vs the target
+        out = eng.generate(input_ids=prompt, sampling_params=sp)
+        ref = plain.generate(input_ids=prompt, sampling_params=sp)
+        assert out["output_ids"] == ref["output_ids"]
+        assert ad.k_for(1) < k0  # depth stepped down under low acceptance
+    finally:
+        eng.shutdown()
+        plain.shutdown()
