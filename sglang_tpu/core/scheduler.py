@@ -943,9 +943,42 @@ class Scheduler:
         req.prefix_pages_len = 0
 
     # ------------------------------------------------------ batch formation
+    def _tbo_in_program(self, batch: HostBatch, B: int) -> bool:
+        """In-program two-batch overlap eligibility: the extend program
+        splits the padded batch rows in half INSIDE the compiled step
+        (models/llama.py _tbo_attn_mlp_tail) so half 0's MoE all-to-all
+        overlaps half 1's attention under XLA's latency-hiding
+        scheduler — the real op-level TBO (reference
+        batch_overlap/two_batch_overlap.py); the host-side split below
+        remains the fallback for ineligible programs and only hides
+        host packing."""
+        sa = self.server_args
+        if (
+            not getattr(sa, "enable_two_batch_overlap", False)
+            or len(batch.reqs) < 2
+            or B < 2
+            or B % 2
+        ):
+            return False
+        if sum(batch.extend_lens) < getattr(sa, "tbo_token_threshold", 512):
+            return False
+        mc = self.runner.mesh_ctx
+        if mc is not None and not mc.is_single_device:
+            # EP MoE dispatch needs each half's token count divisible by
+            # the expert-parallel degree
+            ep = mc.parallel.tp_size
+            L = max(batch.extend_lens)
+            from sglang_tpu.utils import next_power_of_2
+
+            Lb = next_power_of_2(L)
+            if (B // 2) * Lb % max(ep, 1):
+                return False
+        return True
+
     def _maybe_split_tbo(self, batch: HostBatch) -> List[HostBatch]:
         """Split a large prefill batch into two micro-batches by token
-        mass (reference batch_overlap/two_batch_overlap.py)."""
+        mass (reference batch_overlap/two_batch_overlap.py) — fallback
+        when the in-program split (:meth:`_tbo_in_program`) is off."""
         sa = self.server_args
         if (
             not getattr(sa, "enable_two_batch_overlap", False)
@@ -955,6 +988,12 @@ class Scheduler:
         tot = sum(batch.extend_lens)
         if tot < getattr(sa, "tbo_token_threshold", 512):
             return [batch]
+        B = next(
+            (b for b in self.decode_bs_buckets if b >= len(batch.reqs)),
+            self.decode_bs_buckets[-1],
+        )
+        if self._tbo_in_program(batch, B):
+            return [batch]  # the compiled step splits internally
         acc, cut = 0, 1
         for i, n in enumerate(batch.extend_lens):
             acc += n
@@ -1002,11 +1041,21 @@ class Scheduler:
         capture_ecounts = (
             self.eplb_recorder is not None and not self.spec_enabled
         )
+        use_tbo = (
+            cp <= 1
+            and pen is None
+            and vmask is None
+            and adapter_idx is None
+            and self._tbo_in_program(batch, B)
+        )
+        if use_tbo:
+            self.num_tbo_splits = getattr(self, "num_tbo_splits", 0) + 1
         finish = self.runner.extend_step(
             packed, st_packed, B, L, P, pen=pen, vmask=vmask,
             adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
             capture_ecounts=capture_ecounts, return_async=True,
             use_cp=(2 if cp_prefix else 1) if cp > 1 else 0,
+            use_tbo=use_tbo,
         )
         return finish, capture_ecounts
 

@@ -428,12 +428,14 @@ class ModelRunner:
     # ------------------------------------------------------------- impl fns
     def _forward_batch(self, params, kv_cache, batch, lora=None,
                        input_embeds=None, capture_expert_counts=False,
-                       context_parallel=0):
+                       context_parallel=0, tbo=False):
         kw = {}
         if input_embeds is not None:
             kw["input_embeds"] = input_embeds
         if capture_expert_counts:
             kw["capture_expert_counts"] = True
+        if tbo:
+            kw["tbo"] = True
         if context_parallel:
             kw["context_parallel"] = True
             if context_parallel == 2:  # cached prefix / later chunk
@@ -449,7 +451,7 @@ class ModelRunner:
             lora=lora,
         )
 
-    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, use_cp=False, tl_k=0):
+    def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, use_cp=False, use_tbo=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(
             packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
@@ -460,6 +462,7 @@ class ModelRunner:
             input_embeds=embeds if use_embeds else None,
             capture_expert_counts=use_ecounts,
             context_parallel=use_cp,
+            tbo=use_tbo,
         )
         if use_ecounts:
             hidden, kv_cache, ecounts = fwd
@@ -752,8 +755,8 @@ class ModelRunner:
         return np.asarray(lp)
 
     # ------------------------------------------------------------ host API
-    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0, use_ecounts=False, use_cp=False):
-        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k, use_ecounts, use_cp)
+    def _get_extend_fn(self, B, L, P, all_greedy, use_pen, use_mask, use_lora=False, use_embeds=False, tl_k=0, use_ecounts=False, use_cp=False, use_tbo=False):
+        key = (B, L, P, all_greedy, use_pen, use_mask, use_lora, use_embeds, tl_k, use_ecounts, use_cp, use_tbo)
         fn = self._extend_fns.get(key)
         if fn is None:
             logger.info(
@@ -767,6 +770,7 @@ class ModelRunner:
                     use_mask=use_mask, use_lora=use_lora,
                     use_embeds=use_embeds, tl_k=tl_k,
                     use_ecounts=use_ecounts, use_cp=use_cp,
+                    use_tbo=use_tbo,
                 ),
                 donate_argnums=(1,),
             )
@@ -810,6 +814,7 @@ class ModelRunner:
         capture_ecounts: bool = False,
         return_async: bool = False,
         use_cp: bool = False,
+        use_tbo: bool = False,
     ):
         """Run a prefill chunk; returns (tokens [B] i64, logprobs [B] f32,
         top_logprobs or None).  With ``capture_ecounts`` the MoE expert
@@ -820,7 +825,7 @@ class ModelRunner:
         fn = self._get_extend_fn(
             B, L, P, bool((st_packed[:, 0] <= 0).all()), pen is not None,
             vmask is not None, adapter_idx is not None, embeds is not None,
-            tl_k, capture_ecounts, use_cp,
+            tl_k, capture_ecounts, use_cp, use_tbo,
         )
         res = fn(
             self.params,
@@ -1171,10 +1176,17 @@ class ModelRunner:
                     )
         # Extend (TTFT path): single-request prefills dominate in steady
         # state; bursts hit the next buckets up.  L covers the chunk-size
-        # bucket and one below (short prompts).
+        # bucket plus two sizes below (r05 on-chip BENCH_online: 512-token
+        # prompts under an 8k chunk size hit L=512 = l_hi//16, and a
+        # 32-concurrent burst packs B=16 — both compiled DURING traffic
+        # and showed up directly in mean TTFT).
         l_hi = next_power_of_2(max(chunked_prefill_size, 1))
-        l_set = sorted({l_hi, max(l_hi // 4, 1)})
-        b_ext = sorted({b for b in bs_buckets if b <= 8} or {bs_buckets[0]})
+        l_set = sorted(
+            {l_hi, max(l_hi // 4, 1), max(l_hi // 16, 64)}
+        )
+        b_ext = sorted(
+            {b for b in bs_buckets if b <= 16} or {bs_buckets[0]}
+        )
         for greedy in greedy_set:
             for B in b_ext:
                 for L in l_set:

@@ -26,6 +26,9 @@ from sglang_tpu.models.llama import LlamaForCausalLM
 
 class LladaForMaskedDiffusion(LlamaForCausalLM):
     is_diffusion = True
+    # forward_dense reads per-projection leaves; the fused qkv execution
+    # layout only rewrites LlamaForCausalLM.forward's path
+    fuse_qkv_exec = False
 
     def forward_dense(
         self, params: Dict[str, Any], input_ids: jnp.ndarray  # [B, L] i32

@@ -742,7 +742,10 @@ class LlamaForCausalLM:
                     seq_lens=jnp.where(active, sl(seq_lens), 0),
                     page_table=sl(page_table),
                     out_slots=jnp.where(active, sl(out_slots), 0),
-                    logits_idx=sl(logits_idx),
+                    # re-base flat last-token indices to the micro-batch
+                    # (layers/attention.py:293 assumes row 0 at index 0)
+                    logits_idx=sl(logits_idx)
+                    - mbc * Bm * input_ids.shape[1],
                 )
                 pos_f = b_mb.positions[..., None].astype(jnp.float32)
                 inp = jnp.where(
@@ -816,6 +819,90 @@ class LlamaForCausalLM:
             self._skip_shard_constraints = False
         return hidden_out, kv_out
 
+    def _tbo_attn_mlp_tail(self, h, q, k, v, kv, w, li, batch, proj, *,
+                           num_slots, page_size, attn_backend, window,
+                           kv_scales, bidir_groups, seq_ax,
+                           capture_expert_counts):
+        """Two-batch-overlap layer tail (reference
+        batch_overlap/two_batch_overlap.py + operations_strategy.py):
+        the batch's rows split in half and the attention → o_proj → MLP
+        tail runs PER HALF as independent graph regions — half 0's MoE
+        all-to-all has no data dependence on half 1's attention, so
+        XLA's latency-hiding scheduler runs the collective under the
+        other half's compute.  (The r04 host-side batch split only hid
+        host packing; this is the op-level overlap inside one compiled
+        program.)  The KV cache threads through both halves (their
+        writes are disjoint rows)."""
+        from sglang_tpu.model_executor.forward_batch import DeviceBatch
+
+        c = self.config
+        B, Lq = batch.input_ids.shape
+        B2 = B // 2
+        hq, d = self.hq, self.hd
+        self._tbo_engaged = True  # trace-time marker for tests
+        halves = []
+        counts = []
+        kvc = kv
+        for lo, hi in ((0, B2), (B2, B)):
+            b_h = DeviceBatch(
+                input_ids=batch.input_ids[lo:hi],
+                positions=batch.positions[lo:hi],
+                seq_lens=batch.seq_lens[lo:hi],
+                page_table=batch.page_table[lo:hi],
+                out_slots=batch.out_slots[lo:hi],
+                # logits_idx packs flat [B*Lq] last-token indices
+                # (row i at i*Lq + n_new-1, layers/attention.py:293) —
+                # re-base to the half's row 0 so the prefill kernel's
+                # per-row new_lens stay correct
+                logits_idx=batch.logits_idx[lo:hi] - lo * Lq,
+            )
+            a_h, kvc = paged_attention(
+                q[lo:hi], k[lo:hi], v[lo:hi], kvc, b_h, li,
+                num_slots=num_slots, page_size=page_size,
+                sm_scale=self.sm_scale, logit_cap=c.attn_logit_softcap,
+                sliding_window=window, backend=attn_backend,
+                kv_scales=kv_scales, sinks=w.get("sinks"),
+                bidir_groups=(
+                    bidir_groups[lo:hi]
+                    if bidir_groups is not None
+                    else None
+                ),
+            )
+            a_h = a_h.reshape(hi - lo, Lq, hq * d)
+            a_h = proj(a_h, "o_proj")
+            if self.has_o_bias:
+                a_h = a_h + w["o_bias"]
+            if self.has_post_norms:
+                a_h = self._norm(a_h, w["post_attn_ln"])
+            if self.residual_multiplier != 1.0:
+                a_h = a_h * self.residual_multiplier
+            hh = h[lo:hi] + a_h
+            normed = (
+                self._norm(hh, w["post_ln"], w.get("post_ln_b"))
+                if self.has_pre_norms
+                else hh
+            )
+            mo = self._mlp_forward(w, normed, proj)
+            if capture_expert_counts:
+                counts.append(
+                    self.__dict__.pop("_moe_counts_stash", None)
+                )
+            if self.has_post_norms:
+                mo = self._norm(mo, w["post_ffw_ln"])
+            if self.residual_multiplier != 1.0:
+                mo = mo * self.residual_multiplier
+            halves.append(hh + mo)
+        h = jnp.concatenate(halves, axis=0)
+        h = self._shard(h, AXIS_DP, seq_ax, None)
+        aux = None
+        if capture_expert_counts:
+            valid = [x for x in counts if x is not None]
+            if valid:
+                aux = valid[0]
+                for x in valid[1:]:
+                    aux = aux + x
+        return (h, kvc, li + 1), aux
+
     def _apply_rope(self, x, cos, sin, rot_half, d):
         """Half-split rope on [B, Lq, h, d] (GLM overrides with its
         interleaved-frequency variant)."""
@@ -846,6 +933,8 @@ class LlamaForCausalLM:
         context_parallel: bool = False,  # zigzag prefill CP (layers/cp)
         cp_prefix: bool = False,  # CP chunk has cached-prefix KV in pages
         input_embeds=None,  # [B, Lq, H] rows for NEGATIVE input_ids
+        tbo: bool = False,  # two-batch overlap: split rows in-layer so
+        # one half's MoE all-to-all overlaps the other half's attention
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
         ``return_all_hidden``, (hidden [B*Lq, H], kv_cache) for
@@ -1073,6 +1162,22 @@ class LlamaForCausalLM:
                 v = self._shard(v, AXIS_DP, None, head_ax, None)
                 q, k = rope(q, cos, sin), rope(k, cos, sin)
                 q, k = self._post_rope(q, k, inv_freq, batch, pos_f)
+                if (
+                    tbo
+                    and getattr(self, "_ds", None) is None
+                    and not self._dcp()
+                    and not context_parallel
+                    and not self.parallel_block
+                    and B % 2 == 0
+                ):
+                    return self._tbo_attn_mlp_tail(
+                        h, q, k, v, kv, w, li, batch, proj,
+                        num_slots=num_slots, page_size=page_size,
+                        attn_backend=attn_backend, window=window,
+                        kv_scales=kv_scales, bidir_groups=bidir_groups,
+                        seq_ax=seq_ax,
+                        capture_expert_counts=capture_expert_counts,
+                    )
                 if getattr(self, "_ds", None) is not None:
                     # double-sparsity: label-cache write + top-K-page
                     # decode (ops/sparse_attention.py); prefill attends

@@ -243,7 +243,7 @@ def test_cp_prefill_serving_path_matches_dense():
 
         np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-4)
         # the CP variant actually compiled (an extend fn keyed use_cp)
-        assert any(k[-1] for k in runner2._extend_fns), (
+        assert any(k[-2] for k in runner2._extend_fns), (  # use_cp slot
             runner2._extend_fns.keys())
         # a second turn reuses the radix prefix (cached_len > 0) → CP
         # now runs WITH the prefix folded from the pages (use_cp=2) and
@@ -259,7 +259,7 @@ def test_cp_prefill_serving_path_matches_dense():
                              "ignore_eos": True},
         )
         assert o3["output_ids"] == o4["output_ids"]
-        assert any(k[-1] == 2 for k in runner2._extend_fns), (
+        assert any(k[-2] == 2 for k in runner2._extend_fns), (  # use_cp slot
             runner2._extend_fns.keys())
     finally:
         e1.shutdown()
@@ -287,7 +287,7 @@ def test_cp_prefill_chunked_prompt_matches_dense():
         l1 = [t[0] for t in o1["meta_info"]["output_token_logprobs"]]
         l2 = [t[0] for t in o2["meta_info"]["output_token_logprobs"]]
         np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-4)
-        assert any(k[-1] == 2 for k in runner2._extend_fns), (
+        assert any(k[-2] == 2 for k in runner2._extend_fns), (  # use_cp slot
             runner2._extend_fns.keys())
     finally:
         e1.shutdown()
