@@ -68,6 +68,9 @@ class Req:
         self.pages: List[int] = []  # all pages in token order
         self.prefix_pages_len = 0  # leading pages that belong to the radix tree
         self.swa_freed = 0  # leading pages freed behind the sliding window
+        # hybrid-SWA models: sliding layers' parallel page list (its own
+        # id space; entries < swa_freed are back in the swa allocator)
+        self.swa_pages: List[int] = []
         self.last_node = None  # radix lock handle
         self.cache_hit_tokens: Optional[int] = None  # prefix reuse at admission
 
@@ -204,6 +207,7 @@ class Req:
         self.status = ReqStatus.WAITING
         self.cached_len = 0
         self.pages = []
+        self.swa_pages = []
         self.prefix_pages_len = 0
         self.last_node = None
         self.swa_freed = 0

@@ -46,7 +46,7 @@ class HostBatch:
     # -------------------------------------------------------------- extend
     def pack_extend(
         self, page_size: int, B: int, L: int, P: int, cp: int = 1,
-        mrope: bool = False,
+        mrope: bool = False, swa: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         input_ids = np.zeros((B, L), np.int32)
         # cp > 1: padded positions get a huge sentinel so the zigzag
@@ -113,9 +113,31 @@ class HostBatch:
                         mrope_pos[:, i, j] = t + delta
             if cp > 1:
                 mrope_pos = mrope_pos[:, :, perm]
+        swa_out_slots = swa_page_table = None
+        if swa:
+            # hybrid-SWA: sliding layers' parallel table — freed
+            # (behind-window) entries map to garbage page 0; the window
+            # mask keeps them unread
+            assert cp <= 1, "hybrid-SWA excludes CP prefill"
+            swa_out_slots = np.zeros((B, L), np.int32)
+            swa_page_table = np.zeros((B, P), np.int32)
+            for i, (req, n_new) in enumerate(
+                zip(self.reqs, self.extend_lens)
+            ):
+                start = req.cached_len
+                n_pages = cdiv(start + n_new, page_size)
+                sp = np.asarray(req.swa_pages[:n_pages], np.int32)
+                sp = sp.copy()
+                sp[: req.swa_freed] = 0
+                swa_page_table[i, :n_pages] = sp
+                pos = np.arange(start, start + n_new)
+                swa_out_slots[i, :n_new] = (
+                    sp[pos // page_size] * page_size + pos % page_size
+                )
         packed = pack_extend_batch(
             input_ids, positions, out_slots, seq_lens, logits_idx,
             page_table, mrope_positions=mrope_pos,
+            swa_out_slots=swa_out_slots, swa_page_table=swa_page_table,
         )
         return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
 
@@ -138,13 +160,15 @@ class HostBatch:
 
     # -------------------------------------------------------------- decode
     def pack_decode(
-        self, page_size: int, B: int, P: int, K: int, mrope: bool = False
+        self, page_size: int, B: int, P: int, K: int, mrope: bool = False,
+        swa: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Decode window: each request's page list must already cover
         cached_len + K tokens."""
         first_tokens = np.zeros((B,), np.int32)
         seq_lens = np.zeros((B,), np.int32)
         page_table = np.zeros((B, P), np.int32)
+        swa_page_table = np.zeros((B, P), np.int32) if swa else None
         mrope_delta = np.zeros((B,), np.int32) if mrope else None
         for i, req in enumerate(self.reqs):
             first_tokens[i] = req.fill_ids[-1]
@@ -152,10 +176,15 @@ class HostBatch:
             n_pages = cdiv(req.cached_len + K, page_size)
             assert n_pages <= len(req.pages), (n_pages, len(req.pages), req)
             page_table[i, :n_pages] = req.pages[:n_pages]
+            if swa:
+                sp = np.asarray(req.swa_pages[:n_pages], np.int32).copy()
+                sp[: req.swa_freed] = 0
+                swa_page_table[i, :n_pages] = sp
             if mrope:
                 mrope_delta[i] = int(getattr(req, "mrope_delta", 0) or 0)
         packed = pack_decode_batch(
-            first_tokens, seq_lens, page_table, mrope_delta=mrope_delta
+            first_tokens, seq_lens, page_table, mrope_delta=mrope_delta,
+            swa_page_table=swa_page_table,
         )
         return packed, pack_sampling_params(self.reqs, B), self._pen_table(B)
 

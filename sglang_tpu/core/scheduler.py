@@ -91,7 +91,23 @@ class Scheduler:
         # of the whole history.  Needs the radix cache off (freed pages
         # cannot back prefix sharing) and no speculative drafts.
         self._swa_window = 0
-        if hasattr(self.runner.model, "per_layer_window"):
+        # Hybrid-SWA (mixed sliding/full stacks, Gemma-2/3 class): the
+        # runner built SPLIT pools — sliding layers page into their own
+        # small pool whose pages free behind the window and recycle
+        # across requests (reference mem_cache/allocator/swa.py:20
+        # SWATokenToKVPoolAllocator).
+        self._hybrid_swa = getattr(self.runner, "hybrid_swa", None) is not None
+        if self._hybrid_swa:
+            self.swa_allocator = self.runner.swa_page_allocator
+            _, w = self.runner.hybrid_swa
+            self._swa_window = w
+            logger.info(
+                "hybrid-SWA KV freeing enabled: window %d tokens, "
+                "%d swa pages", w, self.swa_allocator.num_pages,
+            )
+        if not self._hybrid_swa and hasattr(
+            self.runner.model, "per_layer_window"
+        ):
             wins = self.runner.model.per_layer_window()
             w = int(wins[0]) if len(wins) else 0
             if (
@@ -808,6 +824,15 @@ class Scheduler:
         pages = self._alloc_pages(need)
         if pages is None:
             return False
+        if self._hybrid_swa:
+            # lockstep parallel swa pages (their own id space); the
+            # sweep returns behind-window ones long before the full
+            # pages release
+            sp = self.swa_allocator.alloc(need)
+            if sp is None:
+                self.allocator.free(pages)
+                return False
+            req.swa_pages.extend(sp)
         req.pages.extend(pages)
         return True
 
@@ -815,10 +840,20 @@ class Scheduler:
         """Free pages fully behind the sliding window (every in-flight
         window's lower bound only moves forward, so pages behind
         cached_len - window are never read again; freed entries stay in
-        the page table — masked, never gathered)."""
+        the page table — masked, never gathered).  Pure-SWA models free
+        their MAIN pages; hybrid models free only the sliding layers'
+        parallel swa pages (full layers keep the whole history)."""
         ps = self.page_size
         for req in self.running.reqs:
             k_max = max((req.cached_len - self._swa_window) // ps, 0)
+            if self._hybrid_swa:
+                k_max = min(k_max, len(req.swa_pages))
+                if k_max > req.swa_freed:
+                    self.swa_allocator.free(
+                        req.swa_pages[req.swa_freed : k_max]
+                    )
+                    req.swa_freed = k_max
+                continue
             k_max = min(k_max, len(req.pages))
             if k_max > req.swa_freed:
                 self.allocator.free(req.pages[req.swa_freed : k_max])
@@ -828,7 +863,20 @@ class Scheduler:
         if self.spec_algo == "eagle":
             self._release_spec_slot(req)
         """Free owned pages and unlock the radix prefix."""
-        owned = req.pages[max(req.prefix_pages_len, req.swa_freed) :]
+        if self._hybrid_swa:
+            # swa_freed indexes the PARALLEL swa list in hybrid mode;
+            # main pages are fully owned (radix off ⇒ no prefix)
+            live = req.swa_pages[req.swa_freed :]
+            if live:
+                self.swa_allocator.free(live)
+            req.swa_pages = []
+            req.swa_freed = 0
+        owned = req.pages[
+            max(
+                req.prefix_pages_len,
+                0 if self._hybrid_swa else req.swa_freed,
+            ) :
+        ]
         if owned:
             self.allocator.free(owned)
         req.pages = req.pages[: req.prefix_pages_len]
@@ -918,7 +966,15 @@ class Scheduler:
         if self.spec_algo == "eagle":
             self._release_spec_slot(req)
         if self.radix.disable or req.lora_slot or req.input_embeds is not None:
-            owned = req.pages[req.swa_freed :]
+            if self._hybrid_swa:
+                live = req.swa_pages[req.swa_freed :]
+                if live:
+                    self.swa_allocator.free(live)
+                req.swa_pages = []
+                owned = req.pages
+                req.swa_freed = 0
+            else:
+                owned = req.pages[req.swa_freed :]
             if owned:
                 self.allocator.free(owned)
             req.pages = []
@@ -955,6 +1011,7 @@ class Scheduler:
         sa = self.server_args
         if (
             not getattr(sa, "enable_two_batch_overlap", False)
+            or self._hybrid_swa
             or len(batch.reqs) < 2
             or B < 2
             or B % 2
@@ -1024,7 +1081,8 @@ class Scheduler:
         # accumulators — a distinct compiled program (use_cp=2)
         cp_prefix = cp > 1 and any(r.cached_len > 0 for r in batch.reqs)
         packed, st_packed, pen = batch.pack_extend(
-            self.page_size, B, L, P, cp=cp, mrope=self._needs_mrope
+            self.page_size, B, L, P, cp=cp, mrope=self._needs_mrope,
+            swa=self._hybrid_swa,
         )
         vmask = self._grammar_masks(batch, B)
         adapter_idx = self._lora_idx(batch, B)
@@ -1165,6 +1223,9 @@ class Scheduler:
                 for r in self.running.reqs
             )
             free = self.allocator.num_free_pages + self.radix.evictable_size()
+            if self._hybrid_swa:
+                # swa pages allocate in lockstep — both pools must cover
+                free = min(free, self.swa_allocator.num_free_pages)
             if need <= free:
                 break
             if K > 1:
@@ -1242,7 +1303,8 @@ class Scheduler:
                 self.runner.max_pages_per_req,
             )
             packed, _, _ = batch.pack_extend(
-                self.page_size, B, L, P, mrope=self._needs_mrope
+                self.page_size, B, L, P, mrope=self._needs_mrope,
+                swa=self._hybrid_swa,
             )
             targets = self._score_targets(batch, B, L)
             self._flush_pending_emits()
@@ -1260,7 +1322,8 @@ class Scheduler:
                 self.runner.max_pages_per_req,
             )
             packed, _, _ = batch.pack_extend(
-                self.page_size, B, L, P, mrope=self._needs_mrope
+                self.page_size, B, L, P, mrope=self._needs_mrope,
+                swa=self._hybrid_swa,
             )
             self._flush_pending_emits()
             emb = self.runner.embed_step(packed, B, L, P)
@@ -1489,7 +1552,8 @@ class Scheduler:
             K,
         )
         packed, st_packed, pen = batch.pack_decode(
-            self.page_size, B, P, K, mrope=self._needs_mrope
+            self.page_size, B, P, K, mrope=self._needs_mrope,
+            swa=self._hybrid_swa,
         )
         fsm = self._grammar_device_tables(batch, B)
         vmask = None if fsm is not None else self._grammar_masks(batch, B)
@@ -1549,10 +1613,17 @@ class Scheduler:
         first_tokens = np.zeros((B,), np.int32)  # overridden by the chain
         seq_lens = np.zeros((B,), np.int32)
         page_table = np.zeros((B, P), np.int32)
+        swa_page_table = (
+            np.zeros((B, P), np.int32) if self._hybrid_swa else None
+        )
         for i, r in enumerate(reqs):
             seq_lens[i] = r.cached_len + depth * K  # state after predecessor
             n_pages = cdiv(r.cached_len + ahead, self.page_size)
             page_table[i, :n_pages] = r.pages[:n_pages]
+            if self._hybrid_swa:
+                sp = np.asarray(r.swa_pages[:n_pages], np.int32).copy()
+                sp[: r.swa_freed] = 0
+                swa_page_table[i, :n_pages] = sp
         mrope_delta = (
             np.asarray(
                 [int(getattr(r, "mrope_delta", 0) or 0) for r in reqs]
@@ -1562,7 +1633,8 @@ class Scheduler:
             else None
         )
         packed = pack_decode_batch(
-            first_tokens, seq_lens, page_table, mrope_delta=mrope_delta
+            first_tokens, seq_lens, page_table, mrope_delta=mrope_delta,
+            swa_page_table=swa_page_table,
         )
         st_packed = pack_sampling_params(reqs, B)
         # min_new_remaining is depth*K tokens stale (unabsorbed windows)

@@ -39,6 +39,8 @@ class KVCanary:
         @jax.jit
         def page_checksums(kv):
             # [L*NP, ps, 2, HD] → [L*NP] f32 sum (cheap, one pass)
+            if isinstance(kv, dict):  # double-sparsity / hybrid-SWA
+                kv = kv["kv"]
             return jnp.sum(
                 kv.astype(jnp.float32), axis=(1, 2, 3)
             )

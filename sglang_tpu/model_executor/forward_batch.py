@@ -60,6 +60,13 @@ class DeviceBatch:
     # axes advance together after the last image).  None elsewhere.
     mrope_positions: jnp.ndarray = None  # [3, B, L] int32 or None
     mrope_delta: jnp.ndarray = None  # [B] int32 or None
+    # Hybrid-SWA models (Gemma-2/3 class, reference
+    # mem_cache/allocator/swa.py:20): sliding-window layers page into
+    # their own small pool with an independent page-id space; freed
+    # behind-window entries are zeroed (masked, never read).  None on
+    # non-hybrid engines.
+    swa_page_table: jnp.ndarray = None  # [B, P] int32 or None
+    swa_out_slots: jnp.ndarray = None  # [B, L] int32 or None
 
     @property
     def batch_size(self) -> int:
@@ -72,9 +79,16 @@ class DeviceBatch:
 
 # Packed extend layout (all int32):
 #   [B*L input_ids | B*L positions | B*L out_slots | B seq_lens |
-#    B logits_idx | B*P page_table | (3*B*L mrope planes)]
-def extend_packed_size(B: int, L: int, P: int, mrope: bool = False) -> int:
-    return 3 * B * L + 2 * B + B * P + (3 * B * L if mrope else 0)
+#    B logits_idx | B*P page_table | (B*L swa_out_slots + B*P
+#    swa_page_table when hybrid-SWA) | (3*B*L mrope planes)]
+def extend_packed_size(
+    B: int, L: int, P: int, mrope: bool = False, swa: bool = False
+) -> int:
+    return (
+        3 * B * L + 2 * B + B * P
+        + ((B * L + B * P) if swa else 0)
+        + (3 * B * L if mrope else 0)
+    )
 
 
 def pack_extend_batch(
@@ -85,6 +99,8 @@ def pack_extend_batch(
     logits_idx: np.ndarray,  # [B]
     page_table: np.ndarray,  # [B, P]
     mrope_positions: np.ndarray = None,  # [3, B, L] (M-RoPE models)
+    swa_out_slots: np.ndarray = None,  # [B, L] (hybrid-SWA models)
+    swa_page_table: np.ndarray = None,  # [B, P]
 ) -> np.ndarray:
     parts = [
         input_ids.ravel(),
@@ -94,13 +110,17 @@ def pack_extend_batch(
         logits_idx,
         page_table.ravel(),
     ]
+    if swa_page_table is not None:
+        parts.append(np.asarray(swa_out_slots).ravel())
+        parts.append(np.asarray(swa_page_table).ravel())
     if mrope_positions is not None:
         parts.append(np.asarray(mrope_positions).ravel())
     return np.concatenate(parts).astype(np.int32)
 
 
 def unpack_extend_batch(
-    packed: jnp.ndarray, B: int, L: int, P: int, mrope: bool = False
+    packed: jnp.ndarray, B: int, L: int, P: int, mrope: bool = False,
+    swa: bool = False,
 ) -> DeviceBatch:
     o = 0
     input_ids = packed[o : o + B * L].reshape(B, L); o += B * L
@@ -109,6 +129,10 @@ def unpack_extend_batch(
     seq_lens = packed[o : o + B]; o += B
     logits_idx = packed[o : o + B]; o += B
     page_table = packed[o : o + B * P].reshape(B, P); o += B * P
+    swa_out_slots = swa_page_table = None
+    if swa:
+        swa_out_slots = packed[o : o + B * L].reshape(B, L); o += B * L
+        swa_page_table = packed[o : o + B * P].reshape(B, P); o += B * P
     mrope_positions = None
     if mrope:
         mrope_positions = packed[o : o + 3 * B * L].reshape(3, B, L)
@@ -121,14 +145,19 @@ def unpack_extend_batch(
         out_slots=out_slots,
         logits_idx=logits_idx,
         mrope_positions=mrope_positions,
+        swa_page_table=swa_page_table,
+        swa_out_slots=swa_out_slots,
     )
 
 
 # Packed decode layout (all int32):
-#   [B first_tokens | B seq_lens | B*P page_table | (B mrope deltas)]
+#   [B first_tokens | B seq_lens | B*P page_table |
+#    (B*P swa_page_table when hybrid-SWA) | (B mrope deltas)]
 # positions/out_slots/logits_idx are derived on device each fused step.
-def decode_packed_size(B: int, P: int, mrope: bool = False) -> int:
-    return 2 * B + B * P + (B if mrope else 0)
+def decode_packed_size(
+    B: int, P: int, mrope: bool = False, swa: bool = False
+) -> int:
+    return 2 * B + B * P + (B * P if swa else 0) + (B if mrope else 0)
 
 
 def pack_decode_batch(
@@ -136,21 +165,30 @@ def pack_decode_batch(
     seq_lens: np.ndarray,  # [B] context length BEFORE the first new token
     page_table: np.ndarray,  # [B, P] covering seq_lens + K new tokens
     mrope_delta: np.ndarray = None,  # [B] (M-RoPE models)
+    swa_page_table: np.ndarray = None,  # [B, P] (hybrid-SWA models)
 ) -> np.ndarray:
     parts = [first_tokens, seq_lens, page_table.ravel()]
+    if swa_page_table is not None:
+        parts.append(np.asarray(swa_page_table).ravel())
     if mrope_delta is not None:
         parts.append(np.asarray(mrope_delta))
     return np.concatenate(parts).astype(np.int32)
 
 
 def unpack_decode_batch(
-    packed: jnp.ndarray, B: int, P: int, mrope: bool = False
+    packed: jnp.ndarray, B: int, P: int, mrope: bool = False,
+    swa: bool = False,
 ):
     first_tokens = packed[:B]
     seq_lens = packed[B : 2 * B]
     page_table = packed[2 * B : 2 * B + B * P].reshape(B, P)
-    delta = packed[2 * B + B * P :] if mrope else None
-    return first_tokens, seq_lens, page_table, delta
+    o = 2 * B + B * P
+    swa_table = None
+    if swa:
+        swa_table = packed[o : o + B * P].reshape(B, P)
+        o += B * P
+    delta = packed[o:] if mrope else None
+    return first_tokens, seq_lens, page_table, delta, swa_table
 
 
 def decode_step_batch(
@@ -159,6 +197,7 @@ def decode_step_batch(
     page_table: jnp.ndarray,  # [B, P]
     k: jnp.ndarray,  # scalar: step index within the window
     page_size: int,
+    swa_page_table: jnp.ndarray = None,  # [B, P] (hybrid-SWA models)
 ) -> DeviceBatch:
     """Build the L=1 DeviceBatch for fused-decode step k, on device."""
     B = tokens.shape[0]
@@ -170,6 +209,14 @@ def decode_step_batch(
     is_pad = seq_lens0 == 0
     pos = jnp.where(is_pad, 0, pos)
     out_slots = jnp.where(is_pad, 0, out_slots)
+    swa_out_slots = None
+    if swa_page_table is not None:
+        sp = jnp.take_along_axis(
+            swa_page_table, page_idx[:, None], axis=1
+        )[:, 0]
+        swa_out_slots = jnp.where(
+            is_pad, 0, sp * page_size + (seq_lens0 + k) % page_size
+        )[:, None]
     return DeviceBatch(
         input_ids=tokens[:, None],
         positions=pos[:, None],
@@ -177,4 +224,6 @@ def decode_step_batch(
         page_table=page_table,
         out_slots=out_slots[:, None],
         logits_idx=np.arange(B, dtype=np.int32),
+        swa_page_table=swa_page_table,
+        swa_out_slots=swa_out_slots,
     )

@@ -199,6 +199,55 @@ class ModelRunner:
             - _params_bytes(self.params)
         )
         kv_budget = max(kv_budget, 1 << 20)
+        self.hybrid_swa = self._hybrid_swa_spec(server_args, model_config)
+        self.swa_pool = None
+        self.swa_page_allocator = None
+        if self.hybrid_swa is not None:
+            # Split pools (reference mem_cache/allocator/swa.py:20 —
+            # SWATokenToKVPoolAllocator): sliding layers get a SMALL
+            # pool whose pages recycle behind the window, so the full
+            # layers' pool (and thus max servable context) grows for
+            # the same HBM.  Sliding in-flight per request is bounded
+            # by window + one unswept prefill chunk + the decode
+            # lookahead.
+            pattern, w = self.hybrid_swa
+            n_swa_layers = sum(pattern) * (
+                model_config.num_hidden_layers // len(pattern)
+            )
+            chunk = server_args.chunked_prefill_size
+            if not chunk or chunk <= 0:  # chunked prefill disabled
+                chunk = server_args.max_prefill_tokens
+            per_req = cdiv(
+                w
+                + chunk
+                + 2 * server_args.page_size
+                + getattr(server_args, "decode_window_size", 16),
+                server_args.page_size,
+            )
+            swa_tokens = (
+                server_args.max_running_requests
+                * per_req
+                * server_args.page_size
+            )
+            self.swa_pool = KVCachePool(
+                model_config,
+                page_size=server_args.page_size,
+                kv_cache_dtype=server_args.kv_cache_dtype,
+                max_total_tokens=swa_tokens,
+                sharding=self.mesh_ctx.kv_cache_sharding,
+                num_kv_layers=n_swa_layers,
+            )
+            kv_budget = max(
+                kv_budget - self.swa_pool.geometry.bytes_total, 1 << 20
+            )
+            self.swa_page_allocator = PageAllocator(
+                self.swa_pool.geometry.num_pages, server_args.page_size
+            )
+            logger.info(
+                "hybrid-SWA split pools: %d sliding layers (window %d), "
+                "%d swa pages", n_swa_layers, w,
+                self.swa_pool.geometry.num_pages,
+            )
         self.kv_pool = KVCachePool(
             model_config,
             page_size=server_args.page_size,
@@ -216,10 +265,22 @@ class ModelRunner:
                 else 1
             ),
             # hybrid models (Qwen3-Next) page only their full-attention
-            # layers; linear layers live in the state pool
-            num_kv_layers=getattr(self.model, "num_kv_layers", None),
+            # layers; linear layers live in the state pool; hybrid-SWA
+            # models page only their full layers here (sliding layers
+            # ride self.swa_pool)
+            num_kv_layers=(
+                model_config.num_hidden_layers
+                - self.swa_pool.geometry.num_layers
+                if self.hybrid_swa is not None
+                else getattr(self.model, "num_kv_layers", None)
+            ),
         )
         self.kv_cache = self.kv_pool.kv_cache
+        if self.hybrid_swa is not None:
+            self.kv_cache = {
+                "kv": self.kv_cache, "swa": self.swa_pool.kv_cache,
+            }
+            self.swa_pool.kv_cache = None  # release the duplicate ref
         if getattr(server_args, "enable_double_sparsity", False):
             # Double-sparsity decode (reference double_sparsity_backend):
             # the KV cache gains a LABEL sibling — r key channels per kv
@@ -355,6 +416,50 @@ class ModelRunner:
         np.asarray(jnp.zeros((8,), jnp.float32) + 1)
 
     # ------------------------------------------------------------- backends
+    def _hybrid_swa_spec(self, server_args, model_config):
+        """(pattern, window) when hybrid-SWA split pools should engage
+        (reference mem_cache/allocator/swa.py:20): a mixed sliding/full
+        stack (Gemma-2/3 class) with a periodic pattern, on the simple
+        serving path — pages freed behind the window cannot back prefix
+        sharing, draft KV, or cross-engine transfer."""
+        sa = server_args
+        if (
+            not sa.disable_radix_cache
+            or getattr(sa, "disable_hybrid_swa", False)
+            or sa.speculative_algorithm
+            or getattr(sa, "enable_dcp", False)
+            or getattr(sa, "enable_double_sparsity", False)
+            or getattr(sa, "enable_hierarchical_cache", False)
+            or getattr(sa, "disaggregation_mode", "none") not in (None, "none")
+            or getattr(sa, "enable_lora", False)
+            or sa.pp_size > 1
+            or getattr(sa, "cp_size", 1) > 1
+            or model_config.quant_config is not None
+        ):
+            return None
+        if getattr(self.model, "is_stateful", False) or getattr(
+            self.model, "is_diffusion", False
+        ):
+            return None
+        pattern_fn = getattr(self.model, "hybrid_swa_pattern", None)
+        if pattern_fn is None:
+            return None
+        pattern = pattern_fn()
+        if pattern is None:
+            return None
+        from sglang_tpu.core.memory_pool import resolve_kv_dtype
+
+        if (
+            jnp.dtype(
+                resolve_kv_dtype(sa.kv_cache_dtype, model_config.dtype)
+            ).itemsize
+            < 2
+        ):
+            return None  # fp8 KV keeps the unified pool
+        wins = self.model.per_layer_window()
+        w = int(wins[wins > 0][0])
+        return pattern, w
+
     def _pick_attn_backend(self, device) -> str:
         if envs.SGLANG_TPU_FORCE_XLA_ATTENTION.value:
             return "xla"
@@ -436,6 +541,8 @@ class ModelRunner:
             kw["capture_expert_counts"] = True
         if tbo:
             kw["tbo"] = True
+        if self.hybrid_swa is not None:
+            kw["swa_num_slots"] = self.swa_pool.num_slots
         if context_parallel:
             kw["context_parallel"] = True
             if context_parallel == 2:  # cached prefix / later chunk
@@ -454,7 +561,9 @@ class ModelRunner:
     def _extend_impl(self, params, kv_cache, packed, st_packed, pen, vmask, lora_tree, adapter_idx, embeds, rng, step, *, B, L, P, all_greedy=False, use_pen=False, use_mask=False, use_lora=False, use_embeds=False, use_ecounts=False, use_cp=False, use_tbo=False, tl_k=0):
         """Prefill chunk: forward + logits + sample, one program."""
         batch = unpack_extend_batch(
-            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+            packed, B, L, P,
+            mrope=getattr(self.model, "needs_mrope", False),
+            swa=self.hybrid_swa is not None,
         )
         lora = (lora_tree, adapter_idx) if use_lora else None
         fwd = self._forward_batch(
@@ -509,8 +618,11 @@ class ModelRunner:
         structured output keeps K>1 windows instead of one dispatch per
         token."""
         mrope = getattr(self.model, "needs_mrope", False)
-        first_tokens, seq_lens0, page_table, mrope_delta = (
-            unpack_decode_batch(packed, B, P, mrope=mrope)
+        first_tokens, seq_lens0, page_table, mrope_delta, swa_table = (
+            unpack_decode_batch(
+                packed, B, P, mrope=mrope,
+                swa=self.hybrid_swa is not None,
+            )
         )
         if use_chain:
             first_tokens = chain_tokens
@@ -548,7 +660,8 @@ class ModelRunner:
         def body(carry, k):
             kv, tokens, pstate, gstate = carry
             batch = decode_step_batch(
-                tokens, seq_lens0, page_table, k, self.kv_pool.page_size
+                tokens, seq_lens0, page_table, k, self.kv_pool.page_size,
+                swa_page_table=swa_table,
             )
             if mrope:
                 import dataclasses as _dc
@@ -664,7 +777,9 @@ class ModelRunner:
         classification models override ``compute_score`` and return raw
         score-head logits instead (reference reward-model classes)."""
         batch = unpack_extend_batch(
-            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+            packed, B, L, P,
+            mrope=getattr(self.model, "needs_mrope", False),
+            swa=self.hybrid_swa is not None,
         )
         if getattr(self.model, "is_encoder_only", False):
             # BERT-family encoders: one dense bidirectional forward (no
@@ -710,7 +825,9 @@ class ModelRunner:
         prompt logprobs / echo and DSL select() choice scoring
         (reference: logprob_start_len / input_token_logprobs)."""
         batch = unpack_extend_batch(
-            packed, B, L, P, mrope=getattr(self.model, "needs_mrope", False)
+            packed, B, L, P,
+            mrope=getattr(self.model, "needs_mrope", False),
+            swa=self.hybrid_swa is not None,
         )
         hidden, kv_cache = self.model.forward(
             params,
@@ -1219,7 +1336,12 @@ class ModelRunner:
             args = (
                 self.params,
                 self.kv_cache,
-                np.zeros(decode_packed_size(B, P, mrope=mrope), np.int32),
+                np.zeros(
+                    decode_packed_size(
+                        B, P, mrope=mrope, swa=self.hybrid_swa is not None
+                    ),
+                    np.int32,
+                ),
                 st,
                 np.zeros((B, 1, 2), np.int32),
                 np.zeros((B, 1), np.uint32),
@@ -1243,7 +1365,11 @@ class ModelRunner:
                 self.params,
                 self.kv_cache,
                 np.zeros(
-                    extend_packed_size(B, L, P, mrope=mrope), np.int32
+                    extend_packed_size(
+                        B, L, P, mrope=mrope,
+                        swa=self.hybrid_swa is not None,
+                    ),
+                    np.int32,
                 ),
                 st,
                 np.zeros((B, 1, 2), np.int32),

@@ -648,6 +648,28 @@ class LlamaForCausalLM:
         w = self.config.sliding_window or 0
         return np.full((self.config.num_hidden_layers,), w, np.int32)
 
+    def hybrid_swa_pattern(self):
+        """Hybrid-SWA layer pattern (reference mem_cache/allocator/
+        swa.py:20 full+swa split pools): the shortest periodic 0/1
+        pattern of sliding layers, or None when the model is not a
+        mixed sliding/full stack (pure models use whole-page freeing;
+        aperiodic stacks fall back to the unified pool).  Returns a
+        tuple of bools, True = sliding."""
+        wins = self.per_layer_window()
+        if (wins < 0).any():  # chunked attention (Llama 4) — not SWA
+            return None
+        sw = wins > 0
+        if sw.all() or not sw.any():
+            return None
+        pos = wins[sw]
+        if not (pos == pos[0]).all():  # mixed window sizes
+            return None
+        L = len(wins)
+        for p in range(1, min(L, 12) + 1):
+            if L % p == 0 and (sw.reshape(-1, p) == sw[:p]).all():
+                return tuple(bool(x) for x in sw[:p])
+        return None
+
     # (k_scale, v_scale) per layer for quantized (fp8) KV caches; the
     # runner overwrites from checkpoint k_scale/v_scale tensors
     # (reference memory_pool.py:1679 per-layer dequant scales).
@@ -935,6 +957,8 @@ class LlamaForCausalLM:
         input_embeds=None,  # [B, Lq, H] rows for NEGATIVE input_ids
         tbo: bool = False,  # two-batch overlap: split rows in-layer so
         # one half's MoE all-to-all overlaps the other half's attention
+        swa_num_slots: int = None,  # hybrid-SWA: the sliding-layer
+        # pool's slot count (kv_cache is {"kv", "swa"})
     ):
         """Returns (last_hidden [B, H], kv_cache) — or, with
         ``return_all_hidden``, (hidden [B*Lq, H], kv_cache) for
@@ -1070,9 +1094,12 @@ class LlamaForCausalLM:
             and jnp.finfo(kv_cache.dtype).bits == 8
         )
 
-        def make_layer_fn(batch, pos_f):
+        def make_layer_fn(batch, pos_f, num_slots_ov=None):
             # factory: the pp wavefront builds one per micro-batch
-            # (sliced batch fields); serial paths build it once
+            # (sliced batch fields); the hybrid-SWA path builds one per
+            # pool (full/swa tables + that pool's num_slots); serial
+            # paths build it once
+            ns = num_slots if num_slots_ov is None else num_slots_ov
             B, Lq = batch.input_ids.shape  # shadows the full-batch dims
             bidir_groups = self._bidir_groups(batch)
             def layer_fn(carry, xs):
@@ -1168,6 +1195,7 @@ class LlamaForCausalLM:
                     and not self._dcp()
                     and not context_parallel
                     and not self.parallel_block
+                    and batch.swa_page_table is None
                     and B % 2 == 0
                 ):
                     return self._tbo_attn_mlp_tail(
@@ -1339,7 +1367,7 @@ class LlamaForCausalLM:
                         kv,
                         batch,
                         li,
-                        num_slots=num_slots,
+                        num_slots=ns,
                         page_size=page_size,
                         sm_scale=self.sm_scale,
                         logit_cap=c.attn_logit_softcap,
@@ -1417,7 +1445,68 @@ class LlamaForCausalLM:
         self._ecounts_capture = capture_expert_counts
         ecounts = None
         aux_cat = None
-        if "dense_layers" in params:
+        if isinstance(kv_cache, dict) and "swa" in kv_cache:
+            # Hybrid-SWA split pools (reference mem_cache/allocator/
+            # swa.py:20, swa_radix_cache.py): sliding-window layers page
+            # into their own SMALL pool (freed behind the window by the
+            # scheduler sweep) while full-attention layers keep the big
+            # pool.  The per-layer pool choice must be static under jit,
+            # so the scan runs over the model's WINDOW PATTERN PERIOD
+            # (Gemma-2: [swa, full], Gemma-3: 5xswa + full) with the
+            # choice unrolled inside the body; each class carries its
+            # own local layer index for pool row addressing.
+            pattern = self.hybrid_swa_pattern()
+            assert pattern is not None and swa_num_slots is not None
+            assert pp <= 1 and "dense_layers" not in params
+            assert not capture_aux_layers and ds_planes is None
+            assert not context_parallel and not capture_expert_counts
+            import dataclasses as _dc
+
+            batch_full = _dc.replace(
+                batch, swa_page_table=None, swa_out_slots=None
+            )
+            batch_swa = _dc.replace(
+                batch,
+                page_table=batch.swa_page_table,
+                out_slots=batch.swa_out_slots,
+                swa_page_table=None,
+                swa_out_slots=None,
+            )
+            lf_full = make_layer_fn(batch_full, pos_f)
+            lf_swa = make_layer_fn(
+                batch_swa, pos_f, num_slots_ov=swa_num_slots
+            )
+            pl = len(pattern)
+            Lc = c.num_hidden_layers
+            xs_p = jax.tree_util.tree_map(
+                lambda x: x.reshape((Lc // pl, pl) + x.shape[1:]), xs_all
+            )
+
+            def period_fn(carry, xs_row):
+                h, kvf, kvs, lif, lis = carry
+                for j, is_sw in enumerate(pattern):
+                    xs_j = jax.tree_util.tree_map(
+                        lambda x, _j=j: x[_j], xs_row
+                    )
+                    if is_sw:
+                        (h, kvs, lis), _ = lf_swa((h, kvs, lis), xs_j)
+                    else:
+                        (h, kvf, lif), _ = lf_full((h, kvf, lif), xs_j)
+                return (h, kvf, kvs, lif, lis), None
+
+            (hidden, kvf, kvs, _, _), _ = jax.lax.scan(
+                period_fn,
+                (
+                    hidden,
+                    kv_cache["kv"],
+                    kv_cache["swa"],
+                    np.int32(0),
+                    np.int32(0),
+                ),
+                xs_p,
+            )
+            kv_cache = {"kv": kvf, "swa": kvs}
+        elif "dense_layers" in params:
             # Dense-PREFIX stack (GLM4-MoE first_k_dense_replace /
             # DeepSeek-style): the first kd layers carry dense MLP
             # leaves, the remaining stack carries MoE leaves —

@@ -46,6 +46,10 @@ class ServerArgs:
     max_prefill_tokens: int = 8192
     disable_radix_cache: bool = False
     radix_cache_backend: str = "auto"  # auto | python | cpp (native C++)
+    # hybrid-SWA split KV pools (Gemma-2/3-class mixed sliding/full
+    # stacks; arms automatically when eligible — see
+    # model_runner._hybrid_swa_spec)
+    disable_hybrid_swa: bool = False
     enable_hierarchical_cache: bool = False  # host-RAM KV backup tier
     hicache_ratio: float = 2.0  # host pool size as a multiple of device pool
     disable_overlap_schedule: bool = False

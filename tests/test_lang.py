@@ -111,4 +111,8 @@ def test_dsl_run_batch(tiny_engine):
         num_threads=4,
     )
     assert len(states) == 4
-    assert all(len(st["out"]) > 0 for st in states)
+    # random-weight models can emit only non-byte ids (empty decoded
+    # text) — assert the generations RAN via token counts, not text
+    assert all(
+        st.meta["out"]["completion_tokens"] == 3 for st in states
+    ), [st.meta["out"] for st in states]
