@@ -135,11 +135,12 @@ class LeaderRunner:
     def extend_step(self, packed, st_packed, B, L, P, pen=None, vmask=None,
                     adapter_idx=None, embeds=None, tl_k=0,
                     capture_ecounts=False, return_async=False,
-                    use_cp=False):
+                    use_cp=False, use_tbo=False):
         # capture_ecounts broadcasts in the vmask flag's bit 1 so every
         # host compiles/executes the same extend variant; multimodal
         # embed rows broadcast as one [B, L, H] f32 buffer (the vision
-        # tower runs only on the leader — protocol v3)
+        # tower runs only on the leader — protocol v3); use_tbo rides
+        # bit 3 (in-program two-batch overlap is a compiled variant)
         desc = np.zeros(DESC_LEN, np.int32)
         # the use_chain flag slot carries use_cp for K_EXTEND (decode-only
         # vs extend-only flags share the wire slot; 2 = cp with a cached
@@ -148,6 +149,7 @@ class LeaderRunner:
                                  use_chain=int(use_cp)))
         flags[1] |= (1 if capture_ecounts else 0) << 1
         flags[1] |= (1 if embeds is not None else 0) << 2
+        flags[1] |= (1 if use_tbo else 0) << 3
         desc[:9] = (K_EXTEND, B, L, P, *flags)
         bufs = [packed.astype(np.int32), st_packed] + self._opt_bufs(
             B, pen, vmask, adapter_idx
@@ -158,7 +160,7 @@ class LeaderRunner:
         return self.runner.extend_step(
             packed, st_packed, B, L, P, pen=pen, vmask=vmask,
             adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
-            use_cp=use_cp,
+            use_cp=use_cp, use_tbo=use_tbo,
             capture_ecounts=capture_ecounts, return_async=return_async,
         )
 
@@ -256,11 +258,15 @@ class LeaderRunner:
             packed, st_packed, slot_idx, B, L, P
         )
 
-    def eagle_draft_window(self, dpacked, st_packed, B, A, P):
+    def eagle_draft_window(self, dpacked, st_packed, B, A, P, K=None):
+        # adaptive spec passes a per-round chain depth K (its own jit
+        # bucket); 0 on the wire means "configured default"
         desc = np.zeros(DESC_LEN, np.int32)
-        desc[:4] = (K_EAGLE_DRAFT, B, A, P)
+        desc[:5] = (K_EAGLE_DRAFT, B, A, P, 0 if K is None else K)
         self._send(desc, [dpacked.astype(np.int32), st_packed])
-        return self.runner.eagle_draft_window(dpacked, st_packed, B, A, P)
+        return self.runner.eagle_draft_window(
+            dpacked, st_packed, B, A, P, K=K
+        )
 
     def eagle_verify_step(self, packed, st_packed, q_logits, drafts,
                           slot_idx, bootstrap, B, L, P, use_trunc=False):
@@ -330,6 +336,7 @@ def follower_loop(runner):
         desc = np.asarray(_bcast(np.zeros(DESC_LEN, np.int32), False))
         kind, B, LK, P, penf, um, ul, tl_k, uc = (int(x) for x in desc[:9])
         use_pen, pen_w = penf & 1, penf >> 1
+        use_tbo = (um >> 3) & 1
         use_embeds = (um >> 2) & 1
         use_ecounts, um = (um >> 1) & 1, um & 1
         if kind == K_STOP:
@@ -338,10 +345,13 @@ def follower_loop(runner):
 
         if kind in (K_EXTEND, K_DECODE, K_DECODE_ASYNC):
             _mr = getattr(runner.model, "needs_mrope", False)
+            # hybrid-SWA arms identically on every host (same server
+            # args + model), so the swa sections' presence agrees
+            _swa = getattr(runner, "hybrid_swa", None) is not None
             size = (
-                extend_packed_size(B, LK, P, mrope=_mr)
+                extend_packed_size(B, LK, P, mrope=_mr, swa=_swa)
                 if kind == K_EXTEND
-                else decode_packed_size(B, P, mrope=_mr)
+                else decode_packed_size(B, P, mrope=_mr, swa=_swa)
             )
             packed = np.asarray(_bcast(np.zeros(size, np.int32), False))
             st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
@@ -363,7 +373,7 @@ def follower_loop(runner):
                 runner.extend_step(
                     packed, st, B, LK, P, pen=pen, vmask=vmask,
                     adapter_idx=adapter_idx, embeds=embeds, tl_k=tl_k,
-                    use_cp=int(uc),
+                    use_cp=int(uc), use_tbo=bool(use_tbo),
                     capture_ecounts=bool(use_ecounts),
                 )
             else:
@@ -401,7 +411,9 @@ def follower_loop(runner):
             size = B * LK + 3 * B + B * P
             dpacked = np.asarray(_bcast(np.zeros(size, np.int32), False))
             st = np.asarray(_bcast(np.zeros((B, ST_COLS), np.float32), False))
-            last_draft = runner.eagle_draft_window(dpacked, st, B, LK, P)
+            last_draft = runner.eagle_draft_window(
+                dpacked, st, B, LK, P, K=penf or None
+            )
         elif kind == K_EAGLE_VERIFY:
             use_trunc = bool(penf)
             packed = np.asarray(_bcast(

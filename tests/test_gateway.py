@@ -511,7 +511,7 @@ def test_gateway_circuit_breaker_flapping_worker():
         port=0,
         workers=[f"127.0.0.1:{good.port}", f"127.0.0.1:{flaky.port}"],
         policy="round_robin", health_interval_ms=0,
-        cb_failures=2, cb_cooldown_ms=400, max_retries=2,
+        cb_failures=2, cb_cooldown_ms=2000, max_retries=2,
     )
     try:
         base = f"http://127.0.0.1:{gw.port}"
@@ -535,7 +535,7 @@ def test_gateway_circuit_breaker_flapping_worker():
         assert flaky.hits == hits_while_open
         # recover + cooldown: the half-open trial re-closes the breaker
         flaky.mode = "ok"
-        time.sleep(0.5)
+        time.sleep(2.2)
         for _ in range(6):
             assert httpx.post(f"{base}/generate", json={"text": "y"},
                               timeout=5).status_code == 200
