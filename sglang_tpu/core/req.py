@@ -46,6 +46,8 @@ class Req:
         arrival_time: Optional[float] = None,
         lora_id: Optional[str] = None,
         return_logprob: bool = False,
+        priority: Optional[int] = None,
+        routing_key: Optional[str] = None,
     ):
         self.rid = rid
         self.origin_input_ids = list(input_ids)
@@ -54,6 +56,15 @@ class Req:
         self.lora_id = lora_id  # adapter name
         self.lora_slot = 0  # resolved slot (0 = none)
         self.return_logprob = return_logprob or sampling_params.return_logprob
+        # scheduling priority (reference schedule_batch.py Req.priority +
+        # scheduler._set_or_validate_priority): only meaningful with
+        # --enable-priority-scheduling; sign convention picked by
+        # --schedule-low-priority-values-first
+        self.priority = priority
+        # DP / gateway routing affinity key (reference routing_key field):
+        # requests with the same key land on the same replica so their
+        # radix prefixes co-locate
+        self.routing_key = routing_key
 
         # token state
         self.output_ids: List[int] = []

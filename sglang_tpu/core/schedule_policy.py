@@ -22,9 +22,19 @@ LPM_FALLBACK_THRESHOLD = 128
 
 
 class SchedulePolicy:
-    def __init__(self, policy: str, radix_cache: RadixCache):
+    def __init__(
+        self,
+        policy: str,
+        radix_cache: RadixCache,
+        enable_priority: bool = False,
+        low_values_first: bool = False,
+    ):
         self.policy = policy
         self.radix_cache = radix_cache
+        # reference schedule_policy.py:163-171 — priority orders the
+        # queue FIRST; the base policy breaks ties (stable sort)
+        self.enable_priority = enable_priority
+        self.priority_sign = 1 if low_values_first else -1
 
     def calc_priority(self, waiting_queue: List[Req]):
         """Reorder the waiting queue in place; also refreshes each request's
@@ -33,24 +43,26 @@ class SchedulePolicy:
         if policy in ("lpm", "dfs-weight") and len(waiting_queue) > LPM_FALLBACK_THRESHOLD:
             policy = "fcfs"
 
-        if policy == "fcfs":
-            return
         if policy == "random":
             random.shuffle(waiting_queue)
-            return
-        if policy == "lof":  # longest output first
+        elif policy == "lof":  # longest output first
             waiting_queue.sort(
                 key=lambda r: -r.sampling_params.max_new_tokens
             )
-            return
-        if policy in ("lpm", "dfs-weight"):
+        elif policy in ("lpm", "dfs-weight"):
             prefix_lens = {}
             for r in waiting_queue:
                 m = self.radix_cache.match_prefix(r.origin_input_ids)
                 prefix_lens[r.rid] = m.matched_tokens
             waiting_queue.sort(key=lambda r: -prefix_lens[r.rid])
-            return
-        raise ValueError(f"Unknown policy {self.policy!r}")
+        elif policy != "fcfs":
+            raise ValueError(f"Unknown policy {self.policy!r}")
+
+        if self.enable_priority:
+            # stable: equal priorities keep the base policy's order
+            waiting_queue.sort(
+                key=lambda r: self.priority_sign * (r.priority or 0)
+            )
 
 
 class NewTokenRatioTracker:

@@ -55,7 +55,12 @@ class Scheduler:
         self.page_size = self.runner.kv_pool.page_size
         self.allocator = self.runner.page_allocator
         self.radix = self._make_radix_cache(server_args)
-        self.policy = SchedulePolicy(server_args.schedule_policy, self.radix)
+        self.policy = SchedulePolicy(
+            server_args.schedule_policy,
+            self.radix,
+            enable_priority=server_args.enable_priority_scheduling,
+            low_values_first=server_args.schedule_low_priority_values_first,
+        )
         self.ratio_tracker = NewTokenRatioTracker(
             server_args.schedule_conservativeness
         )

@@ -304,7 +304,20 @@ class Engine:
         lora_path: Optional[str] = None,
         images=None,
         videos=None,
+        priority: Optional[int] = None,
+        routing_key: Optional[str] = None,
     ) -> _ReqState:
+        if (
+            priority is not None
+            and not self.server_args.enable_priority_scheduling
+        ):
+            # reference scheduler._set_or_validate_priority: a priority
+            # on a server without priority scheduling is an error, not
+            # a silent no-op
+            raise ValueError(
+                "request has a priority but --enable-priority-scheduling "
+                "is off"
+            )
         if isinstance(sampling_params, SamplingParams):
             sp = sampling_params
         else:
@@ -350,6 +363,8 @@ class Engine:
             stream=stream,
             return_logprob=sp.return_logprob,
             lora_id=lora_path,
+            priority=priority,
+            routing_key=routing_key,
         )
         if lora_path:
             if self.lora_manager is None:
@@ -482,6 +497,8 @@ class Engine:
         lora_path: Optional[str] = None,
         images=None,  # list of PIL images / [H, W, 3] arrays (VLMs)
         videos=None,  # list of videos ([F, H, W, 3] or frame lists)
+        priority: Optional[int] = None,
+        routing_key: Optional[str] = None,
     ):
         """Synchronous generation (reference Engine.generate,
         entrypoints/engine.py:247). Accepts a single prompt or a batch."""
@@ -494,7 +511,8 @@ class Engine:
             prompts = prompt if prompt is not None else [None] * len(input_ids)
             ids_list = input_ids if input_ids is not None else [None] * len(prompts)
             states = [
-                self._make_req(p, ids, sampling_params, False, None, lora_path)
+                self._make_req(p, ids, sampling_params, False, None, lora_path,
+                               priority=priority, routing_key=routing_key)
                 for p, ids in zip(prompts, ids_list)
             ]
             for s in states:
@@ -503,7 +521,8 @@ class Engine:
 
         state = self._make_req(
             prompt, input_ids, sampling_params, stream, rid, lora_path,
-            images=images, videos=videos,
+            images=images, videos=videos, priority=priority,
+            routing_key=routing_key,
         )
         self.scheduler.add_request(state.req)
         if stream:
@@ -534,10 +553,13 @@ class Engine:
         lora_path: Optional[str] = None,
         images=None,
         videos=None,
+        priority: Optional[int] = None,
+        routing_key: Optional[str] = None,
     ):
         state = self._make_req(
             prompt, input_ids, sampling_params, stream, rid, lora_path,
-            images=images, videos=videos,
+            images=images, videos=videos, priority=priority,
+            routing_key=routing_key,
         )
         state.loop = asyncio.get_running_loop()
         state.async_queue = asyncio.Queue()

@@ -410,6 +410,8 @@ class HttpServer:
             rid=body.get("rid"),
             stream=stream,
             lora_path=body.get("lora_path"),
+            priority=body.get("priority"),
+            routing_key=body.get("routing_key"),
         )
         # reference /generate multimodal fields: image_data = data-URL
         # (or list of them); video_data = data-URL of a multi-frame

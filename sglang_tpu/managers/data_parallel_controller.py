@@ -56,7 +56,15 @@ class DataParallelController:
         logger.info("DP controller: %d replicas x %d devices", dp, per)
 
     # ----------------------------------------------------------- dispatch
-    def _pick(self) -> Engine:
+    def _pick(self, routing_key=None) -> Engine:
+        if routing_key:
+            # routing affinity (reference Req.routing_key): a stable
+            # hash pins same-key requests to one replica so their radix
+            # prefixes co-locate
+            import zlib
+
+            h = zlib.crc32(str(routing_key).encode())
+            return self.engines[h % len(self.engines)]
         if self.policy == "round_robin":
             return self.engines[next(self._rr) % len(self.engines)]
         # shortest queue: waiting + running (reference shortest-queue mode)
@@ -67,10 +75,14 @@ class DataParallelController:
         return min(self.engines, key=load)
 
     def generate(self, *args, **kwargs):
-        return self._pick().generate(*args, **kwargs)
+        return self._pick(kwargs.get("routing_key")).generate(
+            *args, **kwargs
+        )
 
     async def async_generate(self, *args, **kwargs):
-        return await self._pick().async_generate(*args, **kwargs)
+        return await self._pick(kwargs.get("routing_key")).async_generate(
+            *args, **kwargs
+        )
 
     def encode(self, *args, **kwargs):
         return self._pick().encode(*args, **kwargs)

@@ -41,6 +41,12 @@ class ServerArgs:
 
     # ---- scheduling ----
     schedule_policy: str = "fcfs"  # fcfs | lpm | lof | random | dfs-weight
+    # priority scheduling (reference schedule_policy.py:163-171): the
+    # waiting queue orders by request priority first (ties keep the base
+    # policy's order), and requests carrying a priority are rejected
+    # unless this is on
+    enable_priority_scheduling: bool = False
+    schedule_low_priority_values_first: bool = False
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048  # -1 disables chunked prefill
     max_prefill_tokens: int = 8192
@@ -156,6 +162,10 @@ class ServerArgs:
     enable_double_sparsity: bool = False
     ds_channels: int = 16  # label channels per kv head
     ds_top_pages: int = 32  # pages attended per decode query
+    # NSA / InfLLM-v2 block-sparse attention (pooled-key block
+    # summaries; decode AND prefill top-K pages — ops/nsa_attention.py)
+    enable_nsa: bool = False
+    nsa_top_pages: int = 16  # pages attended per decode step / q tile
 
     # ---- decode context parallelism (reference layers/dcp/) ----
     # KV pages shard over the tp axis (page p -> rank p % tp), attention
@@ -217,6 +227,16 @@ class ServerArgs:
                 raise ValueError(
                     "--enable-double-sparsity supports tp-only meshes "
                     "with native-dtype KV for now"
+                )
+        if self.enable_nsa:
+            if (
+                self.enable_dcp or self.cp_size > 1 or self.pp_size > 1
+                or self.kv_cache_dtype not in ("auto", "bfloat16")
+                or self.enable_double_sparsity
+            ):
+                raise ValueError(
+                    "--enable-nsa supports tp-only meshes with "
+                    "native-dtype KV (and excludes double sparsity)"
                 )
         if self.enable_dcp:
             if self.tp_size < 2:
