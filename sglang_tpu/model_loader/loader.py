@@ -287,6 +287,23 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                     "channel", np.asarray(f.get_tensor(nm), np.float32)
                 )
 
+    # ---- bitsandbytes 4-bit pre-pass (reference loader.py:1610): a
+    # checkpoint carrying quant_state.bitsandbytes__nf4|fp4 sidecars
+    # dequantizes those weights to dense floats at read — nf4 has no TPU
+    # kernel tier; checkpoint compatibility is the goal.
+    from sglang_tpu.model_loader.bitsandbytes import (
+        collect_bnb_states,
+        dequant_bnb_4bit,
+        is_bnb_sidecar,
+    )
+
+    bnb_states = collect_bnb_states(files)
+    if bnb_states:
+        logger.info(
+            "bitsandbytes checkpoint: dequantizing %d 4-bit weights",
+            len(bnb_states),
+        )
+
     def _is_f8(dt) -> bool:
         import ml_dtypes
 
@@ -334,11 +351,15 @@ def load_safetensors_weights(model, config: ModelConfig, mesh_ctx=None):
                     np.asarray(f.get_tensor(name), np.float32).reshape(())
                 )
                 continue
+            if bnb_states and is_bnb_sidecar(name):
+                continue
             m = mapping(name)
             if m is None:
                 continue
             path, layer_idx, transform = m
             tensor = f.get_tensor(name)
+            if name in bnb_states:
+                tensor = dequant_bnb_4bit(tensor, bnb_states[name])
             wants_dq = getattr(transform, "wants_dequant", False)
             if name in f8_scales and (
                 _is_f8(tensor.dtype)
@@ -512,7 +533,11 @@ def load_sharded_state_weights(model, config: ModelConfig, mesh_ctx=None):
 def load_model_weights(model, config: ModelConfig, load_format: str, mesh_ctx=None):
     if load_format == "dummy":
         return load_dummy_weights(model, mesh_ctx)
-    if load_format in ("auto", "safetensors", "gguf"):
+    if load_format in ("auto", "safetensors", "gguf", "bitsandbytes"):
+        # bitsandbytes rides the safetensors path — the bnb pre-pass
+        # detects quant_state sidecars regardless of the flag; the
+        # explicit format name exists for CLI parity (reference
+        # LoadFormat.BITSANDBYTES)
         return load_safetensors_weights(model, config, mesh_ctx)
     if load_format == "sharded_state":
         return load_sharded_state_weights(model, config, mesh_ctx)

@@ -26,7 +26,8 @@ class ServerArgs:
     dtype: str = "bfloat16"  # model compute/weight dtype
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | float8_e4m3 | float8_e5m2
     quantization: Optional[str] = None  # fp8 | int8 | awq | gptq | None
-    load_format: str = "auto"  # auto | safetensors | gguf | sharded_state | dummy
+    # auto | safetensors | gguf | bitsandbytes | sharded_state | dummy
+    load_format: str = "auto"
     random_seed: int = 0
     served_model_name: Optional[str] = None
     revision: Optional[str] = None
