@@ -788,6 +788,15 @@ class Engine:
             runner.broadcast_lora_unload(lora_name)
         self.lora_manager.unload_adapter(lora_name)
 
+    def serve_weights_bootstrap(self, port: int = 0,
+                                host: str = "0.0.0.0"):
+        """Seed side of --load-format remote_instance (reference
+        RemoteInstanceModelLoader): serve this instance's live weights
+        to bootstrapping replicas.  Returns (thread, bound_port)."""
+        return self.scheduler.runner.serve_weights_bootstrap(
+            port=port, host=host
+        )
+
     def abort_request(self, rid: str):
         self.scheduler.abort_request(rid)
 

@@ -182,7 +182,10 @@ class ModelRunner:
 
         t0 = time.monotonic()
         self.params = load_model_weights(
-            self.model, model_config, server_args.load_format, self.mesh_ctx
+            self.model, model_config, server_args.load_format, self.mesh_ctx,
+            seed_addr=getattr(
+                server_args, "remote_instance_seed_addr", None
+            ) or "",
         )
         logger.info(
             "Weights ready in %.1fs (%.2f GiB)",
@@ -317,6 +320,39 @@ class ModelRunner:
                 "double sparsity: %d label channels/head, top %d pages",
                 r, server_args.ds_top_pages,
             )
+        if getattr(server_args, "enable_nsa", False):
+            # NSA / InfLLM-v2 block-sparse attention (ops/
+            # nsa_attention.py; reference nsa_backend.py): every page
+            # carries a pooled-key summary maintained in the write path
+            from types import SimpleNamespace
+
+            if getattr(server_args, "enable_double_sparsity", False):
+                raise ValueError("--enable-nsa excludes double sparsity")
+            if self.hybrid_swa is not None:
+                raise ValueError("--enable-nsa excludes hybrid-SWA pools")
+            if model_config.attention_arch.name == "MLA":
+                raise ValueError("--enable-nsa does not support MLA")
+            g = self.kv_pool.geometry
+            self.kv_cache = {
+                "kv": self.kv_cache,
+                "pooled": jax.device_put(
+                    jnp.zeros(
+                        (
+                            g.num_layers * g.num_pages,
+                            g.num_kv_heads * g.head_dim,
+                        ),
+                        jnp.float32,
+                    ),
+                    self.mesh_ctx.replicated,
+                ),
+            }
+            self.model._nsa = SimpleNamespace(
+                top_pages=server_args.nsa_top_pages, tile_q=128,
+            )
+            logger.info(
+                "NSA block-sparse attention: pooled-key summaries, "
+                "top %d pages", server_args.nsa_top_pages,
+            )
         if getattr(self.model, "is_stateful", False):
             # SSM families: a fixed-size recurrent STATE POOL replaces
             # the KV cache, slot-indexed by each request's first page id
@@ -429,6 +465,7 @@ class ModelRunner:
             or sa.speculative_algorithm
             or getattr(sa, "enable_dcp", False)
             or getattr(sa, "enable_double_sparsity", False)
+            or getattr(sa, "enable_nsa", False)
             or getattr(sa, "enable_hierarchical_cache", False)
             or getattr(sa, "disaggregation_mode", "none") not in (None, "none")
             or getattr(sa, "enable_lora", False)
@@ -1561,6 +1598,23 @@ class ModelRunner:
         from sglang_tpu.model_loader.loader import save_sharded_state
 
         save_sharded_state(self.params, path)
+
+    def serve_weights_bootstrap(self, port: int = 0,
+                                host: str = "0.0.0.0"):
+        """Seed side of remote-instance bootstrap (reference
+        RemoteInstanceModelLoader + send-weights group): serve the LIVE
+        exec-layout param tree, flattened by tree path, over the
+        weight_sync TCP stream.  Returns (thread, bound_port)."""
+        from sglang_tpu.model_loader.loader import _iter_paths
+        from sglang_tpu.weight_sync import serve_weights
+
+        def snapshot() -> Dict[str, np.ndarray]:
+            return {
+                p: np.asarray(jax.device_get(leaf))
+                for p, leaf in _iter_paths(self.params)
+            }
+
+        return serve_weights(snapshot, port=port, host=host)
 
     def update_weights_from_tensor(self, named_tensors: Dict[str, np.ndarray]):
         """RL weight sync (reference model_runner.py:2160) — in-place swap of

@@ -530,9 +530,66 @@ def load_sharded_state_weights(model, config: ModelConfig, mesh_ctx=None):
     return params
 
 
-def load_model_weights(model, config: ModelConfig, load_format: str, mesh_ctx=None):
+def load_remote_instance_weights(
+    model, config: ModelConfig, mesh_ctx=None, seed_addr: str = ""
+):
+    """Bootstrap weights from a RUNNING instance instead of disk
+    (reference model_loader/loader.py:2196 RemoteInstanceModelLoader;
+    TPU transport is the weight_sync TCP stream, not NCCL).
+
+    The seed serves its live param tree flattened by tree path — values
+    are already in execution layout (transforms/fusions applied), so no
+    checkpoint mapping runs here; both sides must share model config and
+    server args."""
+    if not seed_addr:
+        raise ValueError(
+            "--load-format remote_instance needs "
+            "--remote-instance-seed-addr host:port"
+        )
+    from sglang_tpu.weight_sync import WeightSyncClient
+
+    host_addr, port = seed_addr.rsplit(":", 1)
+    # the seed serves its LIVE tree: execution layout, fusions applied —
+    # so validate/place against the exec shapes and do NOT re-fuse
+    specs = _exec_api(model, "exec_param_specs", "param_specs")()
+    shapes = _exec_api(model, "exec_param_shapes", "param_shapes")()
+    expected = {p for p, _ in _iter_paths(shapes)}
+    placed: Dict[str, Any] = {}
+    client = WeightSyncClient(host_addr, int(port))
+    n = 0
+    for name, arr in client.iter_tensors(None):
+        if name not in expected:
+            raise ValueError(f"seed served unknown param {name!r}")
+        shape_leaf = _tree_get(shapes, name)
+        dtype = _leaf_dtype(shape_leaf, model.config.dtype)
+        leaf = jnp.asarray(np.asarray(arr), dtype=dtype)
+        if mesh_ctx is not None:
+            leaf = jax.device_put(
+                leaf, mesh_ctx.sharding(*_tree_get(specs, name))
+            )
+        parts = name.split(".")
+        node = placed
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = leaf
+        n += 1
+    missing = expected - {p for p, _ in _iter_paths(placed)}
+    if missing:
+        raise RuntimeError(
+            f"remote bootstrap incomplete: missing {sorted(missing)[:5]}"
+        )
+    logger.info("Bootstrapped %d tensors from instance %s", n, seed_addr)
+    return placed
+
+
+def load_model_weights(model, config: ModelConfig, load_format: str,
+                       mesh_ctx=None, seed_addr: str = ""):
     if load_format == "dummy":
         return load_dummy_weights(model, mesh_ctx)
+    if load_format == "remote_instance":
+        return load_remote_instance_weights(
+            model, config, mesh_ctx, seed_addr
+        )
     if load_format in ("auto", "safetensors", "gguf", "bitsandbytes"):
         # bitsandbytes rides the safetensors path — the bnb pre-pass
         # detects quant_state sidecars regardless of the flag; the

@@ -26,8 +26,13 @@ class ServerArgs:
     dtype: str = "bfloat16"  # model compute/weight dtype
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | float8_e4m3 | float8_e5m2
     quantization: Optional[str] = None  # fp8 | int8 | awq | gptq | None
-    # auto | safetensors | gguf | bitsandbytes | sharded_state | dummy
+    # auto | safetensors | gguf | bitsandbytes | sharded_state |
+    # remote_instance | dummy
     load_format: str = "auto"
+    # remote_instance bootstrap: pull live exec-layout weights from a
+    # running instance (reference RemoteInstanceModelLoader,
+    # loader.py:2196); the seed calls Engine.serve_weights_bootstrap()
+    remote_instance_seed_addr: Optional[str] = None
     random_seed: int = 0
     served_model_name: Optional[str] = None
     revision: Optional[str] = None

@@ -131,3 +131,41 @@ def test_update_weights_from_tensor_partial():
         assert o1["output_ids"] != o2["output_ids"]
     finally:
         eng.shutdown()
+
+
+def test_remote_instance_bootstrap():
+    """--load-format remote_instance (reference loader.py:2196): a new
+    engine pulls the seed's live exec-layout weights over TCP and
+    produces token-identical greedy output."""
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    seed = _make_engine()
+    th, port = seed.serve_weights_bootstrap(host="127.0.0.1")
+    try:
+        args = make_server_args(
+            load_format="remote_instance",
+            remote_instance_seed_addr=f"127.0.0.1:{port}",
+        )
+        cfg = ModelConfig.from_hf_dict(
+            TINY_HF_CONFIG, model_path="dummy://tiny", dtype="float32"
+        )
+        boot = Engine(
+            server_args=args,
+            model_runner=ModelRunner(args, model_config=cfg),
+        )
+        try:
+            prompt = [5, 9, 200, 31, 7]
+            sp = {"temperature": 0.0, "max_new_tokens": 12,
+                  "ignore_eos": True}
+            o1 = seed.generate(input_ids=list(prompt),
+                               sampling_params=dict(sp))
+            o2 = boot.generate(input_ids=list(prompt),
+                               sampling_params=dict(sp))
+            assert o1["output_ids"] == o2["output_ids"], (
+                o1["output_ids"], o2["output_ids"])
+        finally:
+            boot.shutdown()
+    finally:
+        seed.shutdown()
