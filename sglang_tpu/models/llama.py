@@ -1192,6 +1192,7 @@ class LlamaForCausalLM:
                 if (
                     tbo
                     and getattr(self, "_ds", None) is None
+                    and getattr(self, "_nsa", None) is None
                     and not self._dcp()
                     and not context_parallel
                     and not self.parallel_block
@@ -1290,6 +1291,116 @@ class LlamaForCausalLM:
                                 sliding_window=window,
                             )
                     kv = {"kv": kvbuf, "labels": labels}
+                elif getattr(self, "_nsa", None) is not None:
+                    # NSA / InfLLM-v2 block-sparse attention
+                    # (ops/nsa_attention.py; reference nsa_backend.py +
+                    # sgl-kernel/csrc/infllm_v2/): pages carry pooled-key
+                    # summaries; decode reads only the top-K pages via
+                    # the fused selected-page kernel, prefill runs
+                    # per-query-tile block-sparse flash.
+                    from sglang_tpu.environ import envs
+                    from sglang_tpu.layers.attention import (
+                        attention_xla,
+                        gather_kv,
+                        write_kv,
+                    )
+                    from sglang_tpu.ops.nsa_attention import (
+                        nsa_prefill_attention,
+                        nsa_select_decode,
+                        nsa_select_prefill,
+                        update_pooled,
+                    )
+                    from sglang_tpu.ops.sparse_attention import (
+                        fused_sparse_paged_decode,
+                    )
+
+                    nsa = self._nsa
+                    np_pages = num_slots // page_size
+                    kvbuf = kv["kv"]
+                    interp = bool(envs.SGLANG_TPU_INTERPRET_PALLAS.value)
+                    nsa_pallas = attn_backend == "pallas" or interp
+                    P_ = batch.page_table.shape[1]
+                    if Lq == 1 and P_ > nsa.top_pages and nsa_pallas:
+                        sel = nsa_select_decode(
+                            q, kv["pooled"], batch.page_table,
+                            batch.seq_lens, li,
+                            num_pages=np_pages, page_size=page_size,
+                            top_pages=nsa.top_pages,
+                            sliding_window=window,
+                        )
+                        attn_out, kvbuf = fused_sparse_paged_decode(
+                            q, k, v, kvbuf, batch.page_table, sel,
+                            batch.out_slots, batch.seq_lens, li,
+                            num_slots=num_slots, page_size=page_size,
+                            sm_scale=self.sm_scale,
+                            sliding_window=window, interpret=interp,
+                        )
+                    else:
+                        kvbuf = write_kv(
+                            kvbuf, k, v, batch.out_slots, li, num_slots
+                        )
+                        tile_q = min(nsa.tile_q, Lq)
+                        while Lq % tile_q:
+                            tile_q -= 1
+                        ksel = min(
+                            max(
+                                nsa.top_pages,
+                                tile_q // page_size + 2,
+                            ),
+                            P_,
+                        )
+                        if Lq > 1 and P_ > ksel and nsa_pallas:
+                            # selection must see THIS chunk's keys
+                            pooled_pre = update_pooled(
+                                kv["pooled"], kvbuf, batch.page_table,
+                                batch.positions, batch.seq_lens, li,
+                                num_pages=np_pages, page_size=page_size,
+                            )
+                            new_lens = jnp.maximum(
+                                batch.logits_idx
+                                - np.arange(B, dtype=np.int32) * Lq
+                                + 1,
+                                0,
+                            )
+                            sel = nsa_select_prefill(
+                                q, pooled_pre, batch.page_table,
+                                batch.seq_lens, new_lens, li,
+                                num_pages=np_pages, page_size=page_size,
+                                top_pages=ksel, tile_q=tile_q,
+                            )
+                            attn_out = nsa_prefill_attention(
+                                q, kvbuf, batch.page_table, sel,
+                                batch.seq_lens, new_lens, li,
+                                num_slots=num_slots,
+                                page_size=page_size,
+                                sm_scale=self.sm_scale,
+                                logit_cap=c.attn_logit_softcap,
+                                tile_q=tile_q,
+                                backend=(
+                                    "pallas"
+                                    if attn_backend == "pallas" or interp
+                                    else "xla"
+                                ),
+                                interpret=interp,
+                            )
+                        else:
+                            # dense fallback: short contexts / xla
+                            kc, vc = gather_kv(
+                                kvbuf, batch.page_table, li, num_slots,
+                                page_size, d,
+                            )
+                            attn_out = attention_xla(
+                                q, kc, vc, batch.positions,
+                                batch.seq_lens, self.sm_scale,
+                                logit_cap=c.attn_logit_softcap,
+                                sliding_window=window,
+                            )
+                    pooled = update_pooled(
+                        kv["pooled"], kvbuf, batch.page_table,
+                        batch.positions, batch.seq_lens, li,
+                        num_pages=np_pages, page_size=page_size,
+                    )
+                    kv = {"kv": kvbuf, "pooled": pooled}
                 elif self._dcp():
                     # decode context parallelism: pages sharded over tp,
                     # per-rank partials merge by LSE (layers/dcp/ role)
