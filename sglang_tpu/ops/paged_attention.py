@@ -45,8 +45,29 @@ LANE = 128
 
 
 def _decode_epilogue(m, l, acc, o_ref, sinks_ref, use_sinks, RB, hq, hkv, d,
-                     HD, G):
-    """Shared decode epilogue: sinks fold, normalize, head-segment select."""
+                     HD, G, new_fold=None):
+    """Shared decode epilogue: new-token fold, sinks fold, normalize,
+    head-segment select."""
+    if new_fold is not None:
+        # The just-written token's contribution comes ANALYTICALLY from
+        # the VMEM kv_new rows (a phantom softmax slot with a value row)
+        # instead of being read back from the paged cache.  This removes
+        # the write->read hazard inside the kernel entirely: page-read
+        # DMAs never depend on this step's write, so reads (including
+        # the cross-block prefetch) can be issued arbitrarily early and
+        # the write waits move to the end of the block.
+        s_new, v_new, live = new_fold  # [RB,hq,1], [RB,HD] f32, [RB,1,1] i32
+        m_f = jnp.maximum(m, s_new)
+        alpha = jnp.exp(m - m_f)
+        w_new = jnp.exp(s_new - m_f)  # [RB, hq, 1]
+        l2 = l * alpha + w_new
+        acc2 = acc * alpha + w_new * v_new[:, None, :]
+        # Padded rows (seq 0) must keep their untouched stats: the fold
+        # above would turn (m=-inf, l=0) into l=1 via exp(-inf - -inf).
+        # (live rides as i32 — Mosaic cannot truncate i8 vectors to i1.)
+        m = jnp.where(live > 0, m_f, m)
+        l = jnp.where(live > 0, l2, l)
+        acc = jnp.where(live > 0, acc2, acc)
     if use_sinks:
         # Attention sinks (GPT-OSS): a learned per-head logit joins the
         # softmax as a phantom slot with no value row — fold it into the
@@ -107,6 +128,8 @@ def _decode_kernel(
     rmw_write: bool,
     use_sinks: bool,
     contig_mode: Optional[bool] = None,
+    nblocks: int = 1,
+    cross_block: bool = True,
     # Dot formulation is PINNED: f32 operands for both the QK^T and PV
     # dots, batched over rows.  r05 on-chip sweep at bench geometry
     # (scripts/pin_dot_mode.py, B=64 ctx=192 ps=32): f32 batched dots
@@ -115,10 +138,6 @@ def _decode_kernel(
     # and the perf-attribution ablations were removed after the sweep
     # (round-4 VERDICT: no deliberately-wrong paths reachable by an
     # argument in the production kernel).
-    # (A single-group whole-context variant with cross-block DMA
-    # pipelining + one combined dense dot was built and measured 3-4x
-    # SLOWER on v5e than this pipelined group loop — r04 sweep — and
-    # removed; the group loop with T=64 positions/group is the winner.)
 ):
     blk = pl.program_id(0)
     RB, PB, ps = rows_per_block, pages_per_block, page_size
@@ -136,6 +155,10 @@ def _decode_kernel(
         kv_buf[...] = jnp.zeros_like(kv_buf)
 
     # ---- 1. write the new K/V rows (tiny DMAs into the aliased cache).
+    # The new token's attention contribution is folded ANALYTICALLY in
+    # the epilogue (from the VMEM kv_new rows), so nothing below READS
+    # what these writes produce — the waits happen at the END of the
+    # block, fully overlapped with the page reads and compute.
     if fused_write:
         for r in range(RB):
             b = blk * RB + r
@@ -147,10 +170,6 @@ def _decode_kernel(
                 kv_out_ref.at[page_row, in_page],  # [2, HD]
                 w_sems.at[r],
             ).start()
-        for r in range(RB):
-            pltpu.make_async_copy(
-                kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
-            ).wait()
     elif rmw_write:
         # fp8 caches: a [2, HD] 1-byte slice violates Mosaic's 32-sublane
         # tiling, so READ-MODIFY-WRITE the whole page instead (page DMAs
@@ -185,18 +204,29 @@ def _decode_kernel(
             pltpu.make_async_copy(
                 w_buf.at[r], kv_out_ref.at[page_row], w_sems.at[r]
             ).start()
-        for r in range(RB):
-            pltpu.make_async_copy(
-                w_buf.at[r], kv_out_ref.at[0], w_sems.at[r]
-            ).wait()
 
     # ---- 2. paged attention over [first_group, n_valid) page groups ----
+    # The paged span covers positions [0, seq-2]: the new token (position
+    # seq-1) is handled analytically in the epilogue, so the group math
+    # uses seq-1 positions.  A row's last page may be read WHILE its new
+    # row is being written — those bytes are masked (pos < seq-1).
+    def row_scalars(b):
+        s = seq_lens_ref[b]
+        paged = s - 1  # positions in the paged span (>=0; -1 for padded)
+        nv = pl.cdiv(paged, T)
+        fg = jnp.maximum(s - window, 0) // T
+        return s, nv, fg
+
     seq_lens = [seq_lens_ref[blk * RB + r] for r in range(RB)]
-    n_valids = [pl.cdiv(s, T) for s in seq_lens]
+    n_valids = []
+    firsts = []
+    for r in range(RB):
+        _, nv, fg = row_scalars(blk * RB + r)
+        n_valids.append(nv)
+        firsts.append(fg)
     n_valid = n_valids[0]
     for nv in n_valids[1:]:
         n_valid = jnp.maximum(n_valid, nv)
-    firsts = [jnp.maximum(s - window, 0) // T for s in seq_lens]
     first_group = firsts[0]
     for fg in firsts[1:]:
         first_group = jnp.minimum(first_group, fg)
@@ -223,11 +253,12 @@ def _decode_kernel(
             contig = p0 >= 0  # always true; keeps a traced bool
         return p0, contig
 
-    def start_group(g, slot_idx):
+    def start_group(g, slot_idx, row_base):
         for r in range(RB):
-            b = blk * RB + r
+            b = row_base + r
+            _, nv_r, _ = row_scalars(b)
 
-            @pl.when(g < n_valids[r])
+            @pl.when(g < nv_r)
             def _(r=r, b=b):
                 p0, contig = group_contig(b, g)
 
@@ -255,11 +286,12 @@ def _decode_kernel(
                     pl.when(contig)(start_ranged)
                     pl.when(jnp.logical_not(contig))(start_pages)
 
-    def wait_group(g, slot_idx):
+    def wait_group(g, slot_idx, row_base):
         for r in range(RB):
-            b = blk * RB + r
+            b = row_base + r
+            _, nv_r, _ = row_scalars(b)
 
-            @pl.when(g < n_valids[r])
+            @pl.when(g < nv_r)
             def _(r=r, b=b):
                 _, contig = group_contig(b, g)  # same data → same branch
 
@@ -286,31 +318,34 @@ def _decode_kernel(
                     pl.when(contig)(wait_ranged)
                     pl.when(jnp.logical_not(contig))(wait_pages)
 
-    @pl.when(first_group < n_valid)
+    # Slot plan: the FIRST group of every block lives in staging slot 2;
+    # later groups alternate slots 0/1 (double buffer).  With
+    # cross_block on, block b issues block b+1's first-group DMAs right
+    # after consuming its own slot-2 data — the next block's page reads
+    # stream while this block computes, hiding the DMA chain across the
+    # serial grid (safe because reads never depend on this step's
+    # new-token write: that contribution is folded analytically).
+    if cross_block:
+        @pl.when(blk == 0)
+        def _():
+            start_group(first_group, 2, 0)
+    else:
+        start_group(first_group, 2, blk * RB)
+
+    @pl.when(first_group + 1 < n_valid)
     def _():
-        start_group(first_group, first_group % 2)
+        start_group(first_group + 1, (first_group + 1) % 2, blk * RB)
 
     # [RB, Hq, HD]; heads stay block-diagonal over lane segments, but rows
     # are a BATCH dim of the dot — MXU FLOPs no longer scale with RB
     # (the old combined [RB*Hq, RB*T] matmul wasted RB× on cross-row
-    # blocks, which dominated at large batch).  Dots run with NATIVE
-    # (bf16) operands and f32 accumulation: the MXU accumulates bf16
-    # inputs in f32 anyway, and converting the whole KV block to f32
-    # first was a VPU pass over every context byte.
+    # blocks, which dominated at large batch).
     qb = qb_ref[...]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
 
-    def body(g, carry):
+    def compute_group(g, carry, kv):
         m_prev, l_prev, acc = carry
-        slot_idx = g % 2
-
-        @pl.when(g + 1 < n_valid)
-        def _():
-            start_group(g + 1, (g + 1) % 2)
-
-        wait_group(g, slot_idx)
-        kv = kv_buf[slot_idx]  # [RB, PB, ps, 2, HD]
         k3 = kv[:, :, :, 0].reshape(RB, T, HD)
         v3 = kv[:, :, :, 1].reshape(RB, T, HD)
         if jnp.issubdtype(k3.dtype, jnp.floating) and jnp.finfo(k3.dtype).bits == 8:
@@ -333,11 +368,11 @@ def _decode_kernel(
         if logit_cap is not None and logit_cap > 0:
             scores = logit_cap * jnp.tanh(scores / logit_cap)
 
-        # per-row column validity [RB, 1, T]
+        # per-row column validity [RB, 1, T] over the PAGED span [0, s-2]
         rows_ok = []
         for r in range(RB):
             pos = g * T + col  # [1, T] absolute context position
-            ok = pos < seq_lens[r]
+            ok = pos < seq_lens[r] - 1
             in_win = jnp.logical_or(
                 window <= 0, pos > seq_lens[r] - 1 - window
             )
@@ -365,10 +400,72 @@ def _decode_kernel(
         jnp.zeros((RB, hq, 1), jnp.float32),
         jnp.zeros((RB, hq, HD), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(first_group, n_valid, body, init)
+
+    # First group from the staging slot.  Runs unconditionally: when the
+    # block has no paged groups at all (every row at seq<=1) the buffer
+    # holds zeros/stale FINITE bytes and the mask kills every column.
+    wait_group(first_group, 2, blk * RB)
+    carry = compute_group(first_group, init, kv_buf[2])
+
+    if cross_block:
+        # Slot 2 is consumed — stream the next block's first group now.
+        @pl.when(blk + 1 < nblocks)
+        def _():
+            nfgs = []
+            for r in range(RB):
+                s_n, _, fg_n = row_scalars((blk + 1) * RB + r)
+                nfgs.append(fg_n)
+            nfg = nfgs[0]
+            for x in nfgs[1:]:
+                nfg = jnp.minimum(nfg, x)
+            nfg = jnp.where(window > 0, nfg, 0)
+            start_group(nfg, 2, (blk + 1) * RB)
+
+    def body(g, carry):
+        @pl.when(g + 1 < n_valid)
+        def _():
+            start_group(g + 1, (g + 1) % 2, blk * RB)
+
+        wait_group(g, g % 2, blk * RB)
+        return compute_group(g, carry, kv_buf[g % 2])
+
+    m, l, acc = jax.lax.fori_loop(first_group + 1, n_valid, body, carry)
+
+    # Analytic new-token fold inputs (the phantom slot; see the write
+    # section note).
+    kn = kv_new_ref[:, 0]
+    vn = kv_new_ref[:, 1]
+    if jnp.issubdtype(kn.dtype, jnp.floating) and jnp.finfo(kn.dtype).bits == 8:
+        kn = kn.astype(jnp.bfloat16)
+        vn = vn.astype(jnp.bfloat16)
+    s_new = jnp.sum(
+        qb.astype(jnp.float32) * kn.astype(jnp.float32)[:, None, :],
+        axis=-1, keepdims=True,
+    )  # [RB, hq, 1]
+    if logit_cap is not None and logit_cap > 0:
+        s_new = logit_cap * jnp.tanh(s_new / logit_cap)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RB, 1, 1), 0)
+    live = jnp.zeros((RB, 1, 1), jnp.int32)
+    for r in range(RB):
+        live = jnp.where(
+            rows_i == r, jnp.where(seq_lens[r] > 0, 1, 0), live
+        )
     _decode_epilogue(
-        m, l, acc, o_ref, sinks_ref, use_sinks, RB, hq, hkv, d, HD, G
+        m, l, acc, o_ref, sinks_ref, use_sinks, RB, hq, hkv, d, HD, G,
+        new_fold=(s_new, vn.astype(jnp.float32), live),
     )
+
+    # Drain the new-token write DMAs (issued at the top of the block).
+    if fused_write:
+        for r in range(RB):
+            pltpu.make_async_copy(
+                kv_new_ref.at[r], kv_out_ref.at[0, 0], w_sems.at[r]
+            ).wait()
+    elif rmw_write:
+        for r in range(RB):
+            pltpu.make_async_copy(
+                w_buf.at[r], kv_out_ref.at[0], w_sems.at[r]
+            ).wait()
 
 
 @functools.partial(
@@ -384,6 +481,7 @@ def _decode_kernel(
         "fused_write",
         "rmw_write",
         "contig_mode",
+        "cross_block",
     ),
 )
 def fused_paged_decode_attention(
@@ -408,6 +506,7 @@ def fused_paged_decode_attention(
     fused_write: bool = True,
     rmw_write: bool = False,
     contig_mode: Optional[bool] = None,  # None=runtime check, True/False=force
+    cross_block: bool = True,
 ):
     """Write new K/V then attend (decode, Lq=1). Returns (out, kv_cache)."""
     B, Lq, Hq, D = q.shape
@@ -473,6 +572,8 @@ def fused_paged_decode_attention(
         rmw_write=rmw_write,
         use_sinks=use_sinks,
         contig_mode=contig_mode,
+        nblocks=B // RB,
+        cross_block=cross_block,
     )
     lane_out = Hkv * D if Hkv == 1 else LANE  # full latent width for MQA/MLA
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -502,17 +603,20 @@ def fused_paged_decode_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, RB, PB, page_size, 2, Hkv * D), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, RB, PB)),
-            pltpu.SemaphoreType.DMA((2, RB)),
+            # slots 0/1 = double buffer for groups past the first; slot 2
+            # = staging for every block's FIRST group (cross-block
+            # prefetch target)
+            pltpu.VMEM((3, RB, PB, page_size, 2, Hkv * D), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((3, RB, PB)),
+            pltpu.SemaphoreType.DMA((3, RB)),
             pltpu.SemaphoreType.DMA((RB,)),
             pltpu.VMEM((RB, page_size, 2, Hkv * D), kv_cache.dtype),
         ],
     )
-    # Scoped-VMEM headroom for the double-buffered page scratch (the
-    # default 16 MiB limit caps PB*RB; v5e has 128 MiB of VMEM).
+    # Scoped-VMEM headroom for the buffered page scratch (the default
+    # 16 MiB limit caps PB*RB; v5e has 128 MiB of VMEM).
     scratch_bytes = (
-        (2 * RB * PB + RB) * page_size * 2 * Hkv * D
+        (3 * RB * PB + RB) * page_size * 2 * Hkv * D
         * jnp.dtype(kv_cache.dtype).itemsize
     )
     vmem_limit = min(100 * 1024 * 1024, max(32 * 1024 * 1024, 2 * scratch_bytes))
