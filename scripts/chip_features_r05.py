@@ -1,0 +1,200 @@
+"""On-chip feature drives (r04 VERDICT next #2): run the round-3/4
+feature wave on the REAL TPU chip — fp8 KV (in-kernel RMW write path),
+double-sparsity, attention sinks + alternating windows (GPT-OSS class),
+Mamba2 SSM serving, and NGRAM speculative decoding — each as a real
+Engine.generate drive, with an exactness oracle where one exists.
+
+Writes CHIP_FEATURES_r05.json.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/chip_features_r05.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+RESULTS = []
+
+TINY_HF = {
+    "architectures": ["LlamaForCausalLM"], "hidden_size": 256,
+    "intermediate_size": 512, "num_hidden_layers": 4,
+    "num_attention_heads": 8, "num_key_value_heads": 4, "head_dim": 32,
+    "vocab_size": 512, "max_position_embeddings": 2048,
+    "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+    "tie_word_embeddings": False, "eos_token_id": 257,
+    "model_type": "llama",
+}
+
+OSS_HF = {
+    "architectures": ["GptOssForCausalLM"], "model_type": "gpt_oss",
+    "hidden_size": 128, "intermediate_size": 64, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 64,
+    "num_local_experts": 4, "num_experts_per_tok": 2, "vocab_size": 512,
+    "sliding_window": 16, "max_position_embeddings": 256,
+    "rms_norm_eps": 1e-5, "rope_theta": 150000.0,
+    "rope_scaling": {
+        "rope_type": "yarn", "factor": 32.0, "beta_fast": 32.0,
+        "beta_slow": 1.0, "truncate": False,
+        "original_max_position_embeddings": 4096,
+    },
+    "layer_types": ["sliding_attention", "full_attention"],
+    "tie_word_embeddings": False, "eos_token_id": 257,
+    "hidden_act": "silu",
+}
+
+MAMBA_HF = {
+    "architectures": ["Mamba2ForCausalLM"], "model_type": "mamba2",
+    "hidden_size": 64, "num_hidden_layers": 2, "state_size": 16,
+    "num_heads": 4, "head_dim": 16, "expand": 1, "n_groups": 1,
+    "conv_kernel": 4, "vocab_size": 512, "layer_norm_epsilon": 1e-5,
+    "tie_word_embeddings": True, "eos_token_id": 257,
+    "max_position_embeddings": 1024,
+}
+
+
+def _mc_dtype(dtype):
+    return "float32" if dtype == "float32" else "bfloat16"
+
+
+def build(hf, dtype="bfloat16", page_size=8, **kw):
+    from sglang_tpu import ServerArgs
+    from sglang_tpu.configs.model_config import ModelConfig
+    from sglang_tpu.entrypoints.engine import Engine
+    from sglang_tpu.model_executor.model_runner import ModelRunner
+
+    args = ServerArgs(
+        model_path="dummy://tiny", tokenizer_path="test:byte",
+        load_format="dummy", dtype=dtype, page_size=page_size,
+        max_total_tokens=8192, chunked_prefill_size=256,
+        watchdog_timeout=180, **kw,
+    )
+    runner = ModelRunner(
+        args, model_config=ModelConfig.from_hf_dict(hf, dtype=_mc_dtype(dtype))
+    )
+    return Engine(server_args=args, model_runner=runner), runner
+
+
+SP = {"temperature": 0.0, "max_new_tokens": 24, "ignore_eos": True}
+PROMPTS = ["the quick brown fox", "abcd efgh " * 5, "hi"]
+
+
+def drive(eng):
+    return [
+        eng.generate(prompt=p, sampling_params=dict(SP))["output_ids"]
+        for p in PROMPTS
+    ]
+
+
+def record(name, ok, detail=""):
+    RESULTS.append({"feature": name, "ok": bool(ok), "detail": detail})
+    print(f"{name:<28} {'PASS' if ok else 'FAIL'} {detail}", flush=True)
+
+
+def main():
+    import jax
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    # plain pallas baseline (oracle for ds / ngram)
+    eng, runner = build(TINY_HF)
+    assert runner.attn_backend == "pallas", runner.attn_backend
+    base = drive(eng)
+    eng.shutdown()
+    record("baseline_pallas", all(len(o) == 24 for o in base))
+
+    # 1. fp8 KV cache through the RMW-write pallas path (page_size 16:
+    # the RMW page splice needs ps*2 % 32 == 0; ps=8 falls back to
+    # xla): determinism + near-agreement with bf16 KV (same dummy
+    # weights, fp8 quantization noise may flip late tokens — require a
+    # common prefix >= 8).
+    try:
+        base16_eng, _ = build(TINY_HF, page_size=16)
+        base16 = drive(base16_eng)
+        base16_eng.shutdown()
+        eng, runner = build(
+            TINY_HF, kv_cache_dtype="float8_e4m3", page_size=16
+        )
+        a = drive(eng)
+        b = drive(eng)
+        eng.shutdown()
+        pref = min(
+            sum(1 for x, y in zip(o, p) if x == y) for o, p in zip(a, base16)
+        )
+        record(
+            "fp8_kv_rmw",
+            a == b and pref >= 8 and runner.attn_backend == "pallas",
+            f"backend={runner.attn_backend} det={a == b} common_prefix={pref}",
+        )
+    except Exception as e:  # noqa: BLE001
+        record("fp8_kv_rmw", False, f"{type(e).__name__}: {e}")
+
+    # 2. double-sparsity with top pages covering the whole context ==
+    # exact vs the dense engine — in f32 (bf16 greedy near-ties on
+    # random dummy weights flip tokens across reassociated accumulation
+    # orders; f32 removes the tie noise so exactness is a real oracle).
+    try:
+        dense_eng, _ = build(TINY_HF, dtype="float32")
+        dense = drive(dense_eng)
+        dense_eng.shutdown()
+        eng, runner = build(
+            TINY_HF, dtype="float32", enable_double_sparsity=True,
+            ds_top_pages=64,
+        )
+        a = drive(eng)
+        eng.shutdown()
+        record("double_sparsity_exact", a == dense, f"match={a == dense}")
+    except Exception as e:  # noqa: BLE001
+        record("double_sparsity_exact", False, f"{type(e).__name__}: {e}")
+
+    # 3. GPT-OSS class: sinks + alternating sliding windows on the fused
+    # kernels vs the forced-XLA engine, token-exact on the chip (f32 —
+    # same near-tie rationale as above; the bf16 run diverged at a tie).
+    try:
+        eng, runner = build(OSS_HF, dtype="float32")
+        ok_backend = runner.attn_backend == "pallas"
+        a = drive(eng)
+        eng.shutdown()
+        os.environ["SGLANG_TPU_FORCE_XLA_ATTENTION"] = "1"
+        eng, runner2 = build(OSS_HF, dtype="float32")
+        b = drive(eng)
+        eng.shutdown()
+        os.environ.pop("SGLANG_TPU_FORCE_XLA_ATTENTION", None)
+        record(
+            "gpt_oss_sinks_windows", ok_backend and a == b,
+            f"pallas={ok_backend} exact={a == b}",
+        )
+    except Exception as e:  # noqa: BLE001
+        os.environ.pop("SGLANG_TPU_FORCE_XLA_ATTENTION", None)
+        record("gpt_oss_sinks_windows", False, f"{type(e).__name__}: {e}")
+
+    # 4. Mamba2 SSM serving (paged state pool, chunked SSD prefill).
+    try:
+        eng, runner = build(MAMBA_HF)
+        a = drive(eng)
+        b = drive(eng)
+        eng.shutdown()
+        record(
+            "mamba2_serving",
+            a == b and all(len(o) == 24 for o in a),
+            f"det={a == b}",
+        )
+    except Exception as e:  # noqa: BLE001
+        record("mamba2_serving", False, f"{type(e).__name__}: {e}")
+
+    # 5. NGRAM speculative decoding: greedy == plain engine exactly.
+    try:
+        eng, runner = build(TINY_HF, speculative_algorithm="NGRAM")
+        a = drive(eng)
+        eng.shutdown()
+        record("ngram_spec_exact", a == base, f"match={a == base}")
+    except Exception as e:  # noqa: BLE001
+        record("ngram_spec_exact", False, f"{type(e).__name__}: {e}")
+
+    with open("/root/repo/CHIP_FEATURES_r05.json", "w") as f:
+        json.dump({"results": RESULTS}, f, indent=2)
+    print("wrote CHIP_FEATURES_r05.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

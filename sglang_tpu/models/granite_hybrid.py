@@ -25,7 +25,7 @@ from sglang_tpu.layers.attention import paged_attention
 from sglang_tpu.layers.moe import moe_block
 from sglang_tpu.layers.norm import rms_norm
 from sglang_tpu.layers.rotary import compute_inv_freq
-from sglang_tpu.models.mamba import _chunked_ssd
+from sglang_tpu.models.mamba import _chunked_ssd, fresh_state_rows
 from sglang_tpu.parallel.mesh import AXIS_TP
 
 
@@ -387,6 +387,13 @@ class GraniteMoeHybridForCausalLM:
         hidden = params["embed"][batch.input_ids] * self.embed_mult
         kv = kv_cache["kv"]
         conv_pool, ssm_pool = kv_cache["conv"], kv_cache["ssm"]
+        # Recycled state slots: zero fresh rows' slots before any layer
+        # reads them (models/mamba.fresh_state_rows — a fresh request
+        # must not inherit a finished request's conv/SSM state; slot 0
+        # is the garbage page, safe to zero for non-fresh rows).
+        zslot = jnp.where(fresh_state_rows(batch), slot, 0)
+        conv_pool = conv_pool.at[:, zslot].set(0.0)
+        ssm_pool = ssm_pool.at[:, zslot].set(0.0)
         li_m = li_a = 0
         for i, t in enumerate(self.layer_types):
             if t == "mamba":

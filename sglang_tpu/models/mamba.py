@@ -40,6 +40,18 @@ from jax.sharding import PartitionSpec as P
 from sglang_tpu.layers.norm import rms_norm
 
 
+def fresh_state_rows(batch):
+    """[B] bool: rows whose FIRST chunk this forward is (cached_len 0).
+
+    State slots are recycled page ids — a fresh request whose slot was
+    used by an earlier (finished) request would otherwise READ that
+    request's dirty conv/SSM/recurrent state as its initial state
+    (reference: mamba cache zeroes state on request allocation,
+    ``mamba_cache_manager``).  Every pool read in the SSM/hybrid
+    families must zero-mask these rows."""
+    return batch.positions[:, 0] == 0
+
+
 def _chunked_ssd(x, dt, A, Bh, Ch, state0, chunk: int = 64):
     """Chunked state-space-duality scan (Mamba2 SSD; the MXU-blocked
     formulation the mamba_ssm CUDA kernels implement).
@@ -255,6 +267,7 @@ class Mamba2ForCausalLM:
         )
         di, k = self.d_inner, self.conv_k
         slot = batch.page_table[:, 0]  # [B] state slot = first page id
+        fresh = fresh_state_rows(batch)
         # valid new-token count per row (pad rows: seq_lens 0 -> 0)
         n_new = jnp.maximum(
             batch.seq_lens - batch.positions[:, 0], 0
@@ -275,7 +288,9 @@ class Mamba2ForCausalLM:
 
             # ---- causal depthwise conv with carried state ----
             xBC = jnp.where(tmask[..., None], xBC, 0.0)
-            cstate = pool_conv[li][slot]  # [B, k-1, conv_dim]
+            cstate = jnp.where(
+                fresh[:, None, None], 0.0, pool_conv[li][slot]
+            )  # [B, k-1, conv_dim]; fresh rows start from zero state
             ext = jnp.concatenate([cstate, xBC], axis=1)  # [B, k-1+Lq, C]
             conv = sum(
                 ext[:, i : i + Lq] * w["conv_w"][:, i]
@@ -305,7 +320,11 @@ class Mamba2ForCausalLM:
             dt = jnp.where(tmask[..., None], dt, 0.0)  # pads: no-op
             A = -jnp.exp(w["A_log"].astype(jnp.float32))  # [nh]
 
-            sstate = pool_ssm[li][slot].astype(jnp.float32)
+            sstate = jnp.where(
+                fresh[:, None, None, None],
+                0.0,
+                pool_ssm[li][slot].astype(jnp.float32),
+            )
 
             if Lq == 1:
                 # decode: one recurrence step

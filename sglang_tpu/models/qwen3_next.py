@@ -36,6 +36,7 @@ from sglang_tpu.layers.attention import paged_attention
 from sglang_tpu.layers.moe import moe_block
 from sglang_tpu.layers.activation import act_and_mul
 from sglang_tpu.layers.norm import rms_norm
+from sglang_tpu.models.mamba import fresh_state_rows
 from sglang_tpu.layers.rotary import compute_inv_freq
 from sglang_tpu.parallel.mesh import AXIS_TP
 
@@ -578,6 +579,11 @@ class Qwen3NextForCausalLM:
         hidden = params["embed"][batch.input_ids]
         kv = kv_cache["kv"]
         conv_pool, rec_pool = kv_cache["conv"], kv_cache["rec"]
+        # Recycled state slots: zero fresh rows' slots before any layer
+        # reads them (models/mamba.fresh_state_rows).
+        zslot = jnp.where(fresh_state_rows(batch), slot, 0)
+        conv_pool = conv_pool.at[:, zslot].set(0.0)
+        rec_pool = rec_pool.at[:, zslot].set(0.0)
         li_lin = li_full = 0
         for i, t in enumerate(self.layer_types):
             if t == "linear_attention":

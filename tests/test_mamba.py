@@ -155,3 +155,33 @@ def test_mamba2_multi_chunk_ssd_prefill(tmp_path):
         assert out["output_ids"] == ref
     finally:
         eng.shutdown()
+
+
+def test_mamba2_recycled_state_slots_deterministic(tmp_path):
+    """State slots are recycled page ids: a FRESH request whose slot was
+    used by a finished request must start from zero conv/SSM state, not
+    the dead request's (r05 on-chip find — the second identical drive
+    diverged because prefill read the recycled slot's dirty state).
+    Identical prompts must produce identical outputs across sequential
+    waves through one engine."""
+    pytest.importorskip("torch")
+    _save_hf(tmp_path)
+    eng = _engine(tmp_path)
+    sp = {"temperature": 0.0, "max_new_tokens": 16, "ignore_eos": True}
+    prompts = [[(7 * i + s) % 500 + 1 for i in range(9 + s)] for s in range(3)]
+    try:
+        wave1 = [
+            eng.generate(input_ids=list(p), sampling_params=dict(sp))[
+                "output_ids"
+            ]
+            for p in prompts
+        ]
+        wave2 = [
+            eng.generate(input_ids=list(p), sampling_params=dict(sp))[
+                "output_ids"
+            ]
+            for p in prompts
+        ]
+        assert wave1 == wave2
+    finally:
+        eng.shutdown()
