@@ -23,7 +23,7 @@ from sglang_tpu.ops.paged_attention import fused_paged_decode_attention
 
 
 def check(name, B, P, ps, Hq, Hkv, D, ctx, window=None, contig=False,
-          seed=0):
+          seed=0, sinks=False, ds=False):
     rng = np.random.RandomState(seed)
     num_pages = P * B + 8
     num_slots = num_pages * ps
@@ -55,16 +55,34 @@ def check(name, B, P, ps, Hq, Hkv, D, ctx, window=None, contig=False,
     li = jnp.int32(1)
     sm = D ** -0.5
 
-    out, kv_out = fused_paged_decode_attention(
-        args[0], args[1], args[2], args[3], pt_j, slots_j, seq_j, li,
-        num_slots=num_slots, page_size=ps, sm_scale=sm,
-        sliding_window=window,
+    sink_logits = (
+        jnp.asarray(rng.randn(Hq).astype(np.float32) * 2.0) if sinks
+        else None
     )
+    if ds:
+        from sglang_tpu.ops.sparse_attention import fused_sparse_paged_decode
+
+        # selection covering every page (shuffled order) == dense oracle
+        sel_np = np.stack(
+            [rng.permutation(P).astype(np.int32) for _ in range(B)]
+        )
+        out, kv_out = fused_sparse_paged_decode(
+            args[0], args[1], args[2], args[3], pt_j,
+            jnp.asarray(sel_np), slots_j, seq_j, li,
+            num_slots=num_slots, page_size=ps, sm_scale=sm,
+            sliding_window=window,
+        )
+    else:
+        out, kv_out = fused_paged_decode_attention(
+            args[0], args[1], args[2], args[3], pt_j, slots_j, seq_j, li,
+            num_slots=num_slots, page_size=ps, sm_scale=sm,
+            sliding_window=window, sinks=sink_logits,
+        )
     kv_ref = write_kv(args[3], args[1], args[2], slots_j, li, num_slots)
     kc, vc = gather_kv(kv_ref, pt_j, li, num_slots, ps, D)
     ref = attention_xla(
         args[0], kc, vc, (seq_j - 1)[:, None], seq_j, sm,
-        sliding_window=window,
+        sliding_window=window, sinks=sink_logits,
     )
     o, r = np.asarray(out, np.float32), np.asarray(ref, np.float32)
     live = seq > 0
@@ -96,6 +114,17 @@ def main():
                 window=160, contig=True)
     # MQA-ish + small heads
     ok &= check("hkv=2 ctx=96", 8, 4, 32, 8, 2, 64, ctx=96)
+    # attention sinks (GPT-OSS class), alone and with a window
+    ok &= check("sinks ctx=96", 8, 4, 32, 8, 2, 64, ctx=96, sinks=True)
+    ok &= check("sinks window ctx=512", 16, 16, 32, 32, 8, 64, ctx=512,
+                window=160, sinks=True)
+    # GPT-OSS serving geometry (ps=8, hkv=2, D=64)
+    ok &= check("sinks oss-geom ps=8", 8, 8, 8, 4, 2, 64, ctx=40,
+                window=16, sinks=True)
+    # double-sparsity selected-page kernel, full coverage == dense
+    ok &= check("ds full-cover ctx=192", 16, 8, 32, 32, 8, 64, ctx=192,
+                ds=True)
+    ok &= check("ds full-cover ps=8", 8, 8, 8, 8, 2, 64, ctx=56, ds=True)
     print("PARITY", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -540,11 +540,21 @@ class ModelRunner:
             )
             return "xla"
         if jnp.dtype(self.kv_pool.geometry.dtype).itemsize < 2:
-            # fp8 KV runs the kernels read-only: the [2, HD] 1-byte write
-            # block violates Mosaic sublane tiling, so new rows scatter
-            # via XLA first (layers/attention.py fused_write=False), while
-            # the full-page [ps, 2, HD] read DMAs are tile-aligned.  MLA
-            # keeps the XLA path (latent writes use a different shape).
+            # fp8 KV: REAL Mosaic rejects ANY [ps, 2, HD] 1-byte page
+            # slice — the K/V axis (size 2) is sublane-padded to the fp8
+            # packing (4) and slices along it must be 4-aligned
+            # ("Slice shape along dimension 2 must be aligned to tiling
+            # (4), but is 2", first hit by the r05 on-chip drive; the
+            # interpret tests cannot see tiling).  Until the fp8 pool is
+            # re-laid-out with the K/V axis folded into the sublane dim
+            # ([L*NP, ps*2, HD]), fp8 serves on the XLA path on real
+            # hardware; interpret mode keeps exercising the kernels.
+            if not envs.SGLANG_TPU_INTERPRET_PALLAS.value:
+                logger.info(
+                    "Pallas attention disabled: fp8 KV page slices hit "
+                    "the Mosaic 1-byte sublane-tiling rule → xla"
+                )
+                return "xla"
             if mc.attention_arch == AttentionArch.MLA:
                 logger.info("Pallas attention disabled: fp8 MLA KV → xla")
                 return "xla"
